@@ -1,0 +1,215 @@
+"""Scalar normalizers as native Spark Column expression chains.
+
+Re-expresses the reference's string-normalization library
+(/root/reference/pre_processing.py:32-85) with zero Python UDFs:
+lower/regexp_replace/split/filter/array_sort/array_join all run inside
+whole-stage codegen, so these normalizers cost a projection, not a
+Python round-trip, at any scale.
+
+Each normalizer also has a DuckDB SQL fragment builder (``sql_*``) so
+the driver oracle (__spark_entry__.oracle_sql) shares one definition.
+
+Semantics notes vs the reference:
+  * ``word_tokenize`` is applied AFTER stripping non-[a-z0-9 ] chars,
+    so it degenerates to whitespace splitting — we split on ' +' and
+    drop empty tokens (SURVEY.md §7 "hard parts" #3).
+  * Duplicate tokens are preserved (the reference's list comprehension
+    keeps them), hence filter() not array_except().
+  * Null in -> null out (the reference guards every apply with
+    ``pd.notnull``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import (
+    ADDRESS_STOPWORDS,
+    BASE_STOPWORDS,
+    COUNTRY_ALIASES,
+    NAME_STOPWORDS,
+    STATE_LOOKUP,
+)
+
+# ------------------------------------------------------------------
+# token-pipeline helpers
+# ------------------------------------------------------------------
+
+
+def _tokens(c: Column, *, replace_with_space: bool) -> Column:
+    """lower -> strip to [a-z0-9 ] -> whitespace-split, no empty tokens."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " " if replace_with_space else "")
+    toks = F.split(F.trim(c), " +")
+    # split('') yields [''], drop empties
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def _remove_stopwords(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.filter(toks, lambda t: ~F.array_contains(sw, t))
+
+
+def _join_tokens(toks: Column, *, sort: bool) -> Column:
+    if sort:
+        toks = F.array_sort(toks)
+    return F.array_join(toks, " ")
+
+
+# ------------------------------------------------------------------
+# F1-F5: text normalizers (pre_processing.py:48-85)
+# ------------------------------------------------------------------
+
+
+def normalize_name(c: Column) -> Column:
+    """pre_processing.py:48-55 — lowercase, strip symbols, drop name
+    stopwords, sort tokens, space-join."""
+    toks = _remove_stopwords(_tokens(c, replace_with_space=False), NAME_STOPWORDS)
+    return _join_tokens(toks, sort=True)
+
+
+def normalize_address(c: Column) -> Column:
+    """pre_processing.py:58-65 — as name, address stopwords."""
+    toks = _remove_stopwords(_tokens(c, replace_with_space=False), ADDRESS_STOPWORDS)
+    return _join_tokens(toks, sort=True)
+
+
+def normalize_number(c: Column) -> Column:
+    """pre_processing.py:68-70 — keep digits only."""
+    return F.regexp_replace(c, "[^0-9]", "")
+
+
+def normalize_email(c: Column) -> Column:
+    """pre_processing.py:73-79 — symbols become SPACES (unlike name/
+    address which delete them), base stopwords, NO token sort."""
+    toks = _remove_stopwords(_tokens(c, replace_with_space=True), BASE_STOPWORDS)
+    return _join_tokens(toks, sort=False)
+
+
+def normalize_website(c: Column) -> Column:
+    """normalize_email then drop literal 'www' tokens
+    (pre_processing.py:82-85,188-189)."""
+    toks = _remove_stopwords(_tokens(c, replace_with_space=True), BASE_STOPWORDS)
+    toks = F.array_remove(toks, "www")
+    return _join_tokens(toks, sort=False)
+
+
+# ------------------------------------------------------------------
+# F6/F7: canonicalization lookups (pre_processing.py:32-45)
+# Implemented as literal-map element_at with keep-original fallback —
+# a constant-folded expression; no join, no shuffle, broadcast-free.
+# ------------------------------------------------------------------
+
+
+def _map_lookup(c: Column, mapping: dict[str, str]) -> Column:
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    # try_element_at: NULL (not ANSI error) on missing key -> fallback
+    return F.coalesce(F.try_element_at(m, F.lower(F.trim(c))), c)
+
+
+def fix_state(c: Column) -> Column:
+    """US state code/name -> full lowercase name; miss keeps input
+    (pre_processing.py:32-37)."""
+    return _map_lookup(c, STATE_LOOKUP)
+
+
+def fix_country(c: Column) -> Column:
+    """Country alias -> lowercase short name; 'un' -> 'usa' special
+    case applied first (pre_processing.py:40-45,164-168)."""
+    c = F.when(F.lower(c) == "un", F.lit("usa")).otherwise(c)
+    return _map_lookup(c, COUNTRY_ALIASES)
+
+
+NORMALIZERS = {
+    "name": normalize_name,
+    "address": normalize_address,
+    "number": normalize_number,
+    "email": normalize_email,
+    "website": normalize_website,
+    "state_then_address": lambda c: normalize_address(fix_state(c)),
+    "country_then_address": lambda c: normalize_address(fix_country(c)),
+}
+
+
+# ------------------------------------------------------------------
+# DuckDB SQL fragments (oracle parity — same literals, same semantics)
+# ------------------------------------------------------------------
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{inner}]"
+
+
+def _sql_tokens(expr: str, *, replace_with_space: bool) -> str:
+    repl = "' '" if replace_with_space else "''"
+    return (
+        f"list_filter(string_split_regex(trim(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9 ]', {repl}, 'g')), ' +'), t -> t != '')"
+    )
+
+
+def _sql_remove_stopwords(toks: str, stopwords: tuple[str, ...]) -> str:
+    return f"list_filter({toks}, t -> NOT list_contains({_sql_list(stopwords)}, t))"
+
+
+def sql_normalize_name(expr: str) -> str:
+    toks = _sql_remove_stopwords(
+        _sql_tokens(expr, replace_with_space=False), NAME_STOPWORDS
+    )
+    return f"array_to_string(list_sort({toks}), ' ')"
+
+
+def sql_normalize_address(expr: str) -> str:
+    toks = _sql_remove_stopwords(
+        _sql_tokens(expr, replace_with_space=False), ADDRESS_STOPWORDS
+    )
+    return f"array_to_string(list_sort({toks}), ' ')"
+
+
+def sql_normalize_number(expr: str) -> str:
+    return f"regexp_replace({expr}, '[^0-9]', '', 'g')"
+
+
+def sql_normalize_email(expr: str) -> str:
+    toks = _sql_remove_stopwords(
+        _sql_tokens(expr, replace_with_space=True), BASE_STOPWORDS
+    )
+    return f"array_to_string({toks}, ' ')"
+
+
+def sql_normalize_website(expr: str) -> str:
+    toks = _sql_remove_stopwords(
+        _sql_tokens(expr, replace_with_space=True), BASE_STOPWORDS
+    )
+    return f"array_to_string(list_filter({toks}, t -> t != 'www'), ' ')"
+
+
+def _sql_map_lookup(expr: str, mapping: dict[str, str]) -> str:
+    keys = _sql_list(tuple(mapping.keys()))
+    vals = _sql_list(tuple(mapping.values()))
+    return (
+        f"coalesce(map_extract(map({keys}, {vals}), "
+        f"lower(trim({expr})))[1], {expr})"
+    )
+
+
+def sql_fix_state(expr: str) -> str:
+    return _sql_map_lookup(expr, STATE_LOOKUP)
+
+
+def sql_fix_country(expr: str) -> str:
+    pre = f"CASE WHEN lower({expr}) = 'un' THEN 'usa' ELSE {expr} END"
+    return _sql_map_lookup(pre, COUNTRY_ALIASES)
+
+
+SQL_NORMALIZERS = {
+    "name": sql_normalize_name,
+    "address": sql_normalize_address,
+    "number": sql_normalize_number,
+    "email": sql_normalize_email,
+    "website": sql_normalize_website,
+    "state_then_address": lambda e: sql_normalize_address(sql_fix_state(e)),
+    "country_then_address": lambda e: sql_normalize_address(sql_fix_country(e)),
+}

@@ -1,0 +1,207 @@
+"""Deterministic multi-key blocking (candidate generation).
+
+The reference enumerates the FULL cartesian pair index in driver
+memory (compare_ldu_hw.py:160-163 — 17.8M pairs for 3.2k x 5.5k rows);
+that is O(n^2) and impossible at 10^12 docs.  This module replaces it
+with multi-key blocking (README.md:245 suggests exactly this): each
+record emits a small set of deterministic block keys, candidate pairs
+are the within-block pairs — an equi-join Catalyst can shuffle/plan,
+with AQE skew splitting plus an explicit block-size cap for degenerate
+keys.
+
+Keys (SURVEY.md §2.10):
+  * ``sx:``  Soundex of the first normalized-name token (built-in
+             ``F.soundex`` — phonetic).
+  * ``sn:``  sorted-neighborhood prefix — first ``sn_prefix`` chars of
+             the sorted-token normalized name.
+  * ``ph:``/``em:``/``zp:`` exact normalized phone / email / zip+city
+             initial (high-precision contact keys).
+
+Every key family is a narrow projection + explode; the only shuffle is
+the pair join itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    sn_prefix: int = 6
+    # drop blocks larger than this (quadratic blow-up guard); the
+    # record still participates through its other keys.  At 100TB this
+    # is the knob that bounds the pair stage; dropped-block counts are
+    # reported via block_census().
+    max_block_size: int = 1000
+    use_soundex: bool = True
+    use_sorted_neighborhood: bool = True
+    contact_fields: tuple[str, ...] = ("phone", "email", "zip")
+    name_field: str = "name"
+    fallback_name_fields: tuple[str, ...] = ("company_name",)
+
+
+def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
+    """records(doc_id, <normalized fields>) -> (doc_id, block_key).
+
+    Exploded key table, one row per (doc, key); empty/null fields emit
+    no key.
+    """
+    name_fields = [
+        c
+        for c in (cfg.name_field, *cfg.fallback_name_fields)
+        if c in records.columns
+    ]
+    name = (
+        F.coalesce(*[F.col(c) for c in name_fields])
+        if len(name_fields) > 1
+        else F.col(name_fields[0])
+    )
+    first_tok = F.element_at(F.split(name, " "), 1)
+
+    keys = []
+    if cfg.use_soundex:
+        keys.append(
+            F.when(
+                first_tok.isNotNull() & (first_tok != ""),
+                F.concat(F.lit("sx:"), F.soundex(first_tok)),
+            )
+        )
+    if cfg.use_sorted_neighborhood:
+        compact = F.regexp_replace(name, " ", "")
+        keys.append(
+            F.when(
+                F.length(compact) >= 2,
+                F.concat(F.lit("sn:"), F.substring(compact, 1, cfg.sn_prefix)),
+            )
+        )
+    prefixes = {"phone": "ph:", "email": "em:", "zip": "zp:", "fax": "fx:"}
+    for f_name in cfg.contact_fields:
+        if f_name not in records.columns:
+            continue
+        c = F.col(f_name)
+        keys.append(
+            F.when(
+                c.isNotNull() & (F.length(c) >= 4),
+                F.concat(F.lit(prefixes.get(f_name, f_name + ":")), c),
+            )
+        )
+
+    exploded = (
+        records.select(
+            "doc_id", F.explode(F.array(*keys)).alias("block_key")
+        )
+        .where(F.col("block_key").isNotNull())
+        .dropDuplicates(["doc_id", "block_key"])
+    )
+    return exploded
+
+
+def block_census(keys: DataFrame) -> DataFrame:
+    """Skew census: size of every block.  Feeds the cap filter and the
+    metrics table (SURVEY.md §4 'must be measured, not assumed')."""
+    return keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+
+
+def cap_blocks(
+    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Split the key table into (kept, dropped_census).
+
+    Oversized blocks (>> cap) are hot keys — almost always degenerate
+    values (empty names, placeholder phones).  Salting cannot help a
+    *self-join* block (splitting the key loses in-block pairs), so the
+    scalable remedy is capping + relying on the other key families;
+    AQE's skew-join split handles residual imbalance below the cap.
+    """
+    census = block_census(keys)
+    big = census.where(F.col("block_size") > cfg.max_block_size)
+    kept = keys.join(F.broadcast(big.select("block_key")), "block_key", "left_anti")
+    return kept, big
+
+
+def candidate_pairs(
+    keys_left: DataFrame,
+    keys_right: DataFrame | None = None,
+    left_alias: str = "doc_id_1",
+    right_alias: str = "doc_id_2",
+) -> DataFrame:
+    """Within-block pairs.
+
+    Self mode (keys_right=None): unordered pairs, ``doc_id_1 <
+    doc_id_2`` (compare_ldu_ldu.py:112-114 semantics, minus the
+    cartesian).  Cross mode: left x right within block.  Pairs reached
+    via several keys are deduplicated — the multi-key union
+    (SURVEY.md §2.5 J4).
+    """
+    if keys_right is None:
+        a = keys_left.alias("a")
+        b = keys_left.alias("b")
+        pairs = (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias(left_alias),
+                F.col("b.doc_id").alias(right_alias),
+            )
+        )
+    else:
+        pairs = (
+            keys_left.withColumnRenamed("doc_id", left_alias)
+            .join(
+                keys_right.withColumnRenamed("doc_id", right_alias),
+                "block_key",
+            )
+            .select(left_alias, right_alias)
+        )
+    return pairs.dropDuplicates([left_alias, right_alias])
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_key,
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classic sorted-neighborhood pass: order records by ``sort_key``
+    and pair every record with its ``window-1`` successors.
+
+    Implemented as a bucketed equi-join (bucket = rank div window; each
+    record also joins its successor bucket) + a rank-distance filter —
+    no cartesian, no driver state.  The global sort is one shuffle; at
+    cluster scale use range partitioning on the sort key.
+
+    Complements key blocking: catches near-misses whose block keys
+    diverge (e.g. typo in the first character breaks Soundex).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sort_key, F.col(id_col))
+    ranked = records.select(
+        F.col(id_col), F.row_number().over(w).alias("_rank")
+    )
+    bucketed = ranked.withColumn(
+        "_bucket", F.explode(
+            F.array(
+                (F.col("_rank") / window).cast("long"),
+                ((F.col("_rank") / window) - 1).cast("long"),
+            )
+        )
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, "_bucket")
+        .where(
+            (F.col("b._rank") > F.col("a._rank"))
+            & (F.col("b._rank") - F.col("a._rank") < window)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )

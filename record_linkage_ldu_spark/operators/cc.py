@@ -1,0 +1,183 @@
+"""Connected components over a match-pair edge list (transitive closure).
+
+The reference groups matches with a greedy single-pass Python loop that
+can place one record in two groups (main_ldu_hw.py:24-61; its
+validate_groups exists to detect exactly that defect).  We implement
+the *documented* semantics — "if A==B and B==C then [A,B,C] are all the
+same client" — as true connected components, fully in DataFrames
+(SURVEY.md §2.8 G1).
+
+Two algorithms, both iterative joins with per-iteration
+``localCheckpoint`` to truncate lineage (Catalyst does not optimize
+across iterations — SURVEY.md §4#3):
+
+  * ``alternating-star`` (default): the large-star/small-star method of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SOCC'14) — O(log^2 n) rounds, robust to long chains; the published
+    method the north star names.
+  * ``label-prop``: min-label propagation — O(diameter) rounds; fewer
+    joins per round, ideal when clusters are small (entity duplicates
+    rarely exceed dozens of members).
+
+Cluster label = min member doc_id (deterministic, order-insensitive —
+replaces the reference's arrival-order-dependent group identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """(doc_id_1, doc_id_2) -> deduped (src, dst) with src < dst,
+    self-loops dropped."""
+    src = F.least(F.col("doc_id_1"), F.col("doc_id_2"))
+    dst = F.greatest(F.col("doc_id_1"), F.col("doc_id_2"))
+    return (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive edge-set signature: (count, xor of row
+    hashes).  bit_xor never overflows — safe under ANSI mode."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+        ).alias("x"),
+    ).collect()[0]
+    return int(row["n"]), int(row["x"])
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    method: str = "alternating-star",
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(doc_id_1, doc_id_2) [+ vertices(doc_id)] ->
+    clusters(doc_id, cluster_id) with cluster_id = min member doc_id.
+
+    ``vertices`` adds singleton docs (cluster of themselves); without
+    it only matched docs appear.
+    """
+    e = _canonical_edges(edges)
+    if method == "alternating-star":
+        stars = _alternating_star(e, max_iter)
+    elif method == "label-prop":
+        stars = _label_prop(e, max_iter)
+    else:
+        raise ValueError(f"unknown CC method: {method}")
+
+    members = stars.select(
+        F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id")
+    )
+    roots = stars.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    clusters = members.union(roots).dropDuplicates(["doc_id"])
+
+    if vertices is not None:
+        clusters = (
+            vertices.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    return clusters
+
+
+def _alternating_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Kiveris et al. large-star/small-star until the edge set is
+    stable; returns star edges (src=root=min, dst=member)."""
+    cur = edges.localCheckpoint(eager=True)
+    sig = _signature(cur)
+    for _ in range(max_iter):
+        cur = _large_star(cur)
+        cur = _small_star(cur).localCheckpoint(eager=True)
+        new_sig = _signature(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return cur
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(N(u) ∪ {u})."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("src"), F.col("mn"))
+    out = (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(m.alias("src"), F.col("dst").alias("dst"))
+    )
+    return out.dropDuplicates(["src", "dst"])
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect u and all smaller neighbors to
+    m = min(smaller-neighbors ∪ {u})."""
+    sym = _symmetrize(edges)
+    smaller = sym.where(F.col("dst") < F.col("src"))
+    mins = smaller.groupBy("src").agg(F.min("dst").alias("mn"))
+    joined = smaller.join(mins, "src")
+    to_neighbors = joined.where(F.col("dst") != F.col("mn")).select(
+        F.col("mn").alias("src"), F.col("dst").alias("dst")
+    )
+    to_self = mins.select(F.col("mn").alias("src"), F.col("src").alias("dst"))
+    return to_neighbors.union(to_self).dropDuplicates(["src", "dst"])
+
+
+def _label_prop(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation; returns (src=root, dst=member) rows for
+    non-root members (same contract as _alternating_star)."""
+    verts = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = verts.withColumn("label", F.col("doc_id")).localCheckpoint(
+        eager=True
+    )
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .select(sym["src"].alias("doc_id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.where(F.col("label") != F.col("doc_id")).select(
+        F.col("label").alias("src"), F.col("doc_id").alias("dst")
+    )

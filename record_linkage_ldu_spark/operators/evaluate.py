@@ -1,0 +1,178 @@
+"""Evaluation & cluster-quality operators (SURVEY.md §2.8 G2/G3/G5, §5).
+
+Pairwise precision/recall/F1 against labeled pairs — the BASELINE gate
+(F1 >= 0.99 on labeled pairs at the reference blocking keys).  The
+reference's evaluate_matches (main_ldu_hw.py:197-264) does this with
+driver-side row loops; here it is two joins + one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(pairs: DataFrame, c1: str = "doc_id_1", c2: str = "doc_id_2") -> DataFrame:
+    """Canonicalize unordered pairs to (doc_id_1 < doc_id_2)."""
+    return pairs.select(
+        F.least(F.col(c1), F.col(c2)).alias("doc_id_1"),
+        F.greatest(F.col(c1), F.col(c2)).alias("doc_id_2"),
+        *[c for c in pairs.columns if c not in (c1, c2)],
+    ).dropDuplicates(["doc_id_1", "doc_id_2"])
+
+
+def pairwise_prf(
+    predicted: DataFrame,
+    labeled: DataFrame,
+    candidates: DataFrame | None = None,
+) -> dict:
+    """Pairwise P/R/F1 of ``predicted(doc_id_1, doc_id_2)`` against
+    ``labeled(doc_id_1, doc_id_2, is_match)``.
+
+    With ``candidates`` given, evaluation is restricted to labeled
+    pairs reachable by the blocking keys ("at the reference blocking
+    keys", BASELINE.md) — blocking recall is reported separately by
+    tests.  One aggregate pass; no driver loops.
+    """
+    pred = _canon(predicted.select("doc_id_1", "doc_id_2")).withColumn(
+        "pred", F.lit(True)
+    )
+    lab = _canon(labeled)
+    if candidates is not None:
+        cand = _canon(candidates.select("doc_id_1", "doc_id_2"))
+        lab = lab.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
+
+    joined = lab.join(pred, ["doc_id_1", "doc_id_2"], "left").select(
+        F.col("is_match"), F.coalesce(F.col("pred"), F.lit(False)).alias("pred")
+    )
+    row = joined.agg(
+        F.sum((F.col("is_match") & F.col("pred")).cast("long")).alias("tp"),
+        F.sum((~F.col("is_match") & F.col("pred")).cast("long")).alias("fp"),
+        F.sum((F.col("is_match") & ~F.col("pred")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
+def validate_clusters(clusters: DataFrame) -> dict:
+    """Invariant checks (main_ldu_hw.py:64-94 semantics):
+    no doc in two clusters (holds by construction with true CC) +
+    cluster-size distribution."""
+    dupes = (
+        clusters.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    stats = sizes.agg(
+        F.count("*").alias("clusters"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("avg_size"),
+        F.expr("percentile(size, 0.5)").alias("median_size"),
+    ).collect()[0]
+    return {
+        "docs_in_multiple_clusters": int(dupes),
+        "clusters": int(stats["clusters"]),
+        "min_size": int(stats["min_size"]) if stats["min_size"] is not None else 0,
+        "max_size": int(stats["max_size"]) if stats["max_size"] is not None else 0,
+        "avg_size": float(stats["avg_size"] or 0.0),
+        "median_size": float(stats["median_size"] or 0.0),
+    }
+
+
+def cluster_size_distribution(clusters: DataFrame) -> DataFrame:
+    """size -> number of clusters of that size (histogram, G2)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
+    """Implied matched pairs of a clustering (for pairwise P/R/F1):
+    all unordered within-cluster pairs.  Self-join per cluster — at
+    scale this is bounded by max cluster size, which validate_clusters
+    monitors ("look for unreasonably large groups", README.md:247)."""
+    a = clusters.alias("a")
+    b = clusters.alias("b")
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+
+
+def separate_clusters(
+    clusters: DataFrame, labeled: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split clusters into label-verified / needs-review
+    (main_ldu_hw.py:163-194 semantics, generalized): a cluster is
+    verified iff every implied pair inside it is a labeled true match.
+    """
+    pairs = clusters_to_pairs(clusters)
+    lab = _canon(labeled)
+    verdicts = (
+        pairs.join(lab, ["doc_id_1", "doc_id_2"], "left")
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("doc_id_1"), "cluster_id"
+            ),
+            "doc_id_1",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.coalesce(F.col("is_match"), F.lit(False)).cast("int"))
+            .alias("all_true")
+        )
+    )
+    verified_ids = verdicts.where(F.col("all_true") == 1).select("cluster_id")
+    verified = clusters.join(verified_ids, "cluster_id", "left_semi")
+    not_verified = clusters.join(verified_ids, "cluster_id", "left_anti")
+    return verified, not_verified
+
+
+def presentation_view(
+    clusters: DataFrame, documents: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Reviewer-facing view (groups_to_df, main_ldu_hw.py:97-146):
+    one row per member with its cluster, source, and the ids it
+    matched against (collect_set over the edge list) — ordered for
+    export.  The blank separator rows of the Excel export are a
+    presentation artifact left to the final single-node writer."""
+    match_ids = (
+        edges.select(
+            F.col("doc_id_1").alias("doc_id"),
+            F.col("doc_id_2").alias("other"),
+        )
+        .union(
+            edges.select(
+                F.col("doc_id_2").alias("doc_id"),
+                F.col("doc_id_1").alias("other"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("other")).alias("matched_ids"))
+    )
+    return (
+        clusters.join(documents, "doc_id", "left")
+        .join(match_ids, "doc_id", "left")
+        .orderBy("cluster_id", "doc_id")
+    )

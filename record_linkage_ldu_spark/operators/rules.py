@@ -1,0 +1,81 @@
+"""Match-decision rule masks (SURVEY.md §2.7).
+
+Plain boolean Column expressions; a pair is a match if ANY mask fires
+(main_ldu_hw.py:399-435, main_ldu_ldu.py:255-289).  ``mask_stats``
+reproduces the per-mask count / unique-count report (D3).
+
+The reference's dead ``phone_matches`` expression
+(main_ldu_hw.py:439, `&`/`==` precedence bug) is intentionally NOT
+reproduced (SURVEY.md §2.7 D4).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cross_rule_masks(df: DataFrame) -> list[Column]:
+    """LDU x HW rules (main_ldu_hw.py:408-420)."""
+    c = F.col
+    return [
+        # contact: (name or company_name strong) and (email or phone strong)
+        ((c("name") >= 0.8) | (c("company_name") >= 0.9))
+        & ((c("email") >= 0.9) | (c("phone") >= 0.9)),
+        # address: all location attributes match
+        (c("city") >= 0.9) & (c("state") >= 0.9) & (c("zip") >= 1.0)
+        & (c("country") >= 1.0) & (c("address") >= 1.0),
+        # phone: some location attributes + exact phone
+        (c("city") >= 0.8) & (c("state") >= 0.8) & (c("zip") >= 0.8)
+        & (c("country") >= 0.9) & (c("phone") >= 1.0),
+        # exact: perfect name / company_name / email
+        (c("name") == 1.0) | (c("company_name") == 1.0) | (c("email") == 1.0),
+    ]
+
+
+def self_rule_masks(df: DataFrame) -> list[Column]:
+    """LDU self-dedup rules (main_ldu_ldu.py:263-274)."""
+    c = F.col
+    return [
+        c("score") >= 4.9,
+        (c("score") >= 3.4)
+        & (c("name") >= 0.7)
+        & ((c("email") >= 0.8) | (c("phone") >= 0.9) | (c("fax") >= 0.8)),
+        (c("score") >= 3.4) & (c("city") >= 0.9) & (c("state") >= 0.9)
+        & (c("zip") >= 0.9) & (c("country") >= 0.9) & (c("address") >= 1.0),
+        (c("name") == 1.0) | (c("email") == 1.0) | (c("phone") == 1.0),
+    ]
+
+
+def match(df: DataFrame, mode: str) -> DataFrame:
+    masks = cross_rule_masks(df) if mode == "cross" else self_rule_masks(df)
+    return df.where(reduce(lambda x, y: x | y, masks))
+
+
+def mask_stats(df: DataFrame, mode: str) -> DataFrame:
+    """Per-mask fire counts and unique-to-mask counts in ONE aggregate
+    pass (the reference runs 8 full scans, main_ldu_hw.py:422-429)."""
+    masks = cross_rule_masks(df) if mode == "cross" else self_rule_masks(df)
+    aggs = []
+    for i, m in enumerate(masks):
+        others = reduce(
+            lambda x, y: x | y, [mm for j, mm in enumerate(masks) if j != i]
+        )
+        aggs.append(F.sum(m.cast("long")).alias(f"mask{i}_count"))
+        aggs.append(F.sum((m & ~others).cast("long")).alias(f"mask{i}_unique"))
+    return df.agg(*aggs)
+
+
+def sql_self_rule_predicate(prefix: str = "") -> str:
+    """DuckDB oracle fragment for the self-dedup match predicate."""
+    p = prefix
+    return (
+        f"({p}score >= 4.9) OR "
+        f"({p}score >= 3.4 AND {p}name >= 0.7 AND "
+        f"({p}email >= 0.8 OR {p}phone >= 0.9 OR {p}fax >= 0.8)) OR "
+        f"({p}score >= 3.4 AND {p}city >= 0.9 AND {p}state >= 0.9 AND "
+        f"{p}zip >= 0.9 AND {p}country >= 0.9 AND {p}address >= 1.0) OR "
+        f"({p}name = 1.0 OR {p}email = 1.0 OR {p}phone = 1.0)"
+    )

@@ -1,0 +1,167 @@
+"""Pairwise field scoring + combined (Fellegi-Sunter) score.
+
+Reproduces the reference's scoring semantics (SURVEY.md §2.6) on a
+candidate-pair DataFrame instead of a Python loop over numpy rows
+(compare_ldu_hw.py:79-153):
+
+  * per-field similarity with missing->0 (compare_ldu_hw.py:93-95)
+  * cross mode: each HW field scored against its mapped LDU field(s),
+    max over targets (compare_ldu_hw.py:27-48,107)
+  * field families collapsed by max (property_merge,
+    compare_ldu_hw.py:51-59 -> native ``greatest``)
+  * ``total`` = row sum of field scores (compare_ldu_hw.py:152)
+  * ``score`` = thresholded weighted sum (main_ldu_hw.py:330-382)
+
+Edit-distance fields run fully JVM-side (built-in levenshtein);
+sequence fields (Ratcliff-Obershelp) cross the JVM/Python boundary once
+per Arrow batch.  Jaro-Winkler is emitted as an auxiliary ``jw_name``
+column (north-star requirement) from the same batch pass.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    CROSS_SCORE_FIELDS,
+    HW_TO_LDU,
+    PROPERTY_MERGE,
+    SCORE_MULTIPLIERS,
+    SCORE_THRESHOLDS,
+    SELF_COMPARE_FIELDS,
+    SELF_SCORE_FIELDS,
+    method_for_field,
+)
+from ..functions.similarity import jw_sim_col, lev_sim_col, ro_sim_col
+
+_SIM = {"lev": lev_sim_col, "ro": ro_sim_col}
+
+
+def attach_pair_sides(
+    pairs: DataFrame,
+    records: DataFrame,
+    fields: tuple[str, ...],
+    records_right: DataFrame | None = None,
+    fields_right: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """pairs(doc_id_1, doc_id_2) + records -> one wide row per pair
+    with ``a_<f>`` / ``b_<f>`` columns.
+
+    Only the compared fields are joined in (narrow pair rows — the
+    spill-control lever at scale, SURVEY.md §4#5).  Two shuffles on the
+    doc_id join keys; at cluster scale, records are bucketed by doc_id
+    so these become shuffle-free.  Cross mode passes different field
+    sets per side (hw columns left, ldu columns right).
+    """
+    left = records.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f).alias(f"a_{f}") for f in fields],
+    )
+    rsrc = records_right if records_right is not None else records
+    right = rsrc.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f).alias(f"b_{f}") for f in (fields_right or fields)],
+    )
+    return pairs.join(left, "doc_id_1").join(right, "doc_id_2")
+
+
+def score_pairs_self(
+    pairs_wide: DataFrame,
+    fields: tuple[str, ...] = SELF_COMPARE_FIELDS,
+    with_jw: bool = True,
+) -> DataFrame:
+    """Self-dedup scoring: same-field comparison (compare_ldu_ldu.py:43-67).
+
+    Input: wide pair rows from ``attach_pair_sides``.  Output: one row
+    per pair with a double score per field + ``total``.
+    """
+    cols: list[Column] = [F.col("doc_id_1"), F.col("doc_id_2")]
+    score_cols = []
+    for f in fields:
+        method = method_for_field(f) or "lev"
+        sim = _SIM[method](F.col(f"a_{f}"), F.col(f"b_{f}"))
+        cols.append(sim.alias(f))
+        score_cols.append(f)
+    if with_jw:
+        cols.append(jw_sim_col(F.col("a_name"), F.col("b_name")).alias("jw_name"))
+    scored = pairs_wide.select(*cols)
+    total = reduce(lambda x, y: x + y, [F.col(f) for f in score_cols])
+    return scored.withColumn("total", total)
+
+
+def cross_field_pairs() -> dict[str, list[tuple[str, str, str]]]:
+    """Expanded (hw_field, ldu_field, method) comparisons per final
+    family column, after target-max and family merge."""
+    families: dict[str, list[tuple[str, str, str]]] = {}
+    merged_members = {m for v in PROPERTY_MERGE.values() for m in v}
+    for hw_field, targets in HW_TO_LDU.items():
+        method = method_for_field(hw_field) or "lev"
+        comparisons = [(hw_field, t, method) for t in targets]
+        fam = None
+        for k, members in PROPERTY_MERGE.items():
+            if hw_field in members:
+                fam = k
+                break
+        if fam is None and hw_field not in merged_members:
+            fam = hw_field
+        families.setdefault(fam, []).extend(comparisons)
+    return families
+
+
+def score_pairs_cross(pairs_wide_fn, with_jw: bool = True) -> DataFrame:
+    """Cross-dataset scoring (LDU x HW).  ``pairs_wide_fn`` is a
+    DataFrame with ``a_<hw_field>`` (left=hw) and ``b_<ldu_field>``
+    (right=ldu) columns.
+
+    Family score = max over (member hw-field x mapped ldu-target)
+    similarities — the reference's target-max (compare_ldu_hw.py:107)
+    composed with property_merge max (:109-113) collapses to one
+    ``greatest`` over the expanded comparison list.
+    """
+    df = pairs_wide_fn
+    cols: list[Column] = [F.col("doc_id_1"), F.col("doc_id_2")]
+    fam_cols = []
+    for fam, comparisons in cross_field_pairs().items():
+        sims = [
+            _SIM[m](F.col(f"a_{hw_f}"), F.col(f"b_{ldu_f}"))
+            for hw_f, ldu_f, m in comparisons
+        ]
+        expr = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        cols.append(expr.alias(fam))
+        fam_cols.append(fam)
+    if with_jw:
+        cols.append(jw_sim_col(F.col("a_name"), F.col("b_name")).alias("jw_name"))
+    scored = df.select(*cols)
+    total = reduce(lambda x, y: x + y, [F.col(f) for f in fam_cols])
+    return scored.withColumn("total", total)
+
+
+def combined_score_col(fields: tuple[str, ...]) -> Column:
+    """score = sum_f s_f * mult[f] * [s_f >= thr[f]]
+    (main_ldu_hw.py:365-375) — pure native arithmetic inside
+    whole-stage codegen."""
+    terms = [
+        F.col(f)
+        * F.lit(SCORE_MULTIPLIERS[f])
+        * (F.col(f) >= F.lit(SCORE_THRESHOLDS[f])).cast("double")
+        for f in fields
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def with_combined_score(scored: DataFrame, mode: str) -> DataFrame:
+    fields = CROSS_SCORE_FIELDS if mode == "cross" else SELF_SCORE_FIELDS
+    return scored.withColumn("score", combined_score_col(fields))
+
+
+def sql_combined_score(fields: tuple[str, ...], prefix: str = "") -> str:
+    """DuckDB oracle fragment for the combined score."""
+    terms = [
+        f"({prefix}{f} * {SCORE_MULTIPLIERS[f]!r} * "
+        f"(CASE WHEN {prefix}{f} >= {SCORE_THRESHOLDS[f]!r} THEN 1.0 ELSE 0.0 END))"
+        for f in fields
+    ]
+    return " + ".join(terms)

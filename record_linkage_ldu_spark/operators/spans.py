@@ -1,0 +1,111 @@
+"""Span codec: interleaved-document table <-> wide field columns.
+
+Input table shape (BASELINE.json input_hint / FIXTURES.md §1):
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+Each reference "record column" (pre_processing.py:134-140) is a span
+with ``kind`` = field name; media spans are inert to linkage.  The
+codec derives wide columns *alongside* ``spans`` — the spans array is
+never rewritten, which is what guarantees the per-row span-sequence
+invariant (kind, text, media_ref, order).
+
+All extraction is native Catalyst expressions (filter/transform over
+the array) — a single narrow projection, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import (
+    FIELD_NORMALIZER,
+    SOURCE_KIND,
+    SPAN_FIELD_KINDS,
+)
+from ..functions.normalizers import NORMALIZERS
+
+SPAN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+)
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", SPAN_SCHEMA),
+    ]
+)
+
+
+def span_text(kind: str) -> Column:
+    """Text of the first span of ``kind`` (fields appear at most once
+    per document); NULL when the field is absent — which downstream
+    scoring treats as score 0 (compare_ldu_hw.py:93-95)."""
+    hits = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit(kind))
+    return F.try_element_at(hits, F.lit(1))["text"]
+
+
+def extract_fields(
+    documents: DataFrame, kinds: tuple[str, ...] = SPAN_FIELD_KINDS
+) -> DataFrame:
+    """documents -> documents + one raw column per field kind +
+    ``source``.  Narrow projection; spans carried through untouched."""
+    cols = [F.col("doc_id"), F.col("spans")]
+    cols.append(span_text(SOURCE_KIND).alias("source"))
+    for kind in kinds:
+        cols.append(span_text(kind).alias(kind))
+    return documents.select(*cols)
+
+
+def normalize_fields(
+    wide: DataFrame, kinds: tuple[str, ...] = SPAN_FIELD_KINDS
+) -> DataFrame:
+    """Apply the per-field normalizer chains (pre_processing.py:158-213)
+    to the wide columns in place.  Null in -> null out (normalizer
+    chains are null-propagating, matching the reference's pd.notnull
+    guards).  Still one narrow projection."""
+    out = wide
+    exprs = {}
+    for kind in kinds:
+        norm = FIELD_NORMALIZER.get(kind)
+        if norm is None:
+            continue
+        exprs[kind] = NORMALIZERS[norm](F.col(kind))
+    return out.withColumns(exprs)
+
+
+def span_fingerprint(spans_col: Column = None) -> Column:
+    """Deterministic fingerprint of the span sequence (kind, text,
+    media_ref, order) — used by tests and stage metrics to assert the
+    per-row invariant survives the pipeline."""
+    c = spans_col if spans_col is not None else F.col("spans")
+    ordered = F.array_sort(
+        F.transform(
+            c,
+            lambda s: F.concat_ws(
+                "",
+                F.lpad(s["offset"].cast("string"), 10, "0"),
+                F.coalesce(s["kind"], F.lit("\x00")),
+                F.coalesce(s["text"], F.lit("\x00")),
+                F.coalesce(s["media_ref"], F.lit("\x00")),
+            ),
+        )
+    )
+    return F.md5(F.array_join(ordered, ""))

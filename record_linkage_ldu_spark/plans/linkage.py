@@ -1,0 +1,149 @@
+"""End-to-end linkage plans (SURVEY.md §3 Spark lifecycle equivalents).
+
+``LinkagePipeline`` chains the operators:
+
+    documents --extract+normalize--> records        (narrow, no shuffle)
+            --block_keys+cap--> keys                (narrow + census agg)
+            --equi-join--> candidate pairs          (the one big shuffle)
+            --attach sides + score--> pair scores   (Arrow UDF batches)
+            --combined score + rules--> matches     (codegen arithmetic)
+            --connected components--> clusters      (iterative joins)
+
+Every stage is materialized through ``StageStore`` (Parquet + manifest
++ per-partition metrics), which is what makes a killed run resume
+without recomputing finished stages (north rule).  ``checkpoints=False``
+runs the same lazy plan end-to-end (benchmark mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SELF_COMPARE_FIELDS, SPAN_FIELD_KINDS
+from ..operators import rules
+from ..operators.blocking import BlockingConfig, block_keys, cap_blocks, candidate_pairs
+from ..operators.cc import connected_components
+from ..operators.scoring import (
+    attach_pair_sides,
+    score_pairs_self,
+    with_combined_score,
+)
+from ..operators.spans import extract_fields, normalize_fields
+from ..sources.io import StageStore, input_fingerprint
+
+
+@dataclass
+class LinkageConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    cc_method: str = "alternating-star"
+    with_jw: bool = True
+    # family coalesce for self mode: values arriving in variant kinds
+    # (phone2, address3, company_name...) fall back onto the canonical
+    # field before same-field comparison.
+    family_coalesce: bool = True
+
+
+_FAMILIES = {
+    "name": ("name", "company_name", "name2"),
+    "phone": ("phone", "phone2", "phone3"),
+    "address": ("address", "address2", "address3", "address4"),
+    "city": ("city", "city2"),
+    "state": ("state", "state2"),
+    "zip": ("zip", "zip2"),
+    "country": ("country", "country2"),
+}
+
+
+def records_view(documents: DataFrame, cfg: LinkageConfig | None = None) -> DataFrame:
+    """documents(doc_id, spans) -> normalized canonical record columns.
+    One narrow projection chain end-to-end (scan -> project)."""
+    cfg = cfg or LinkageConfig()
+    wide = normalize_fields(extract_fields(documents))
+    cols = [F.col("doc_id"), F.col("source"), F.col("spans")]
+    for fam in SELF_COMPARE_FIELDS:
+        members = _FAMILIES.get(fam, (fam,))
+        if cfg.family_coalesce and len(members) > 1:
+            expr = F.coalesce(*[F.col(m) for m in members if m in wide.columns])
+        else:
+            expr = F.col(fam)
+        # normalizers map '' and null alike to missing-equivalent; keep
+        # '' distinct (reference keeps empty strings post-normalization)
+        cols.append(expr.alias(fam))
+    return wide.select(*cols)
+
+
+@dataclass
+class LinkageResult:
+    records: DataFrame
+    pairs: DataFrame
+    scores: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    stage_info: dict
+
+
+class LinkagePipeline:
+    """Self-dedup linkage (the flagship flow; reference entry point 2+3
+    for LDU x LDU, SURVEY.md §3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: LinkageConfig | None = None,
+        store: StageStore | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or LinkageConfig()
+        self.store = store
+
+    def run(self, documents: DataFrame) -> LinkageResult:
+        cfg = self.cfg
+        info: dict = {}
+
+        if self.store is not None:
+            fp = input_fingerprint(documents, ["doc_id"])
+        records = records_view(documents, cfg)
+        records = self._stage("records", records, info, fingerprint_src=documents)
+
+        keys = block_keys(records, cfg.blocking)
+        kept, dropped = cap_blocks(keys, cfg.blocking)
+        info["dropped_blocks"] = dropped.count() if self.store is not None else None
+        pairs = candidate_pairs(kept)
+        pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)
+
+        wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)
+        scored = score_pairs_self(wide, with_jw=cfg.with_jw)
+        scored = with_combined_score(scored, mode="self")
+        scored = self._stage("scores", scored, info, fingerprint_src=documents)
+
+        matches = rules.match(scored, mode="self")
+        matches = self._stage("matches", matches, info, fingerprint_src=documents)
+
+        clusters = connected_components(
+            matches.select("doc_id_1", "doc_id_2"),
+            vertices=records.select("doc_id"),
+            method=cfg.cc_method,
+        )
+        clusters = self._stage("clusters", clusters, info, fingerprint_src=documents)
+
+        return LinkageResult(
+            records=records,
+            pairs=pairs,
+            scores=scored,
+            matches=matches,
+            clusters=clusters,
+            stage_info=info,
+        )
+
+    def _stage(
+        self, name: str, df: DataFrame, info: dict, fingerprint_src: DataFrame
+    ) -> DataFrame:
+        if self.store is None:
+            return df
+        fp = input_fingerprint(fingerprint_src, ["doc_id"])
+        res = self.store.run_stage(name, fp, lambda: df)
+        info[name] = {"resumed": res.resumed, "wall_s": res.wall_s}
+        return res.df
