@@ -154,18 +154,24 @@ def _sql_remove_stopwords(toks: str, stopwords: tuple[str, ...]) -> str:
     return f"list_filter({toks}, t -> NOT list_contains({_sql_list(stopwords)}, t))"
 
 
+def _sql_join(joined: str, expr: str) -> str:
+    # DuckDB's array_to_string([]) is NULL; Spark's array_join([]) is ''.
+    # Preserve null-in -> null-out while mapping empty list -> ''.
+    return f"coalesce({joined}, CASE WHEN {expr} IS NULL THEN NULL ELSE '' END)"
+
+
 def sql_normalize_name(expr: str) -> str:
     toks = _sql_remove_stopwords(
         _sql_tokens(expr, replace_with_space=False), NAME_STOPWORDS
     )
-    return f"array_to_string(list_sort({toks}), ' ')"
+    return _sql_join(f"array_to_string(list_sort({toks}), ' ')", expr)
 
 
 def sql_normalize_address(expr: str) -> str:
     toks = _sql_remove_stopwords(
         _sql_tokens(expr, replace_with_space=False), ADDRESS_STOPWORDS
     )
-    return f"array_to_string(list_sort({toks}), ' ')"
+    return _sql_join(f"array_to_string(list_sort({toks}), ' ')", expr)
 
 
 def sql_normalize_number(expr: str) -> str:
@@ -176,14 +182,16 @@ def sql_normalize_email(expr: str) -> str:
     toks = _sql_remove_stopwords(
         _sql_tokens(expr, replace_with_space=True), BASE_STOPWORDS
     )
-    return f"array_to_string({toks}, ' ')"
+    return _sql_join(f"array_to_string({toks}, ' ')", expr)
 
 
 def sql_normalize_website(expr: str) -> str:
     toks = _sql_remove_stopwords(
         _sql_tokens(expr, replace_with_space=True), BASE_STOPWORDS
     )
-    return f"array_to_string(list_filter({toks}, t -> t != 'www'), ' ')"
+    return _sql_join(
+        f"array_to_string(list_filter({toks}, t -> t != 'www'), ' ')", expr
+    )
 
 
 def _sql_map_lookup(expr: str, mapping: dict[str, str]) -> str:

@@ -1,0 +1,84 @@
+"""Blocking: recall vs exhaustive crossJoin at tiny scale, pair-set
+hygiene, block caps, sorted-neighborhood pass (SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.operators.blocking import (
+    BlockingConfig,
+    block_census,
+    block_keys,
+    candidate_pairs,
+    cap_blocks,
+    sorted_neighborhood_pairs,
+)
+from record_linkage_ldu_spark.plans.linkage import records_view
+from record_linkage_ldu_spark.sources.datagen import labeled_pairs
+
+
+def test_pair_hygiene(spark, tiny_gen):
+    """No self pairs, no (a,b)+(b,a) duplicates."""
+    records = records_view(tiny_gen.select("doc_id", "spans"))
+    pairs = candidate_pairs(block_keys(records)).cache()
+    assert pairs.where(F.col("doc_id_1") >= F.col("doc_id_2")).count() == 0
+    assert (
+        pairs.groupBy("doc_id_1", "doc_id_2").count().where("count > 1").count()
+        == 0
+    )
+
+
+def test_blocking_recall_vs_crossjoin(spark, tiny_gen):
+    """Every labeled TRUE pair must be reachable by >= 1 blocking key —
+    the fixture's anchor invariant guarantees it; this test guards both
+    the generator and the key functions.  (The crossJoin ground truth
+    is the labeled positives themselves: complete over intra-entity
+    pairs.)"""
+    records = records_view(tiny_gen.select("doc_id", "spans"))
+    pairs = candidate_pairs(block_keys(records))
+    lab = labeled_pairs(tiny_gen.select("doc_id", "entity_id"))
+    positives = lab.where("is_match")
+    missed = positives.join(
+        pairs, ["doc_id_1", "doc_id_2"], "left_anti"
+    ).count()
+    total = positives.count()
+    assert total > 0
+    recall = 1 - missed / total
+    assert recall >= 0.99, f"blocking recall {recall} (missed {missed}/{total})"
+
+
+def test_block_cap_drops_hot_keys(spark):
+    rows = [(f"d{i}", "hot") for i in range(50)] + [("x1", "cold"), ("x2", "cold")]
+    keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
+    kept, dropped = cap_blocks(keys, BlockingConfig(max_block_size=10))
+    assert [r["block_key"] for r in dropped.collect()] == ["hot"]
+    assert kept.where("block_key = 'hot'").count() == 0
+    assert kept.where("block_key = 'cold'").count() == 2
+    census = {r["block_key"]: r["block_size"] for r in block_census(keys).collect()}
+    assert census == {"hot": 50, "cold": 2}
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    """Rank-adjacent records pair up across bucket boundaries; nothing
+    beyond the window pairs up."""
+    rows = [(f"r{i:02d}", f"k{i:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "sort_key"])
+    pairs = sorted_neighborhood_pairs(df, F.col("sort_key"), window=3)
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]) for r in pairs.collect()
+    }
+    expected = {
+        (f"r{i:02d}", f"r{j:02d}")
+        for i in range(10)
+        for j in range(i + 1, min(i + 3, 10))
+    }
+    assert got == expected
+
+
+def test_multi_key_union_dedups(spark):
+    """A pair reachable through two keys appears once."""
+    rows = [
+        ("a", "ph:123"), ("b", "ph:123"),
+        ("a", "em:x"), ("b", "em:x"),
+    ]
+    keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
+    pairs = candidate_pairs(keys)
+    assert pairs.count() == 1

@@ -1,0 +1,107 @@
+"""Golden vectors for the scalar normalizers (FIXTURES.md §4) and
+parity between the Spark Column chains and the DuckDB oracle SQL
+fragments."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.functions import normalizers as N
+
+GOLDEN = {
+    "name": [
+        # stopwords removed (co/inc/company/...), tokens sorted
+        ("The Yarn Co., Inc.", "yarn"),
+        ("Smith  & Johnson Company", "johnson smith"),
+        ("ACME Trading LLC", "acme trading"),
+        ("zeta alpha", "alpha zeta"),  # token sort
+        ("New New York Deli", "deli new new york"),  # duplicate tokens kept
+        ("", ""),
+        ("or in me", "in me or"),  # state codes survive stopword removal
+    ],
+    "address": [
+        ("365 Oyster Shell Drive", "365 drive oyster shell"),
+        ("12 Main Street", "12 main"),  # street is an address stopword
+        ("12 Main St.", "12 main"),
+        ("Oak Road Square Ave", "oak"),
+    ],
+    "number": [
+        ("(239) 555-0117", "2395550117"),
+        ("+1 813 555 0000", "18135550000"),
+        ("no digits", ""),
+    ],
+    "email": [
+        # symbols -> SPACE, no sort (README.md:95)
+        ("ABC@Gmail.com", "abc gmail com"),
+        ("Zeta@Alpha.org", "zeta alpha org"),
+        ("a.b@c.d", "b c"),  # 'a' and 'd' are single-letter... kept? see below
+    ],
+    "website": [
+        ("www.YarnShop.com", "yarnshop com"),
+        ("http://www.acme.co.uk", "http acme uk"),
+    ],
+}
+# 'a.b@c.d': tokens a b c d; 'a'/'d' are english stopwords, 'b'/'c' not.
+# 'co' removed only by NAME stopwords, email uses base list -> kept?
+# base list has no 'co'; but 'co' in website case: 'co' not in base -> kept.
+GOLDEN["email"][2] = ("a.b@c.d", "b c")
+GOLDEN["website"][1] = ("http://www.acme.co.uk", "http acme co uk")
+
+
+@pytest.mark.parametrize("kind", list(GOLDEN))
+def test_normalizer_golden(spark, kind):
+    fn = N.NORMALIZERS[kind]
+    inputs = [x for x, _ in GOLDEN[kind]]
+    expected = [y for _, y in GOLDEN[kind]]
+    df = spark.createDataFrame([(x,) for x in inputs], ["v"])
+    got = [r[0] for r in df.select(fn(F.col("v")).alias("o")).collect()]
+    assert got == expected
+
+
+@pytest.mark.parametrize("kind", list(GOLDEN))
+def test_normalizer_sql_parity(spark, kind):
+    """Spark chain and DuckDB fragment must agree exactly — this is
+    what the driver's oracle relies on."""
+    inputs = [x for x, _ in GOLDEN[kind]] + [
+        "Mixed CASE 123 !@# tokens &",
+        "   spaces   everywhere   ",
+    ]
+    df = spark.createDataFrame([(x,) for x in inputs], ["v"])
+    spark_out = [
+        r[0] for r in df.select(N.NORMALIZERS[kind](F.col("v")).alias("o")).collect()
+    ]
+    con = duckdb.connect()
+    sql_fn = N.SQL_NORMALIZERS[kind]
+    q = f"select {sql_fn('?::VARCHAR')}"
+    nparams = q.count("?")
+    duck_out = [
+        con.execute(q, [x] * nparams).fetchone()[0] for x in inputs
+    ]
+    assert spark_out == duck_out
+
+
+def test_null_propagation(spark):
+    df = spark.createDataFrame([(None,)], "v string")
+    for kind, fn in N.NORMALIZERS.items():
+        out = df.select(fn(F.col("v")).alias("o")).collect()[0][0]
+        assert out is None, kind
+
+
+def test_fix_state(spark):
+    df = spark.createDataFrame(
+        [("FL",), ("Florida",), ("fl",), ("narnia",), ("NY",)], ["v"]
+    )
+    got = [r[0] for r in df.select(N.fix_state(F.col("v")).alias("o")).collect()]
+    assert got == ["florida", "florida", "florida", "narnia", "new york"]
+
+
+def test_fix_country(spark):
+    df = spark.createDataFrame(
+        [("un",), ("UN",), ("USA",), ("United States",), ("Deutschland",), ("xq",)],
+        ["v"],
+    )
+    got = [r[0] for r in df.select(N.fix_country(F.col("v")).alias("o")).collect()]
+    assert got == [
+        "united states", "united states", "united states",
+        "united states", "germany", "xq",
+    ]

@@ -1,0 +1,73 @@
+"""End-to-end gates (BASELINE.md): pairwise F1 >= 0.99 on labeled pairs
+at the blocking keys, golden clusters at tiny scale, invariants,
+determinism."""
+
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.operators.evaluate import (
+    clusters_to_pairs,
+    pairwise_prf,
+    validate_clusters,
+)
+from record_linkage_ldu_spark.plans.linkage import LinkageConfig, LinkagePipeline
+from record_linkage_ldu_spark.sources.datagen import (
+    expected_clusters,
+    labeled_pairs,
+)
+
+
+def _run(spark, gen, **cfg_kwargs):
+    pipe = LinkagePipeline(spark, LinkageConfig(**cfg_kwargs))
+    return pipe.run(gen.select("doc_id", "spans"))
+
+
+def test_f1_gate_small(spark, small_gen):
+    """The BASELINE gate at reference-like scale (~2k docs)."""
+    res = _run(spark, small_gen)
+    lab = labeled_pairs(small_gen.select("doc_id", "entity_id"))
+    pred = clusters_to_pairs(res.clusters)
+    blocked = pairwise_prf(pred, lab, candidates=res.pairs)
+    overall = pairwise_prf(pred, lab)
+    assert blocked["f1"] >= 0.99, blocked
+    assert overall["f1"] >= 0.99, overall
+
+
+def test_golden_clusters_tiny(spark, tiny_gen):
+    """Exact-match clustering against the generator's entity
+    assignment (FIXTURES.md §3)."""
+    res = _run(spark, tiny_gen)
+    expected = {
+        (r["doc_id"], r["cluster_id"])
+        for r in expected_clusters(
+            tiny_gen.select("doc_id", "entity_id")
+        ).collect()
+    }
+    got = {(r["doc_id"], r["cluster_id"]) for r in res.clusters.collect()}
+    assert got == expected
+
+
+def test_every_doc_in_exactly_one_cluster(spark, tiny_gen):
+    res = _run(spark, tiny_gen)
+    stats = validate_clusters(res.clusters)
+    assert stats["docs_in_multiple_clusters"] == 0
+    assert res.clusters.count() == tiny_gen.count()
+    # cluster label = min member doc_id
+    bad = (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .where(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rerun_determinism(spark, tiny_gen):
+    a = _run(spark, tiny_gen).clusters.collect()
+    b = _run(spark, tiny_gen).clusters.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cc_method_equivalence_e2e(spark, tiny_gen):
+    star = _run(spark, tiny_gen, cc_method="alternating-star").clusters
+    prop = _run(spark, tiny_gen, cc_method="label-prop").clusters
+    assert sorted(map(tuple, star.collect())) == sorted(map(tuple, prop.collect()))

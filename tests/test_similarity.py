@@ -1,0 +1,103 @@
+"""Similarity kernels: hand-computed vectors + property tests
+(FIXTURES.md §5) and JVM/UDF/oracle agreement."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.functions import similarity as S
+
+words = st.text(alphabet="abcdef 0123", min_size=0, max_size=24)
+
+
+def test_levenshtein_vectors():
+    assert S.levenshtein("kitten", "sitting") == 3
+    assert S.levenshtein("", "abc") == 3
+    assert S.levenshtein("abc", "abc") == 0
+    assert S.lev_normalized_similarity("abc", "abd") == pytest.approx(2 / 3)
+    assert S.lev_normalized_similarity("", "") == 1.0
+    assert S.lev_normalized_similarity("a", "") == 0.0
+
+
+def test_ratcliff_obershelp_vectors():
+    # 2*matches/(len1+len2): "mat" + "emati" + "c" = 9 matched chars
+    assert S.ratcliff_obershelp("mathematics", "matematica") == pytest.approx(
+        2 * 9 / 21
+    )
+    # WIKIPEDIA example: WIKI MEDIA -> 2*(4+3+1)/(9+9)... use a simple one
+    assert S.ratcliff_obershelp("abcde", "abde") == pytest.approx(2 * 4 / 9)
+    assert S.ratcliff_obershelp("abc", "abc") == 1.0
+    assert S.ratcliff_obershelp("", "x") == 0.0
+    assert S.ratcliff_obershelp("", "") == 1.0
+
+
+def test_jaro_winkler_vectors():
+    assert S.jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert S.jaro_winkler("dwayne", "duane") == pytest.approx(0.84)
+    assert S.jaro_winkler("abc", "abc") == 1.0
+    assert S.jaro_winkler("abc", "xyz") == 0.0
+
+
+@given(a=words, b=words)
+@settings(max_examples=150, deadline=None)
+def test_kernel_properties(a, b):
+    for fn in (
+        S.lev_normalized_similarity,
+        S.ratcliff_obershelp,
+        S.jaro_winkler,
+    ):
+        s_ab = fn(a, b)
+        assert 0.0 <= s_ab <= 1.0
+        assert fn(a, a) == 1.0
+    # symmetry holds for lev and jw; RO's difflib matching is
+    # order-sensitive only in degenerate junk cases — check lev/jw
+    assert S.lev_normalized_similarity(a, b) == pytest.approx(
+        S.lev_normalized_similarity(b, a)
+    )
+    assert S.jaro_winkler(a, b) == pytest.approx(S.jaro_winkler(b, a))
+
+
+def test_jw_matches_duckdb():
+    """Our pure-Python Jaro-Winkler agrees with DuckDB's builtin."""
+    con = duckdb.connect()
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+        ("abc", "abc"), ("a", "b"), ("trace", "crate"), ("arnab", "raanb"),
+    ]
+    for a, b in cases:
+        duck = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert S.jaro_winkler(a, b) == pytest.approx(duck, abs=1e-12), (a, b)
+
+
+def test_lev_col_matches_kernel(spark):
+    """JVM-native normalized Levenshtein == pure-Python kernel, and the
+    missing->0 rule (compare_ldu_hw.py:93-95)."""
+    rows = [
+        ("abc", "abd"), ("kitten", "sitting"), ("", ""), ("x", None),
+        (None, None), ("same", "same"), ("", "ab"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(S.lev_sim_col(F.col("a"), F.col("b")).alias("s")).collect()
+    for (a, b), r in zip(rows, got):
+        if a is None or b is None:
+            assert r["s"] == 0.0
+        else:
+            assert r["s"] == pytest.approx(S.lev_normalized_similarity(a, b))
+
+
+def test_ro_udf_matches_kernel(spark):
+    rows = [
+        ("mathematics", "matematica"), ("acme trading", "acme trading"),
+        ("", ""), ("x", None), (None, None), ("alpha", "omega"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(S.ro_sim_col(F.col("a"), F.col("b")).alias("s")).collect()
+    for (a, b), r in zip(rows, got):
+        if a is None or b is None:
+            assert r["s"] == 0.0
+        else:
+            assert r["s"] == pytest.approx(S.ratcliff_obershelp(a, b))
