@@ -92,7 +92,9 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.withColumnRenamed("grp", "group") if "grp" in rec.columns else rec
 
 
-_BLK = BlockingConfig(use_soundex=False, max_block_size=MAX_BLOCK)
+# pinned: the oracle SQL hardcodes substr(..,1,6) and no soundex —
+# keep in lockstep with _sql_keys_cte regardless of engine defaults
+_BLK = BlockingConfig(use_soundex=False, sn_prefix=6, max_block_size=MAX_BLOCK)
 
 
 def _capped_keys(records: DataFrame) -> DataFrame:

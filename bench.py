@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...extras}.
+
+Headline is the full ER pipeline (span codec -> normalize -> multi-key
+blocking + caps -> candidate pairs -> Arrow-UDF + native scoring ->
+rule masks -> connected components) over interleaved documents
+synthesized from `customer`; the rest covers the dedup / ANN / text /
+events / relational operators.
+
+Every query is forced with the noop sink (full column computation —
+`count()` would let Catalyst prune the expensive columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
+    import __spark_entry__ as E
+    from record_linkage_ldu_spark.operators import ann, dedup
+    from record_linkage_ldu_spark.operators.cc import connected_components
+    from record_linkage_ldu_spark.session import build_session
+    from record_linkage_ldu_spark.sources.synth import synth_documents
+    from record_linkage_ldu_spark.streaming.incremental import (
+        sessionize,
+        windowed_event_counts,
+    )
+
+    spark = build_session(
+        app_name=f"rl-bench-{cpus}", master=f"local[{cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    qs = E.queries()
+
+    if include_linkage:
+        # end-to-end linkage: docs -> clusters (the north-star flow)
+        docs = synth_documents(
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+        ).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        extras["docs"] = n_docs
+
+        from record_linkage_ldu_spark.plans.linkage import (
+            LinkageConfig,
+            LinkagePipeline,
+        )
+
+        def _linkage():
+            res = LinkagePipeline(spark, LinkageConfig()).run(docs)
+            extras["matches"] = res.matches.count()
+            extras["clusters"] = res.clusters.select("cluster_id").distinct().count()
+
+        timed("linkage_e2e", _linkage)
+        extras["docs_per_sec"] = round(n_docs / timings["linkage_e2e"], 1)
+
+        # pair scoring alone (the reference's 6-hour stage)
+        def _pairs():
+            scored = E._pair_scores(spark, sf_dir)
+            extras["pairs_scored"] = scored.count()
+
+        timed("pair_scores_native", _pairs)
+        if timings["pair_scores_native"] > 0:
+            extras["pairs_per_sec"] = round(
+                extras["pairs_scored"] / timings["pair_scores_native"], 1
+            )
+
+    timed("minhash_dedup", lambda: _force(qs["minhash_near_dups"](spark, sf_dir)))
+    timed("ngram_jaccard", lambda: _force(qs["ngram_jaccard_dedup"](spark, sf_dir)))
+    timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
+    timed("cosine_topk", lambda: _force(qs["cosine_topk"](spark, sf_dir)))
+    timed("lsh_ann", lambda: _force(qs["lsh_ann_topk"](spark, sf_dir)))
+    timed("text_analysis", lambda: _force(
+        qs["lang_id"](spark, sf_dir)
+        .join(qs["quality_score"](spark, sf_dir), "doc_id")
+        .join(qs["token_count"](spark, sf_dir), "doc_id")
+    ))
+    timed("tpch_q1", lambda: _force(qs["agg_pushdown_q1"](spark, sf_dir)))
+    timed("windowed_events", lambda: _force(
+        windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ))
+    timed("sessionize", lambda: _force(
+        sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ))
+
+    total = round(sum(timings.values()), 3)
+    sf_match = re.search(r"sf([\d.]+)", sf_dir)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_match.group(1)) if sf_match else None,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    print(json.dumps(run_bench(sf_dir, cpus)))

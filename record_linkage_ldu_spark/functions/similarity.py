@@ -149,14 +149,31 @@ def _pair_batch(a: pd.Series, b: pd.Series, fn) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+# Hot blocks compare the same string pairs over and over (every member
+# of a soundex block against every other — the skewed-key case).  A
+# per-worker memo turns the O(len^2) kernels into dict hits for
+# repeated pairs; 1M entries of short strings is tens of MB.
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=1 << 20)
+def _ro_cached(a: str, b: str) -> float:
+    return ratcliff_obershelp(a, b)
+
+
+@lru_cache(maxsize=1 << 20)
+def _jw_cached(a: str, b: str) -> float:
+    return jaro_winkler(a, b)
+
+
 @pandas_udf(DoubleType())
 def ro_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _pair_batch(a, b, ratcliff_obershelp)
+    return _pair_batch(a, b, _ro_cached)
 
 
 @pandas_udf(DoubleType())
 def jw_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _pair_batch(a, b, jaro_winkler)
+    return _pair_batch(a, b, _jw_cached)
 
 
 @pandas_udf(DoubleType())

@@ -10,12 +10,18 @@ with AQE skew splitting plus an explicit block-size cap for degenerate
 keys.
 
 Keys (SURVEY.md §2.10):
-  * ``sx:``  Soundex of the first normalized-name token (built-in
-             ``F.soundex`` — phonetic).
+  * ``sx:``  composite Soundex of the first TWO normalized-name tokens
+             (built-in ``F.soundex``).  Single-token soundex has only
+             ~26*7^3 possible values — at web scale every block is a
+             mega-block, so the phonetic family must be composite;
+             single-token recall (one token typo'd) is covered by the
+             other key families.
+  * ``sx1:`` single-token Soundex (off by default, config for small
+             corpora).
   * ``sn:``  sorted-neighborhood prefix — first ``sn_prefix`` chars of
              the sorted-token normalized name.
-  * ``ph:``/``em:``/``zp:`` exact normalized phone / email / zip+city
-             initial (high-precision contact keys).
+  * ``ph:``/``em:``/``zp:`` exact normalized phone / email / zip
+             (high-precision contact keys).
 
 Every key family is a narrow projection + explode; the only shuffle is
 the pair join itself.
@@ -31,13 +37,14 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class BlockingConfig:
-    sn_prefix: int = 6
+    sn_prefix: int = 8
     # drop blocks larger than this (quadratic blow-up guard); the
     # record still participates through its other keys.  At 100TB this
     # is the knob that bounds the pair stage; dropped-block counts are
     # reported via block_census().
     max_block_size: int = 1000
-    use_soundex: bool = True
+    use_soundex: bool = True          # composite two-token soundex
+    use_soundex_single: bool = False  # single-token soundex (coarse)
     use_sorted_neighborhood: bool = True
     contact_fields: tuple[str, ...] = ("phone", "email", "zip")
     name_field: str = "name"
@@ -60,14 +67,29 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
         if len(name_fields) > 1
         else F.col(name_fields[0])
     )
-    first_tok = F.element_at(F.split(name, " "), 1)
+    first_tok = F.try_element_at(F.split(name, " "), F.lit(1))
+    second_tok = F.coalesce(
+        F.try_element_at(F.split(name, " "), F.lit(2)), F.lit("")
+    )
 
     keys = []
     if cfg.use_soundex:
         keys.append(
             F.when(
                 first_tok.isNotNull() & (first_tok != ""),
-                F.concat(F.lit("sx:"), F.soundex(first_tok)),
+                F.concat(
+                    F.lit("sx:"),
+                    F.soundex(first_tok),
+                    F.lit("-"),
+                    F.soundex(second_tok),
+                ),
+            )
+        )
+    if cfg.use_soundex_single:
+        keys.append(
+            F.when(
+                first_tok.isNotNull() & (first_tok != ""),
+                F.concat(F.lit("sx1:"), F.soundex(first_tok)),
             )
         )
     if cfg.use_sorted_neighborhood:
