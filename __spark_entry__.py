@@ -700,9 +700,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {T.sql_doc_fingerprint("text")} AS fingerprint
         FROM documents
     """
-    sql["minhash_bands"] = """
-        WITH sigs_src AS (SELECT doc_id, text FROM documents)
-    """  # replaced below
     sql["minhash_bands"] = _sql_minhash_bands()
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
@@ -767,9 +764,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _sql_minhash_bands() -> str:
-    from record_linkage_ldu_spark.functions.text import sql_tokens
+    from record_linkage_ldu_spark.functions.text import sql_shingles
 
-    toks = f"list_distinct({sql_tokens('text')})"
+    toks = sql_shingles("text", 3)
     num_hashes, band_size = 12, 3
     sig = [
         f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"

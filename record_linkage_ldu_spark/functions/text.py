@@ -37,6 +37,54 @@ def sql_tokens(expr: str) -> str:
     )
 
 
+def shingles_of_tokens(toks: Column, w: int = 3) -> Column:
+    """Distinct w-word shingles (Broder resemblance sketch units) from
+    a token-array column.  Docs shorter than ``w`` tokens contribute a
+    single whole-doc shingle, so every non-empty doc has >= 1 shingle.
+
+    Pass an *attribute* (a materialized column, e.g. behind an
+    ``explode(array(tokens(...)))`` barrier) in hot paths: ``toks`` is
+    referenced inside a per-element lambda, so a derived expression
+    would be re-evaluated once per shingle position."""
+    if w <= 1:
+        return F.array_distinct(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j + 1) for j in range(w)]
+            ),
+        )
+    )
+    short = F.when(
+        F.size(toks) > 0,
+        F.array(F.array_join(toks, " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= w, grams).otherwise(short)
+
+
+def shingles(c: Column, w: int = 3) -> Column:
+    """w-word shingles of a raw text column (convenience; tokenizes
+    inline — use ``shingles_of_tokens`` behind a barrier in hot paths).
+    """
+    return shingles_of_tokens(tokens(c), w)
+
+
+def sql_shingles(expr: str, w: int = 3) -> str:
+    toks = sql_tokens(expr)
+    if w <= 1:
+        return f"list_distinct({toks})"
+    joined = " || ' ' || ".join(f"({toks})[i+{j}]" for j in range(w))
+    grams = (
+        f"list_distinct([ {joined} for i in range(1, len({toks}) - {w - 2}) ])"
+    )
+    return (
+        f"(CASE WHEN len({toks}) >= {w} THEN {grams} "
+        f"WHEN len({toks}) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END)"
+    )
+
+
 def token_count(c: Column) -> Column:
     return F.size(tokens(c)).cast("long")
 

@@ -21,7 +21,30 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import sql_tokens, tokens
+from ..functions.text import (
+    shingles_of_tokens,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+
+
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, w: int,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(doc_id, <out_col>: array<string>) with the tokenize and
+    shingle steps each behind an ``explode(array(..))`` Generate
+    barrier, so neither is re-evaluated per downstream lambda element.
+    """
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("_toks"),
+    )
+    return tokenized.select(
+        "doc_id",
+        F.explode(F.array(shingles_of_tokens(F.col("_toks"), w))).alias(out_col),
+    )
 
 # ------------------------------------------------------------------
 # exact dedup
@@ -59,56 +82,70 @@ def sql_exact_duplicates(table: str, text_col: str = "text", id_col: str = "doc_
 # ------------------------------------------------------------------
 
 
-def _minhash_one(toks: Column, seed: int) -> Column:
-    """min over tokens of md5(seed:token) — a portable minhash draw
-    (lexicographic min of md5 hex == min of uniform 128-bit values)."""
-    return F.array_min(
-        F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t)))
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 12,
     band_size: int = 3,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """(id, band_idx, band_key): one row per (doc, band).  Narrow
-    projection + explode; distinct tokens first so duplicate words
-    don't bias the sketch."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    sigs = [_minhash_one(toks, s) for s in range(num_hashes)]
+    projection + posexplode.  Sketch units are distinct w-word shingles
+    (Broder resemblance) — unigram tokens collide massively on any
+    corpus with a shared vocabulary, turning LSH candidate generation
+    quadratic; 3-word shingles keep buckets sparse.
+
+    The whole shingles -> signature-array -> band-key-array chain is
+    ONE linear expression (each intermediate referenced exactly once):
+    higher-order lambdas are interpreted, not codegen'd, so Catalyst's
+    project-collapse would otherwise inline the shingle construction
+    into every one of the ``num_hashes`` draws (measured 6x slowdown).
+    """
     n_bands = num_hashes // band_size
-    bands = [
-        F.md5(
+    # Each explode(array(..)) is a Generate node: the expression under
+    # it is evaluated ONCE per row and becomes a concrete attribute, so
+    # the next level's lambda reads a materialized array instead of
+    # re-deriving the whole upstream chain per element.
+    shingled = _shingled(df, text_col, id_col, shingle_size)
+    # sig[s] = min over shingles of md5("s:" + shingle)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda t: F.md5(F.concat(s.cast("string"), F.lit(":"), t)),
+            )
+        ),
+    )
+    signed = shingled.select(
+        "doc_id", F.explode(F.array(sig)).alias("sig")
+    )
+    # band_key[b] = md5("b|sig[b*bs]|...|sig[(b+1)*bs-1]")
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
             F.concat_ws(
                 "|",
-                F.lit(str(b)),
-                *sigs[b * band_size : (b + 1) * band_size],
+                b.cast("string"),
+                F.array_join(
+                    F.slice(F.col("sig"), b * band_size + 1, band_size), "|"
+                ),
             )
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    wide = df.select(F.col(id_col).alias("doc_id"), *bands)
-    stack = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key")
-                )
-                for b in range(n_bands)
-            ]
-        )
-    ).alias("band")
-    return wide.select("doc_id", stack).select(
-        "doc_id", F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
+        ),
+    )
+    return signed.select(
+        "doc_id",
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
+    ).select(
+        "doc_id",
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "band_key",
     )
 
 
 def jaccard_col(toks_a: Column, toks_b: Column) -> Column:
-    """Exact word-set Jaccard (native array ops)."""
+    """Exact set Jaccard over token/shingle arrays (native array ops)."""
     inter = F.size(F.array_intersect(toks_a, toks_b)).cast("double")
     union = F.size(F.array_union(toks_a, toks_b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
@@ -121,10 +158,13 @@ def minhash_near_duplicates(
     num_hashes: int = 12,
     band_size: int = 3,
     threshold: float = 0.7,
+    shingle_size: int = 3,
 ) -> DataFrame:
-    """LSH candidates (band-key join) verified by exact Jaccard >=
-    threshold.  Returns (doc_id_1, doc_id_2, jaccard)."""
-    bands = minhash_signatures(df, text_col, id_col, num_hashes, band_size)
+    """LSH candidates (band-key join) verified by exact shingle-set
+    Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard)."""
+    bands = minhash_signatures(
+        df, text_col, id_col, num_hashes, band_size, shingle_size
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -136,10 +176,7 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
-    toks_tbl = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-    )
+    toks_tbl = _shingled(df, text_col, id_col, shingle_size, out_col="toks")
     return (
         cand.join(
             toks_tbl.select(
@@ -171,9 +208,10 @@ def sql_minhash_near_duplicates(
     num_hashes: int = 12,
     band_size: int = 3,
     threshold: float = 0.7,
+    shingle_size: int = 3,
 ) -> str:
     """DuckDB twin of minhash_near_duplicates (same md5 draws)."""
-    toks = f"list_distinct({sql_tokens(text_col)})"
+    toks = sql_shingles(text_col, shingle_size)
     sig = [
         f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
         for s in range(num_hashes)
@@ -231,7 +269,12 @@ def ngram_jaccard_pairs(
     metadata, e.g. language + length bucket).  The quadratic stage is
     bounded by block size — suitable when blocks are small; use the
     MinHash path otherwise."""
-    toks = tokens(F.col(text_col))
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array(tokens(F.col(text_col)))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     if n > 1:
         grams = F.array_distinct(
             F.transform(
@@ -246,8 +289,8 @@ def ngram_jaccard_pairs(
         )
     else:
         grams = F.array_distinct(toks)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
+    base = tokenized.select(
+        "doc_id",
         *[F.col(c) for c in block_cols],
         grams.alias("grams"),
     )

@@ -40,6 +40,12 @@ class LinkageConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     cc_method: str = "alternating-star"
     with_jw: bool = True
+    # with no StageStore, pin the two reuse points (records feeds the
+    # pair join twice + CC vertices; matches feeds both the caller and
+    # the CC edge set) so downstream actions don't recompute the whole
+    # scoring chain.  localCheckpoint = in-memory/disk block store on
+    # the executors — the single-session analogue of the stage write.
+    materialize: bool = True
     # family coalesce for self mode: values arriving in variant kinds
     # (phone2, address3, company_name...) fall back onto the canonical
     # field before same-field comparison.
@@ -107,6 +113,8 @@ class LinkagePipeline:
             fp = input_fingerprint(documents, ["doc_id"])
         records = records_view(documents, cfg)
         records = self._stage("records", records, info, fingerprint_src=documents)
+        if self.store is None and cfg.materialize:
+            records = records.localCheckpoint(eager=False)
 
         keys = block_keys(records, cfg.blocking)
         kept, dropped = cap_blocks(keys, cfg.blocking)
@@ -121,6 +129,8 @@ class LinkagePipeline:
 
         matches = rules.match(scored, mode="self")
         matches = self._stage("matches", matches, info, fingerprint_src=documents)
+        if self.store is None and cfg.materialize:
+            matches = matches.localCheckpoint(eager=False)
 
         clusters = connected_components(
             matches.select("doc_id_1", "doc_id_2"),
