@@ -40,7 +40,12 @@ from record_linkage_ldu_spark.config import (
 from record_linkage_ldu_spark.functions import normalizers as N
 from record_linkage_ldu_spark.functions import text as T
 from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
-from record_linkage_ldu_spark.operators import ann, dedup
+from record_linkage_ldu_spark.operators import ann, dedup, rules
+from record_linkage_ldu_spark.operators.evaluate import (
+    cluster_diff,
+    presentation_view,
+    separate_clusters,
+)
 from record_linkage_ldu_spark.operators.blocking import (
     BlockingConfig,
     block_census,
@@ -164,6 +169,98 @@ def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertices=records.select("doc_id"),
         method="alternating-star",
     )
+
+
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted ground truth: docs sharing the entity suffix (a/b/c
+    copies of one customer) are true matches."""
+    r = _records(spark, sf_dir).select(
+        "doc_id", F.substring(F.col("doc_id"), 2, 9).alias("ek")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(b, "ek")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.lit(True).alias("is_match"),
+        )
+    )
+
+
+def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset mode (SURVEY.md §2.6 C1 + §2.7 D1): left = 'a'
+    copies (the HW-like source), right = 'b'/'c' copies; the name
+    family score is the reference's target-max (best similarity across
+    the right-side candidate target columns) via native greatest."""
+    records = _records(spark, sf_dir)
+    pairs = candidate_pairs(_capped_keys(records))
+    cross = pairs.where(
+        (F.substring(F.col("doc_id_1"), 1, 1) == "a")
+        & (F.substring(F.col("doc_id_2"), 1, 1) != "a")
+    )
+    wide = attach_pair_sides(cross, records, _PAIR_FIELDS)
+    fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
+    scored = wide.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.greatest(
+            lev_sim_col(F.col("a_name"), F.col("b_name")),
+            lev_sim_col(F.col("a_name"), F.col("b_group")),
+        ).alias("name"),
+        F.lit(0.0).alias("company_name"),
+        *[
+            lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
+            for f in fields
+        ],
+    )
+    return _round_pairs(rules.match(scored, mode="cross"))
+
+
+def _verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: clusters whose every implied pair is a labeled true match."""
+    verified, _ = separate_clusters(
+        _clusters(spark, sf_dir), _labels(spark, sf_dir)
+    )
+    return verified.select("doc_id", "cluster_id")
+
+
+def _cluster_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: reviewer-facing view — member rows with cluster, normalized
+    name, and the ids each member matched against."""
+    records = _records(spark, sf_dir)
+    pv = presentation_view(
+        _clusters(spark, sf_dir),
+        records.select("doc_id", "name"),
+        _matches(spark, sf_dir).select("doc_id_1", "doc_id_2"),
+    )
+    return pv.select(
+        "cluster_id",
+        "doc_id",
+        "name",
+        F.concat_ws(
+            ",",
+            F.coalesce(F.col("matched_ids"), F.array().cast("array<string>")),
+        ).alias("matched"),
+    )
+
+
+def _cluster_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: docs whose cluster assignment differs between the full rule
+    set and a strict score>=4.9-only variant."""
+    records = _records(spark, sf_dir)
+    scored = _pair_scores(spark, sf_dir)
+    verts = records.select("doc_id")
+    ca = connected_components(
+        scored.where(_self_match_pred()).select("doc_id_1", "doc_id_2"),
+        vertices=verts,
+    )
+    cb = connected_components(
+        scored.where(F.col("score") >= 4.9).select("doc_id_1", "doc_id_2"),
+        vertices=verts,
+    )
+    return cluster_diff(ca, cb)
 
 
 # ======================================================================
@@ -384,6 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
     )
     q["evaluate_prf"] = lambda s, d: _prf_df(s, d)
+    q["cross_match_rules"] = lambda s, d: _cross_matches(s, d)
+    q["verified_clusters"] = lambda s, d: _verified_clusters(s, d)
+    q["cluster_presentation"] = lambda s, d: _cluster_presentation(s, d)
+    q["cluster_diff"] = lambda s, d: _cluster_diff_q(s, d)
     q["sorted_neighborhood"] = lambda s, d: sorted_neighborhood_pairs(
         _records(s, d).select("doc_id", "zip"), F.col("zip"), window=3
     )
@@ -685,6 +786,101 @@ def oracle_sql() -> dict[str, str]:
                           / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn)))
                      ELSE 0.0 END, 6) AS f1
         FROM counts
+    """
+    cross_fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
+    cross_sims = ",\n               ".join(
+        sql_lev_sim(f'n1."{f}"', f'n2."{f}"') + f' AS "{f}"'
+        for f in cross_fields
+    )
+    cross_round = ", ".join(
+        f'round("{f}", 6) AS "{f}"'
+        for f in ("name", "company_name", *cross_fields)
+    )
+    sql["cross_match_rules"] = f"""
+        {_sql_chain("pairs")},
+    cpairs AS (
+        SELECT * FROM pairs
+        WHERE substr(doc_id_1, 1, 1) = 'a' AND substr(doc_id_2, 1, 1) <> 'a'
+    ),
+    csims AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               greatest({sql_lev_sim('n1.name', 'n2.name')},
+                        {sql_lev_sim('n1.name', 'n2."group"')}) AS name,
+               CAST(0.0 AS DOUBLE) AS company_name,
+               {cross_sims}
+        FROM cpairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+    )
+        SELECT doc_id_1, doc_id_2, {cross_round}
+        FROM csims WHERE {rules.sql_cross_rule_predicate()}
+    """
+    sql["verified_clusters"] = f"""
+        {_SQL_CC},
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    cpairs AS (
+        SELECT c1.cluster_id, c1.doc_id AS d1, c2.doc_id AS d2
+        FROM clusters c1 JOIN clusters c2
+          ON c1.cluster_id = c2.cluster_id AND c1.doc_id < c2.doc_id
+    ),
+    ver AS (
+        SELECT cluster_id,
+               min(CASE WHEN substr(d1, 2, 9) = substr(d2, 2, 9)
+                        THEN 1 ELSE 0 END) AS ok
+        FROM cpairs GROUP BY cluster_id
+    )
+        SELECT c.doc_id, c.cluster_id
+        FROM clusters c JOIN ver v USING (cluster_id) WHERE v.ok = 1
+    """
+    sql["cluster_presentation"] = f"""
+        {_SQL_CC},
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sym AS (
+        SELECT doc_id_1 AS doc_id, doc_id_2 AS other FROM matches
+        UNION
+        SELECT doc_id_2 AS doc_id, doc_id_1 AS other FROM matches
+    ),
+    mi AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list(DISTINCT other)), ',') AS matched
+        FROM sym GROUP BY doc_id
+    )
+        SELECT c.cluster_id, c.doc_id, n.name,
+               coalesce(mi.matched, '') AS matched
+        FROM clusters c
+        JOIN norm n ON c.doc_id = n.doc_id
+        LEFT JOIN mi ON c.doc_id = mi.doc_id
+    """
+    sql["cluster_diff"] = f"""
+        {_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    matches2 AS (SELECT * FROM scored WHERE score >= 4.9),
+    nodes AS (SELECT doc_id FROM synth),
+    edges AS (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM matches
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM matches
+    ),
+    edges2 AS (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM matches2
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM matches2
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    reach2(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach2 r JOIN edges2 e ON r.b = e.s
+    ),
+    ca AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    cb AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach2 GROUP BY a)
+        SELECT ca.doc_id, ca.cluster_id AS cluster_id_a,
+               cb.cluster_id AS cluster_id_b
+        FROM ca JOIN cb USING (doc_id)
+        WHERE ca.cluster_id <> cb.cluster_id
     """
     sql["sorted_neighborhood"] = f"""
         {_sql_chain("norm")},

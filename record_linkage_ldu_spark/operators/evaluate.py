@@ -149,6 +149,21 @@ def separate_clusters(
     return verified, not_verified
 
 
+def cluster_diff(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """Symmetric diff of two clustering runs (compare_matching_methods
+    semantics, SURVEY.md §2.8 G6): docs whose cluster assignment
+    differs.  Cluster labels are min-member doc_ids in both runs, so
+    label equality is meaningful across runs.  Full-outer join +
+    null-safe inequality — one shuffle on doc_id."""
+    a = ca.select("doc_id", F.col("cluster_id").alias("cluster_id_a"))
+    b = cb.select("doc_id", F.col("cluster_id").alias("cluster_id_b"))
+    return (
+        a.join(b, "doc_id", "full")
+        .where(~F.col("cluster_id_a").eqNullSafe(F.col("cluster_id_b")))
+        .select("doc_id", "cluster_id_a", "cluster_id_b")
+    )
+
+
 def presentation_view(
     clusters: DataFrame, documents: DataFrame, edges: DataFrame
 ) -> DataFrame:
