@@ -27,9 +27,25 @@ from pyspark.sql import functions as F
 
 from ..config import US_STATE_CODES, US_STATES
 
-_DIGIT_A = 7919
-_DIGIT_B = 104729
-_MOD = 10_000_000_000
+# 10-digit codes: k*m % p with p the largest PRIME below 1e10 and m a
+# large digit-soup multiplier — a bijection of k (p prime) that
+# spreads over the full 10-digit space for small k too.  Traps found
+# empirically on the way here:
+#   * small multipliers (7919): codes for k <= ~1500 all start "00..",
+#     and the shared prefix pushes cross-entity email RO similarity
+#     over the 0.8 rule-mask threshold;
+#   * structured multipliers (repunit 7777777777): 9m = -7 mod 1e10,
+#     so entities 9 keys apart get phone codes differing by 7;
+#   * ANY modulus with factors of 10: dk divisible by 1000 makes the
+#     code delta m*dk end in "000", i.e. systematic shared trailing
+#     digits between entities 1000 keys apart.  A prime modulus has no
+#     decimal structure in its deltas.
+# Overflow-safe: k up to ~1e9 keeps k*m within int64 for both Spark
+# (ANSI mode) and DuckDB.
+_DIGIT_A = 8_764_325_981
+_DIGIT_B = 6_949_387_117
+_DIGIT_C = 5_915_587_277
+_MOD = 9_999_999_967
 
 # word pools for synthetic names/emails: distinct entities must get
 # genuinely distinct names (deriving names from the sequential
@@ -43,7 +59,7 @@ _FIRSTS = (
     "emily andrew donna joshua michelle kenneth carol kevin amanda "
     "brian melissa george deborah timothy stephanie ronald rebecca "
     "edward sharon jason laura jeffrey cynthia ryan kathleen"
-).split()  # 58 entries (prime-ish vs last pool)
+).split()  # 60 entries
 
 _LASTS = (
     "smith johnson williams brown jones garcia miller davis rodriguez "
@@ -54,6 +70,23 @@ _LASTS = (
     "rivera campbell mitchell carter roberts gomez phillips evans "
     "turner diaz parker cruz edwards collins reyes stewart"
 ).split()  # 61 entries
+
+# middle-name pool, disjoint from _FIRSTS and _LASTS: normalize_name
+# SORTS tokens, so drawing first and middle from one pool makes
+# swapped picks (k1 = a + 60b, k2 = b + 60a) normalize identically and
+# rule mask 4 (name==1.0) merges the two entities.  With 3 disjoint
+# pools the sorted token multiset is injective in (first,middle,last),
+# giving distinct normalized names for k < 60*59*61 = 215,940.
+_MIDDLES = (
+    "abbott becker caldwell dalton ellison foster grayson hubbard "
+    "ingram jarvis keller lambert mercer norwood osborne prescott "
+    "quimby radford sawyer thornton underwood vasquez whitfield xiong "
+    "yates zimmerman ainsley barlow conway dempsey everhart fairchild "
+    "godfrey hollis irwin jennings kendrick lockhart mcallister newell "
+    "ogden pemberton quinlan rutledge sheffield tatum upton vaughn "
+    "wexler yeager zeller ashford bradshaw crowley donovan emerson "
+    "falkner gentry hammond"
+).split()  # 59 entries
 
 _DOMAINS = (
     "example.com", "mailhost.net", "corpmail.org",
@@ -93,19 +126,37 @@ def _pool_pick(pool: tuple[str, ...] | list[str], idx: Column) -> Column:
 def _base_fields(cust: DataFrame) -> DataFrame:
     k = F.col("c_custkey")
     d = _digits10(k, _DIGIT_A, 12345)
+    # mixed-radix pool picks: (first, middle, last) is a bijection of
+    # k below 60*59*61 = 215,940, so entities get distinct full names
+    # at every tested scale — with a 2-word 58x61 scheme, name==1.0
+    # (rule mask 4, main_ldu_ldu.py:274) merged distinct entities into
+    # giant clusters once row counts passed a few thousand.
     first = _pool_pick(_FIRSTS, k % len(_FIRSTS))
-    last = _pool_pick(_LASTS, k % len(_LASTS))
+    middle = _pool_pick(
+        _MIDDLES, (k / len(_FIRSTS)).cast("long") % len(_MIDDLES)
+    )
+    last = _pool_pick(
+        _LASTS,
+        (k / (len(_FIRSTS) * len(_MIDDLES))).cast("long") % len(_LASTS),
+    )
     return cust.select(
         k.alias("k"),
-        F.concat(F.initcap(first), F.lit(" "), F.initcap(last)).alias("name"),
+        F.concat(
+            F.initcap(first), F.lit(" "), F.initcap(middle), F.lit(" "),
+            F.initcap(last),
+        ).alias("name"),
         d.alias("digits"),
         _digits10(k, _DIGIT_B, 54321).alias("digits_alt"),
-        # 10 pseudo-random digits in the local part keep cross-entity
-        # email similarity well under the 0.8 rule threshold even for
-        # same-surname near-name pairs
+        # local part = 20 pseudo-random digits (two independent draws),
+        # no name tokens: with shared name tokens the cross-entity RO
+        # floor for same-domain pairs was ~0.77, and with only 10
+        # digits the shared domain (13 of 23 chars) meant gestalt
+        # digit-luck of 7/10 — hit by a few percent of random pairs —
+        # crossed the 0.8 threshold in self-rule mask 2.  At 20 digits
+        # the 0.8 threshold needs ~13/20 digit overlap: negligible.
         F.concat(
-            first, F.lit("."), last, F.lit("."),
             _digits10(k, _DIGIT_B, 54321),
+            _digits10(k, _DIGIT_C, 77777),
             F.lit("@"), _pool_pick(_DOMAINS, k % len(_DOMAINS)),
         ).alias("email"),
         F.lower(F.col("c_mktsegment")).alias("grp"),
@@ -257,18 +308,21 @@ def synth_sql_cte(with_c_copy: bool = True) -> str:
     codes = ", ".join(f"'{c.upper()}'" for c in US_STATE_CODES)
     fulls = ", ".join(f"'{US_STATES[c]}'" for c in US_STATE_CODES)
     firsts = ", ".join(f"'{w}'" for w in _FIRSTS)
+    middles = ", ".join(f"'{w}'" for w in _MIDDLES)
     lasts = ", ".join(f"'{w}'" for w in _LASTS)
     domains = ", ".join(f"'{w}'" for w in _DOMAINS)
-    first = f"([{firsts}])[CAST(c_custkey % {len(_FIRSTS)} AS INT) + 1]"
-    last = f"([{lasts}])[CAST(c_custkey % {len(_LASTS)} AS INT) + 1]"
+    nf, nm, nl = len(_FIRSTS), len(_MIDDLES), len(_LASTS)
+    first = f"([{firsts}])[CAST(c_custkey % {nf} AS INT) + 1]"
+    middle = f"([{middles}])[CAST((c_custkey // {nf}) % {nm} AS INT) + 1]"
+    last = f"([{lasts}])[CAST((c_custkey // {nf * nm}) % {nl} AS INT) + 1]"
     domain = f"([{domains}])[CAST(c_custkey % {len(_DOMAINS)} AS INT) + 1]"
     cap = "upper(substr({w}, 1, 1)) || substr({w}, 2, 100)"
     base = f"""
         SELECT c_custkey AS k,
-               {cap.format(w=first)} || ' ' || {cap.format(w=last)} AS name,
+               {cap.format(w=first)} || ' ' || {cap.format(w=middle)} || ' ' || {cap.format(w=last)} AS name,
                lpad(CAST((c_custkey * {_DIGIT_A} + 12345) % {_MOD} AS VARCHAR), 10, '0') AS digits,
                lpad(CAST((c_custkey * {_DIGIT_B} + 54321) % {_MOD} AS VARCHAR), 10, '0') AS digits_alt,
-               {first} || '.' || {last} || '.' || lpad(CAST((c_custkey * {_DIGIT_B} + 54321) % {_MOD} AS VARCHAR), 10, '0') || '@' || {domain} AS email,
+               lpad(CAST((c_custkey * {_DIGIT_B} + 54321) % {_MOD} AS VARCHAR), 10, '0') || lpad(CAST((c_custkey * {_DIGIT_C} + 77777) % {_MOD} AS VARCHAR), 10, '0') || '@' || {domain} AS email,
                lower(c_mktsegment) AS grp,
                CAST((c_custkey % 9999) + 1 AS VARCHAR) || ' ' || lower(c_mktsegment) || ' Street' AS address,
                'city' || CAST(c_custkey % 97 AS VARCHAR) AS city,
