@@ -13,28 +13,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+LOCAL_AUTO = "local-auto"
+
+
 def build_session(
     app_name: str = "record-linkage-ldu-spark",
-    master: str | None = None,
+    master: str | None = LOCAL_AUTO,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores).
-    ``shuffle_partitions`` defaults to 2x parallelism — small enough to
-    avoid tiny-task overhead locally, and AQE coalesces further at
-    runtime; on a real cluster pass cores*2..3.
+    Pass ``master=None`` to leave the master UNSET so that
+    ``spark-submit`` (cluster deploy) supplies it — the engine never
+    overrides a cluster manager.  ``shuffle_partitions`` defaults to
+    2x parallelism — small enough to avoid tiny-task overhead locally,
+    and AQE coalesces further at runtime; on a real cluster pass
+    cores*2..3 (or rely on AQE + the submit conf).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    master = master or f"local[{cpus}]"
+    if master == LOCAL_AUTO:
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = _master_parallelism(master, cpus)
+        n = _master_parallelism(master or "", cpus)
         shuffle_partitions = max(2 * n, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # AQE: runtime partition coalescing, skew-join splitting, and
         # dynamic join-strategy switching (SURVEY.md §4).
         .config("spark.sql.adaptive.enabled", "true")

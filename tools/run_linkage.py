@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the end-to-end linkage pipeline.
+
+Cluster usage (north rule: spark-submit --py-files packaging):
+
+    python tools/package.py                       # -> dist/record_linkage_ldu_spark.zip
+    spark-submit \
+        --py-files dist/record_linkage_ldu_spark.zip \
+        tools/run_linkage.py \
+        --input  /data/documents          \
+        --output /data/linkage_out        \
+        --checkpoint-dir /data/linkage_ckpt
+
+``--input`` is a ``documents(doc_id, spans)`` table (parquet path, or
+``iceberg:<table>`` when an Iceberg catalog is configured on the
+cluster).  The job normalizes, blocks, scores, applies the match
+rules, and clusters; every stage is checkpointed through StageStore
+(per-partition lineage metrics + manifest), so re-submitting after a
+mid-stage failure resumes instead of recomputing.  Outputs:
+``<output>/clusters`` and ``<output>/matches`` parquet.
+
+No ``--master`` is set here: spark-submit supplies cluster master,
+executor counts, and memory — the engine is config-level only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents table (parquet path or iceberg:<table>)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--checkpoint-dir", default=None, help="StageStore dir (enables resume); default <output>/_stages")
+    ap.add_argument("--cc-method", default="alternating-star", choices=["alternating-star", "label-prop"])
+    ap.add_argument("--max-block-size", type=int, default=1000)
+    ap.add_argument("--no-jw", action="store_true", help="skip the auxiliary Jaro-Winkler column")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master for direct runs (e.g. local[8]); leave unset "
+        "under spark-submit so the cluster manager decides",
+    )
+    args = ap.parse_args(argv)
+
+    from record_linkage_ldu_spark.operators.blocking import BlockingConfig
+    from record_linkage_ldu_spark.operators.evaluate import validate_clusters
+    from record_linkage_ldu_spark.plans.linkage import (
+        LinkageConfig,
+        LinkagePipeline,
+    )
+    from record_linkage_ldu_spark.session import build_session
+    from record_linkage_ldu_spark.sources.io import StageStore
+
+    spark = build_session(
+        app_name="record-linkage-ldu-spark",
+        master=args.master,  # None => spark-submit / cluster manager decides
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    if args.input.startswith("iceberg:"):
+        documents = spark.read.format("iceberg").load(args.input[len("iceberg:"):])
+    else:
+        documents = spark.read.parquet(args.input)
+
+    store = StageStore(spark, args.checkpoint_dir or f"{args.output}/_stages")
+    cfg = LinkageConfig(
+        blocking=BlockingConfig(max_block_size=args.max_block_size),
+        cc_method=args.cc_method,
+        with_jw=not args.no_jw,
+    )
+    res = LinkagePipeline(spark, cfg, store=store).run(documents)
+
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.matches.write.mode("overwrite").parquet(f"{args.output}/matches")
+
+    report = {
+        "stages": res.stage_info,
+        "clusters": validate_clusters(res.clusters),
+    }
+    print(json.dumps(report, indent=2, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
