@@ -38,11 +38,17 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class BlockingConfig:
     sn_prefix: int = 8
-    # drop blocks larger than this (quadratic blow-up guard); the
-    # record still participates through its other keys.  At 100TB this
-    # is the knob that bounds the pair stage; dropped-block counts are
-    # reported via block_census().
+    # blocks up to max_block_size pair up through the plain equi-join;
+    # HOT blocks in (max_block_size, salt_drop_factor*max_block_size]
+    # go through the salted triangle join (bounded per-task width, no
+    # pairs lost); blocks beyond that are dropped as degenerate keys
+    # (empty names, placeholder phones) — the record still participates
+    # through its other key families, and dropped-block counts are
+    # reported via block_census().  At 100TB these are the knobs that
+    # bound the pair stage.
     max_block_size: int = 1000
+    salt_buckets: int = 8
+    salt_drop_factor: int = 16
     use_soundex: bool = True          # composite two-token soundex
     use_soundex_single: bool = False  # single-token soundex (coarse)
     use_sorted_neighborhood: bool = True
@@ -133,16 +139,126 @@ def cap_blocks(
 ) -> tuple[DataFrame, DataFrame]:
     """Split the key table into (kept, dropped_census).
 
-    Oversized blocks (>> cap) are hot keys — almost always degenerate
-    values (empty names, placeholder phones).  Salting cannot help a
-    *self-join* block (splitting the key loses in-block pairs), so the
-    scalable remedy is capping + relying on the other key families;
-    AQE's skew-join split handles residual imbalance below the cap.
+    ``kept`` holds blocks up to the plain-join cap; blocks above the
+    salted ceiling (``max_block_size * salt_drop_factor``) land in
+    ``dropped_census``.  Hot blocks between the two are NOT in either
+    output — route them through ``salted_candidate_pairs`` (or use
+    ``candidate_pairs_capped`` which composes all three tiers).
     """
     census = block_census(keys)
     big = census.where(F.col("block_size") > cfg.max_block_size)
     kept = keys.join(F.broadcast(big.select("block_key")), "block_key", "left_anti")
-    return kept, big
+    dropped = census.where(
+        F.col("block_size") > cfg.max_block_size * cfg.salt_drop_factor
+    )
+    return kept, dropped
+
+
+def hot_blocks(
+    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """Keys of the salt tier: block size in
+    (max_block_size, max_block_size * salt_drop_factor]."""
+    census = block_census(keys)
+    hot = census.where(
+        (F.col("block_size") > cfg.max_block_size)
+        & (F.col("block_size") <= cfg.max_block_size * cfg.salt_drop_factor)
+    )
+    return keys.join(F.broadcast(hot.select("block_key")), "block_key")
+
+
+def salted_candidate_pairs(
+    hot_keys: DataFrame,
+    salt: int = 8,
+    left_alias: str = "doc_id_1",
+    right_alias: str = "doc_id_2",
+) -> DataFrame:
+    """Self-join pair generation for HOT blocks via the triangle-cell
+    salted join — the north-rule "salting hot blocks" operator.
+
+    Naive key-salting (appending ``hash(doc) % s`` to the key) LOSES
+    in-block pairs whose two members land in different salt buckets.
+    The triangle scheme keeps every pair exactly once while bounding
+    per-task width: each record in bucket ``b = hash(doc) % s`` is
+    replicated into the diagonal cell (b,b) plus every off-diagonal
+    cell (x,y), x<y, with b in {x,y}; a pair with buckets (bi, bj)
+    meets in exactly cell (min, max).  Replication factor is ``s`` and
+    the widest cell holds ~2m/s rows of an m-row block, so the skew of
+    a mega-block is spread across s(s+1)/2 independently-scheduled
+    join cells instead of one straggler task.
+    """
+    # all s(s+1)/2 cells as one literal array; each record keeps the
+    # cells containing its bucket: (b,b), (b,y>b), (x<b,b) — s cells.
+    all_cells = F.array(
+        *[
+            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+            for x in range(salt)
+            for y in range(x, salt)
+        ]
+    )
+    bucketed = hot_keys.select(
+        "doc_id",
+        "block_key",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+        .cast("int")
+        .alias("bucket"),
+    )
+    salted = bucketed.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.filter(
+                all_cells,
+                lambda c: (c["x"] == F.col("bucket"))
+                | (c["y"] == F.col("bucket")),
+            )
+        ).alias("cell"),
+        F.col("block_key"),
+    ).select(
+        "doc_id",
+        "bucket",
+        F.concat(
+            F.col("block_key"), F.lit("#"),
+            F.col("cell.x").cast("string"), F.lit("."),
+            F.col("cell.y").cast("string"),
+        ).alias("cell_key"),
+        F.col("cell.x").alias("x"),
+        F.col("cell.y").alias("y"),
+    )
+    a = salted.alias("a")
+    c = salted.alias("c")
+    diag = F.col("a.x") == F.col("a.y")
+    pair_cond = F.when(
+        diag, F.col("a.doc_id") < F.col("c.doc_id")
+    ).otherwise(
+        (F.col("a.bucket") == F.col("a.x")) & (F.col("c.bucket") == F.col("a.y"))
+    )
+    return (
+        a.join(c, "cell_key")
+        .where(pair_cond)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("c.doc_id")).alias(left_alias),
+            F.greatest(F.col("a.doc_id"), F.col("c.doc_id")).alias(right_alias),
+        )
+        .where(F.col(left_alias) != F.col(right_alias))
+        .dropDuplicates([left_alias, right_alias])
+    )
+
+
+def candidate_pairs_capped(
+    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Three-tier candidate generation: plain equi-join for normal
+    blocks, triangle-salted join for hot blocks, drop + census beyond
+    the ceiling.  Returns (pairs, dropped_census)."""
+    kept, dropped = cap_blocks(keys, cfg)
+    pairs = candidate_pairs(kept)
+    hot = hot_blocks(keys, cfg)
+    salted = salted_candidate_pairs(hot, salt=cfg.salt_buckets)
+    return (
+        pairs.unionByName(salted).dropDuplicates(["doc_id_1", "doc_id_2"]),
+        dropped,
+    )
 
 
 def candidate_pairs(

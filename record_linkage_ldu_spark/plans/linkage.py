@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from ..config import SELF_COMPARE_FIELDS, SPAN_FIELD_KINDS
 from ..operators import rules
-from ..operators.blocking import BlockingConfig, block_keys, cap_blocks, candidate_pairs
+from ..operators.blocking import (
+    BlockingConfig,
+    block_keys,
+    candidate_pairs_capped,
+)
 from ..operators.cc import connected_components
 from ..operators.scoring import (
     attach_pair_sides,
@@ -117,9 +121,8 @@ class LinkagePipeline:
             records = records.localCheckpoint(eager=False)
 
         keys = block_keys(records, cfg.blocking)
-        kept, dropped = cap_blocks(keys, cfg.blocking)
+        pairs, dropped = candidate_pairs_capped(keys, cfg.blocking)
         info["dropped_blocks"] = dropped.count() if self.store is not None else None
-        pairs = candidate_pairs(kept)
         pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)
 
         wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)

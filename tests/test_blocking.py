@@ -45,13 +45,24 @@ def test_blocking_recall_vs_crossjoin(spark, tiny_gen):
     assert recall >= 0.99, f"blocking recall {recall} (missed {missed}/{total})"
 
 
-def test_block_cap_drops_hot_keys(spark):
+def test_block_cap_tiers(spark):
+    """Blocks over the plain-join cap leave ``kept``; only blocks over
+    cap*salt_drop_factor land in ``dropped`` (the middle tier belongs
+    to the salted join, covered by hot_blocks)."""
+    from record_linkage_ldu_spark.operators.blocking import hot_blocks
+
     rows = [(f"d{i}", "hot") for i in range(50)] + [("x1", "cold"), ("x2", "cold")]
     keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
-    kept, dropped = cap_blocks(keys, BlockingConfig(max_block_size=10))
+    cfg = BlockingConfig(max_block_size=10, salt_drop_factor=2)  # ceiling 20
+    kept, dropped = cap_blocks(keys, cfg)
     assert [r["block_key"] for r in dropped.collect()] == ["hot"]
     assert kept.where("block_key = 'hot'").count() == 0
     assert kept.where("block_key = 'cold'").count() == 2
+    assert hot_blocks(keys, cfg).count() == 0  # 50 > ceiling: not salt tier
+    cfg2 = BlockingConfig(max_block_size=10, salt_drop_factor=16)  # ceiling 160
+    kept2, dropped2 = cap_blocks(keys, cfg2)
+    assert dropped2.count() == 0
+    assert hot_blocks(keys, cfg2).where("block_key = 'hot'").count() == 50
     census = {r["block_key"]: r["block_size"] for r in block_census(keys).collect()}
     assert census == {"hot": 50, "cold": 2}
 
@@ -82,3 +93,55 @@ def test_multi_key_union_dedups(spark):
     keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
     pairs = candidate_pairs(keys)
     assert pairs.count() == 1
+
+
+def test_salted_triangle_join_equivalence(spark):
+    """The triangle-cell salted self-join yields EXACTLY the pairs of a
+    plain within-block join (no pair lost to bucket splitting, none
+    invented), for several salt factors."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        salted_candidate_pairs,
+    )
+
+    rows = [(f"d{i:03d}", "hot") for i in range(60)] + [
+        ("x1", "cold"), ("x2", "cold")
+    ]
+    keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
+    expected = {
+        (r["doc_id_1"], r["doc_id_2"]) for r in candidate_pairs(keys).collect()
+    }
+    for salt in (2, 3, 8):
+        got = {
+            (r["doc_id_1"], r["doc_id_2"])
+            for r in salted_candidate_pairs(keys, salt=salt).collect()
+        }
+        assert got == expected, f"salt={salt}"
+
+
+def test_three_tier_candidate_generation(spark):
+    """candidate_pairs_capped: plain tier + salted hot tier together
+    cover every block up to the drop ceiling; blocks beyond it are
+    dropped and reported."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs_capped,
+    )
+
+    rows = (
+        [(f"n{i}", "normal") for i in range(4)]          # size 4: plain
+        + [(f"h{i:02d}", "hotkey") for i in range(30)]   # size 30: salted
+        + [(f"g{i:03d}", "giant") for i in range(200)]   # size 200: dropped
+    )
+    keys = spark.createDataFrame(rows, ["doc_id", "block_key"])
+    cfg = BlockingConfig(max_block_size=10, salt_buckets=4, salt_drop_factor=10)
+    pairs, dropped = candidate_pairs_capped(keys, cfg)
+    got = {(r["doc_id_1"], r["doc_id_2"]) for r in pairs.collect()}
+    expected = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(
+            keys.where(F.col("block_key") != "giant")
+        ).collect()
+    }
+    assert got == expected
+    assert [(r["block_key"], r["block_size"]) for r in dropped.collect()] == [
+        ("giant", 200)
+    ]
