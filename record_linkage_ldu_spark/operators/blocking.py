@@ -172,6 +172,7 @@ def salted_candidate_pairs(
     salt: int = 8,
     left_alias: str = "doc_id_1",
     right_alias: str = "doc_id_2",
+    dedup: bool = True,
 ) -> DataFrame:
     """Self-join pair generation for HOT blocks via the triangle-cell
     salted join — the north-rule "salting hot blocks" operator.
@@ -233,7 +234,7 @@ def salted_candidate_pairs(
     ).otherwise(
         (F.col("a.bucket") == F.col("a.x")) & (F.col("c.bucket") == F.col("a.y"))
     )
-    return (
+    out = (
         a.join(c, "cell_key")
         .where(pair_cond)
         .select(
@@ -241,8 +242,10 @@ def salted_candidate_pairs(
             F.greatest(F.col("a.doc_id"), F.col("c.doc_id")).alias(right_alias),
         )
         .where(F.col(left_alias) != F.col(right_alias))
-        .dropDuplicates([left_alias, right_alias])
     )
+    if dedup:
+        out = out.dropDuplicates([left_alias, right_alias])
+    return out
 
 
 def candidate_pairs_capped(
@@ -250,11 +253,19 @@ def candidate_pairs_capped(
 ) -> tuple[DataFrame, DataFrame]:
     """Three-tier candidate generation: plain equi-join for normal
     blocks, triangle-salted join for hot blocks, drop + census beyond
-    the ceiling.  Returns (pairs, dropped_census)."""
+    the ceiling.  Returns (pairs, dropped_census).
+
+    One pair-dedup shuffle total: the per-tier joins run raw
+    (``dedup=False``) and a single ``dropDuplicates`` covers both
+    multi-key duplicates and cross-tier duplicates (a pair can reach
+    one key in the plain tier and another in the salt tier).  The
+    three census references compile to the same aggregate subplan, so
+    Spark's exchange reuse evaluates it once.
+    """
     kept, dropped = cap_blocks(keys, cfg)
-    pairs = candidate_pairs(kept)
+    pairs = candidate_pairs(kept, dedup=False)
     hot = hot_blocks(keys, cfg)
-    salted = salted_candidate_pairs(hot, salt=cfg.salt_buckets)
+    salted = salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
     return (
         pairs.unionByName(salted).dropDuplicates(["doc_id_1", "doc_id_2"]),
         dropped,
@@ -266,6 +277,7 @@ def candidate_pairs(
     keys_right: DataFrame | None = None,
     left_alias: str = "doc_id_1",
     right_alias: str = "doc_id_2",
+    dedup: bool = True,
 ) -> DataFrame:
     """Within-block pairs.
 
@@ -295,7 +307,7 @@ def candidate_pairs(
             )
             .select(left_alias, right_alias)
         )
-    return pairs.dropDuplicates([left_alias, right_alias])
+    return pairs.dropDuplicates([left_alias, right_alias]) if dedup else pairs
 
 
 def sorted_neighborhood_pairs(
