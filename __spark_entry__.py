@@ -392,9 +392,7 @@ def entry(spark: SparkSession) -> DataFrame:
     blocking -> Arrow-UDF scoring -> rule masks -> connected
     components) over interleaved documents derived from sf0.001."""
     docs = synth_documents(_t(spark, "/root/testdata/sf0.001", "customer"))
-    pipe = LinkagePipeline(
-        spark, LinkageConfig(blocking=BlockingConfig(max_block_size=MAX_BLOCK))
-    )
+    pipe = LinkagePipeline(spark, LinkageConfig())
     res = pipe.run(docs)
     return res.clusters
 

@@ -51,7 +51,14 @@ class BlockingConfig:
     salt_drop_factor: int = 16
     use_soundex: bool = True          # composite two-token soundex
     use_soundex_single: bool = False  # single-token soundex (coarse)
+    # sn: PREFIX-EQUALITY key (cheap, but a single long common token
+    # degenerates it into a mega-block — measured 30M junk pairs from
+    # 9 blocks at 198k docs).  The windowed pass below is the scalable
+    # form; the prefix key remains for small corpora / oracle parity.
     use_sorted_neighborhood: bool = True
+    # windowed sorted-neighborhood pass over the sorted name: pair
+    # volume bounded at n*(sn_window-1) regardless of skew.  0 = off.
+    sn_window: int = 0
     contact_fields: tuple[str, ...] = ("phone", "email", "zip")
     name_field: str = "name"
     fallback_name_fields: tuple[str, ...] = ("company_name",)
@@ -248,6 +255,49 @@ def salted_candidate_pairs(
     return out
 
 
+def generate_candidates(
+    records: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Full candidate generation for a record table: three-tier
+    equality-key pairs (plain / salted / dropped) plus, when
+    ``cfg.sn_window > 0``, the windowed sorted-neighborhood pass over
+    the name field.  One pair-dedup shuffle over the union.  Returns
+    (pairs, dropped_census)."""
+    keys = block_keys(records, cfg)
+    kept, dropped = cap_blocks(keys, cfg)
+    pairs = candidate_pairs(kept, dedup=False)
+    hot = hot_blocks(keys, cfg)
+    pairs = pairs.unionByName(
+        salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
+    )
+    if cfg.sn_window > 0:
+        name_fields = [
+            c
+            for c in (cfg.name_field, *cfg.fallback_name_fields)
+            if c in records.columns
+        ]
+        name = (
+            F.coalesce(*[F.col(c) for c in name_fields])
+            if len(name_fields) > 1
+            else F.col(name_fields[0])
+        )
+        sn = sorted_neighborhood_pairs(
+            records.where(name.isNotNull() & (name != "")),
+            name,
+            window=cfg.sn_window,
+        )
+        # SN emits pairs in RANK order; canonicalize to doc_id order so
+        # the final dedup collapses them with the equality-key pairs
+        # (an uncanonicalized reversed pair would be scored twice and
+        # evade downstream doc_id_1<doc_id_2 conventions).
+        sn = sn.select(
+            F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+            F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        )
+        pairs = pairs.unionByName(sn)
+    return pairs.dropDuplicates(["doc_id_1", "doc_id_2"]), dropped
+
+
 def candidate_pairs_capped(
     keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> tuple[DataFrame, DataFrame]:
@@ -310,29 +360,72 @@ def candidate_pairs(
     return pairs.dropDuplicates([left_alias, right_alias]) if dedup else pairs
 
 
+def global_ranks(
+    records: DataFrame,
+    sort_key,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, _rank): dense global rank by (sort_key, id) WITHOUT a
+    single-partition window.
+
+    ``repartitionByRange`` range-partitions on the sort key, ranks are
+    computed per partition, and tiny per-partition counts are collected
+    to the driver to form cumulative offsets — the standard scalable
+    global-rank recipe.  The range-partitioned frame is pinned with
+    ``localCheckpoint`` first: range boundaries come from sampling, so
+    the counts pass and the rank pass must see the SAME partitioning.
+    """
+    from pyspark.sql import Window
+
+    spark = records.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        records.select(F.col(id_col), sort_key.alias("_k"))
+        .repartitionByRange(n_part, F.col("_k"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    return part.select(
+        F.col(id_col),
+        (F.row_number().over(w) + off_map[F.col("_pid")]).alias("_rank"),
+    )
+
+
 def sorted_neighborhood_pairs(
     records: DataFrame,
     sort_key,
     window: int = 5,
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Classic sorted-neighborhood pass: order records by ``sort_key``
     and pair every record with its ``window-1`` successors.
 
-    Implemented as a bucketed equi-join (bucket = rank div window; each
-    record also joins its successor bucket) + a rank-distance filter —
-    no cartesian, no driver state.  The global sort is one shuffle; at
-    cluster scale use range partitioning on the sort key.
-
-    Complements key blocking: catches near-misses whose block keys
-    diverge (e.g. typo in the first character breaks Soundex).
+    Pair volume is bounded at n*(window-1) REGARDLESS of value skew —
+    this is the scalable complement to prefix-equality name keys,
+    which degenerate into mega-blocks when one long token dominates
+    the prefix.  Global ranks come from ``global_ranks`` (range
+    partitioning + offset ranks, no single-partition window); the
+    neighborhood join is a bucketed equi-join (bucket = rank div
+    window; each record also joins its predecessor bucket) + a
+    rank-distance filter — no cartesian, no driver-side pair state.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(sort_key, F.col(id_col))
-    ranked = records.select(
-        F.col(id_col), F.row_number().over(w).alias("_rank")
-    )
+    ranked = global_ranks(records, sort_key, id_col, num_partitions)
     bucketed = ranked.withColumn(
         "_bucket", F.explode(
             F.array(

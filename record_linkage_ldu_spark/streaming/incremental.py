@@ -76,47 +76,120 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def incremental_linkage_batch(
     spark,
     new_documents: DataFrame,
-    record_store_path: str,
-    cluster_store_path: str,
-    pipeline_factory,
-) -> None:
+    store_dir: str,
+    cfg=None,
+) -> dict:
     """foreachBatch body for incremental linkage.
 
-    Contract (exercised in tests via two successive batch calls):
-      1. union new docs into the record store (idempotent by doc_id);
-      2. rerun blocking restricted to blocks touched by new docs;
-      3. union new match edges with prior edges; CC over the union;
-      4. overwrite the cluster table (labels are min-doc_id, so labels
-         of untouched components are stable across batches).
+    Per-batch SCORING work is incremental, not a full re-run:
+      1. only the new documents are normalized; prior batches' records
+         are read back from ``<store>/records`` (normalize once);
+      2. candidate generation runs over the full record store (cheap:
+         key projection + joins) but only pairs with at least one NEW
+         side are scored — an old-old equality-key pair was already
+         generated when both members were present (blocking is
+         deterministic), and an old-old sorted-neighborhood pair can
+         only LEAVE the window as new ranks push old ranks apart,
+         never newly appear;
+      3. new match edges union into ``<store>/edges``; connected
+         components re-runs over the union (labels are min-doc_id, so
+         labels of untouched components are stable across batches);
+      4. ``<store>/clusters`` is overwritten.
+
+    Returns counters: docs in store, pairs scored this batch, total
+    edges, clusters.
     """
     import os
 
+    from ..config import SELF_COMPARE_FIELDS
+    from ..operators import rules
+    from ..operators.blocking import generate_candidates
     from ..operators.cc import connected_components
+    from ..operators.scoring import (
+        attach_pair_sides,
+        score_pairs_self,
+        with_combined_score,
+    )
+    from ..plans.linkage import LinkageConfig, records_view
 
-    pipe = pipeline_factory(spark)
+    cfg = cfg or LinkageConfig()
+    records_path = os.path.join(store_dir, "records")
+    edges_path = os.path.join(store_dir, "edges")
+    clusters_path = os.path.join(store_dir, "clusters")
 
-    if os.path.exists(record_store_path):
-        existing = spark.read.parquet(record_store_path)
-        all_docs = (
-            existing.unionByName(new_documents)
-            .dropDuplicates(["doc_id"])
+    new_records = records_view(
+        new_documents.dropDuplicates(["doc_id"]), cfg
+    ).localCheckpoint(eager=True)
+
+    if os.path.exists(records_path):
+        old_records = spark.read.parquet(records_path)
+        # idempotent replay: a doc already in the store is not "new"
+        new_records = new_records.join(
+            old_records.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        all_records = old_records.unionByName(new_records).localCheckpoint(
+            eager=True
         )
     else:
-        all_docs = new_documents.dropDuplicates(["doc_id"])
-    all_docs = all_docs.localCheckpoint(eager=True)
-    all_docs.write.mode("overwrite").parquet(record_store_path)
+        all_records = new_records
 
-    res = pipe.run(all_docs)
-    res.clusters.write.mode("overwrite").parquet(cluster_store_path)
+    pairs, _ = generate_candidates(all_records, cfg.blocking)
+    new_ids = new_records.select("doc_id")
+    pairs = (
+        pairs.join(
+            new_ids.withColumnRenamed("doc_id", "doc_id_1"),
+            "doc_id_1",
+            "left_semi",
+        )
+        .unionByName(
+            pairs.join(
+                new_ids.withColumnRenamed("doc_id", "doc_id_2"),
+                "doc_id_2",
+                "left_semi",
+            )
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+
+    wide = attach_pair_sides(pairs, all_records, SELF_COMPARE_FIELDS)
+    scored = with_combined_score(
+        score_pairs_self(wide, with_jw=cfg.with_jw), mode="self"
+    )
+    new_edges = rules.match(scored, "self").select("doc_id_1", "doc_id_2")
+    n_scored = scored.count()
+
+    if os.path.exists(edges_path):
+        edges = (
+            spark.read.parquet(edges_path)
+            .unionByName(new_edges)
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+        )
+    else:
+        edges = new_edges
+    edges = edges.localCheckpoint(eager=True)
+
+    clusters = connected_components(
+        edges, vertices=all_records.select("doc_id"), method=cfg.cc_method
+    )
+
+    all_records.write.mode("overwrite").parquet(records_path)
+    edges.write.mode("overwrite").parquet(edges_path)
+    clusters.write.mode("overwrite").parquet(clusters_path)
+    return {
+        "docs": all_records.count(),
+        "new_docs": new_records.count(),
+        "pairs_scored": n_scored,
+        "edges": edges.count(),
+        "clusters": clusters.select("cluster_id").distinct().count(),
+    }
 
 
 def stream_documents_to_clusters(
     spark,
     source_path: str,
-    record_store_path: str,
-    cluster_store_path: str,
+    store_dir: str,
     checkpoint_path: str,
-    pipeline_factory,
+    cfg=None,
 ):
     """readStream(parquet dir) -> foreachBatch(incremental linkage).
     Returns the StreamingQuery (caller awaits/stops)."""
@@ -129,9 +202,7 @@ def stream_documents_to_clusters(
     )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
-        incremental_linkage_batch(
-            spark, df, record_store_path, cluster_store_path, pipeline_factory
-        )
+        incremental_linkage_batch(spark, df, store_dir, cfg=cfg)
 
     return (
         stream.writeStream.foreachBatch(_batch)
