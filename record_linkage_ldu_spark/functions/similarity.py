@@ -186,6 +186,38 @@ def lev_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # native Column expressions (JVM-side, preferred)
 # ------------------------------------------------------------------
 
+# RO and JW also exist as compiled Java UDFs (jvm/kernels.jar, sources
+# in jvm/src/rlds) — difflib-exact RO and the same JW — registered
+# lazily per session; ~50x the Arrow-UDF fallback and no Python worker
+# in the scoring stage at all.  The pandas_udf path remains as the
+# fallback when the jar is absent from the session classpath.
+
+
+def _jvm_kernels_available(spark) -> bool:
+    cached = getattr(spark, "_rlds_jvm_kernels", None)
+    if cached is not None:
+        return cached
+    ok = False
+    try:
+        from pyspark.sql.types import DoubleType as _D
+
+        spark.udf.registerJavaFunction("rlds_ro", "rlds.RoSim", _D())
+        spark.udf.registerJavaFunction("rlds_jw", "rlds.JwSim", _D())
+        ok = spark.sql("SELECT rlds_ro('ab','ba') AS x").collect()[0]["x"] is not None
+    except Exception:
+        ok = False
+    spark._rlds_jvm_kernels = ok
+    return ok
+
+
+def _kernel_call(name: str, udf_fallback, a: Column, b: Column) -> Column:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and _jvm_kernels_available(spark):
+        return F.call_udf(name, a, b)
+    return udf_fallback(a, b)
+
 
 def lev_sim_col(a: Column, b: Column) -> Column:
     """Normalized Levenshtein as a native expression:
@@ -202,18 +234,19 @@ def lev_sim_col(a: Column, b: Column) -> Column:
 
 
 def ro_sim_col(a: Column, b: Column) -> Column:
-    """Ratcliff-Obershelp with the missing->0 rule; the kernel itself
-    is the Arrow-batched UDF (no builtin exists)."""
+    """Ratcliff-Obershelp with the missing->0 rule; kernel = compiled
+    Java UDF when the session has jvm/kernels.jar, else the
+    Arrow-batched pandas UDF (no Spark builtin exists)."""
     return (
         F.when(a.isNull() | b.isNull(), F.lit(0.0))
-        .otherwise(ro_sim_udf(a, b))
+        .otherwise(_kernel_call("rlds_ro", ro_sim_udf, a, b))
     )
 
 
 def jw_sim_col(a: Column, b: Column) -> Column:
     return (
         F.when(a.isNull() | b.isNull(), F.lit(0.0))
-        .otherwise(jw_sim_udf(a, b))
+        .otherwise(_kernel_call("rlds_jw", jw_sim_udf, a, b))
     )
 
 

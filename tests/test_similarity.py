@@ -101,3 +101,46 @@ def test_ro_udf_matches_kernel(spark):
             assert r["s"] == 0.0
         else:
             assert r["s"] == pytest.approx(S.ratcliff_obershelp(a, b))
+
+
+def test_jvm_kernels_match_python(spark):
+    """The compiled Java RO/JW kernels (jvm/kernels.jar) agree with the
+    pure-Python reference kernels exactly, including edge cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.functions.similarity import (
+        _jvm_kernels_available,
+        jaro_winkler,
+        jw_sim_col,
+        ratcliff_obershelp,
+        ro_sim_col,
+    )
+
+    if not _jvm_kernels_available(spark):
+        import pytest
+
+        pytest.skip("jvm kernels jar not on session classpath")
+    rng = random.Random(7)
+
+    def rnd():
+        return "".join(
+            rng.choice("abcdef xyz") for _ in range(rng.randint(0, 25))
+        )
+
+    rows = [(rnd(), rnd()) for _ in range(500)] + [
+        ("", ""), ("a", ""), ("abc", "abc"), (None, "x"), ("x", None),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(
+        "a", "b",
+        ro_sim_col(F.col("a"), F.col("b")).alias("ro"),
+        jw_sim_col(F.col("a"), F.col("b")).alias("jw"),
+    ).collect()
+    for r in got:
+        if r["a"] is None or r["b"] is None:
+            assert r["ro"] == 0.0 and r["jw"] == 0.0
+        else:
+            assert r["ro"] == ratcliff_obershelp(r["a"], r["b"])
+            assert abs(r["jw"] - jaro_winkler(r["a"], r["b"])) < 1e-15
