@@ -382,6 +382,13 @@ def global_ranks(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    if num_partitions is None:
+        # the rank frame is (id, key) only; cap the default width so
+        # the two eager jobs here (checkpoint + counts collect) don't
+        # degenerate into fleets of near-empty tasks on wide sessions.
+        # Large corpora should pass num_partitions explicitly (the
+        # offsets collect is one small row per partition either way).
+        n_part = max(8, min(n_part, 64))
     part = (
         records.select(F.col(id_col), sort_key.alias("_k"))
         .repartitionByRange(n_part, F.col("_k"), F.col(id_col))

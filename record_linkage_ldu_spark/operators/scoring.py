@@ -40,6 +40,24 @@ from ..functions.similarity import jw_sim_col, lev_sim_col, ro_sim_col
 _SIM = {"lev": lev_sim_col, "ro": ro_sim_col}
 
 
+def _score_barrier(df: DataFrame, id_cols: list[str], score_cols: list[Column]) -> DataFrame:
+    """Evaluate the similarity kernels EXACTLY ONCE per pair.
+
+    ``total``/``score``/rule masks each reference every field column,
+    and CollapseProject inlines deterministic expressions into every
+    use site — measured 3-4x re-evaluation of the O(len^2) kernels
+    (37s -> 12s on 6.8M pairs after the barrier).  An
+    ``explode(array(struct(..)))`` Generate node forces the struct to
+    become concrete attributes: downstream arithmetic references the
+    materialized values, and filter pushdown stops at the generator
+    (predicates on generator output are not pushed through), so rule
+    masks cannot re-inline the kernels either.
+    """
+    return df.select(
+        *id_cols, F.explode(F.array(F.struct(*score_cols))).alias("_s")
+    ).select(*id_cols, "_s.*")
+
+
 def attach_pair_sides(
     pairs: DataFrame,
     records: DataFrame,
@@ -78,7 +96,7 @@ def score_pairs_self(
     Input: wide pair rows from ``attach_pair_sides``.  Output: one row
     per pair with a double score per field + ``total``.
     """
-    cols: list[Column] = [F.col("doc_id_1"), F.col("doc_id_2")]
+    cols: list[Column] = []
     score_cols = []
     for f in fields:
         method = method_for_field(f) or "lev"
@@ -87,7 +105,7 @@ def score_pairs_self(
         score_cols.append(f)
     if with_jw:
         cols.append(jw_sim_col(F.col("a_name"), F.col("b_name")).alias("jw_name"))
-    scored = pairs_wide.select(*cols)
+    scored = _score_barrier(pairs_wide, ["doc_id_1", "doc_id_2"], cols)
     total = reduce(lambda x, y: x + y, [F.col(f) for f in score_cols])
     return scored.withColumn("total", total)
 
@@ -122,7 +140,7 @@ def score_pairs_cross(pairs_wide_fn, with_jw: bool = True) -> DataFrame:
     ``greatest`` over the expanded comparison list.
     """
     df = pairs_wide_fn
-    cols: list[Column] = [F.col("doc_id_1"), F.col("doc_id_2")]
+    cols: list[Column] = []
     fam_cols = []
     for fam, comparisons in cross_field_pairs().items():
         sims = [
@@ -134,7 +152,7 @@ def score_pairs_cross(pairs_wide_fn, with_jw: bool = True) -> DataFrame:
         fam_cols.append(fam)
     if with_jw:
         cols.append(jw_sim_col(F.col("a_name"), F.col("b_name")).alias("jw_name"))
-    scored = df.select(*cols)
+    scored = _score_barrier(df, ["doc_id_1", "doc_id_2"], cols)
     total = reduce(lambda x, y: x + y, [F.col(f) for f in fam_cols])
     return scored.withColumn("total", total)
 

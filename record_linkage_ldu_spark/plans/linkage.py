@@ -60,6 +60,14 @@ class LinkageConfig:
     # (phone2, address3, company_name...) fall back onto the canonical
     # field before same-field comparison.
     family_coalesce: bool = True
+    # Pair rows are ~40 bytes but cost ~100us of similarity kernels
+    # each, so byte-based partition sizing (AQE advisory size, shuffle
+    # defaults) under-splits the scoring stage: e.g. 45 tasks on 32
+    # cores = 2 waves with the second 40% occupied (measured 70% CPU).
+    # An explicit round-robin repartition to cores * this factor gives
+    # full waves; REPARTITION_BY_NUM shuffles are exempt from AQE
+    # coalescing, so the width sticks.  0 = off.
+    score_partitions_per_core: int = 8
 
 
 _FAMILIES = {
@@ -130,6 +138,12 @@ class LinkagePipeline:
         info["dropped_blocks"] = dropped.count() if self.store is not None else None
         pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)
 
+        if cfg.score_partitions_per_core > 0:
+            n_score_parts = (
+                self.spark.sparkContext.defaultParallelism
+                * cfg.score_partitions_per_core
+            )
+            pairs = pairs.repartition(n_score_parts)
         wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)
         scored = score_pairs_self(wide, with_jw=cfg.with_jw)
         scored = with_combined_score(scored, mode="self")
