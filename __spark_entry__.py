@@ -479,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
     )
     q["evaluate_prf"] = lambda s, d: _prf_df(s, d)
+    q["score_histogram"] = lambda s, d: _score_histogram(s, d)
+    q["cluster_size_stats"] = lambda s, d: _cluster_size_stats(s, d)
     q["cross_match_rules"] = lambda s, d: _cross_matches(s, d)
     q["verified_clusters"] = lambda s, d: _verified_clusters(s, d)
     q["cluster_presentation"] = lambda s, d: _cluster_presentation(s, d)
@@ -516,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---------- ANN over embeddings ----------
+    q["embedding_near_dups"] = lambda s, d: ann.embedding_near_duplicates(
+        _t(s, d, "embeddings"), threshold=0.2, nbits=8
+    )
     q["cosine_topk"] = lambda s, d: ann.cosine_topk(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings").where(F.col("vec_id") % 50 == 0),
@@ -623,6 +628,53 @@ def _prf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tp, fp, fn, round(precision, 6), round(recall, 6), round(f1, 6))],
         "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+_HIST_FIELDS = ("name", "email", "phone", "address")
+_HIST_WIDTH = 0.05
+
+
+def _score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field score histogram — the reference's threshold-picking
+    distribution report (main_ldu_hw.py:267-327 plots one histogram
+    per field with mean/std annotations).  One aggregate pass over the
+    scored pairs: (field, bin, n_pairs) with bin = floor(score/width),
+    instead of the reference's one full scan per field."""
+    scored = _pair_scores(spark, sf_dir)
+    stacked = scored.select(
+        F.expr(
+            "stack({n}, {args}) AS (field, s)".format(
+                n=len(_HIST_FIELDS),
+                args=", ".join(f"'{f}', {f}" for f in _HIST_FIELDS),
+            )
+        )
+    )
+    return (
+        stacked.groupBy(
+            "field",
+            F.floor(F.col("s") / F.lit(_HIST_WIDTH)).alias("bin"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .select("field", F.col("bin").cast("long").alias("bin"), "n_pairs")
+    )
+
+
+def _cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 validate_groups' Series.describe() over group lengths
+    (main_ldu_hw.py:93-94): count/mean/std/min/max of cluster sizes in
+    one aggregate over the cluster table."""
+    sizes = (
+        _clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.round(F.avg("sz"), 6).alias("mean_size"),
+        F.round(F.stddev_samp("sz"), 6).alias("std_size"),
+        F.min("sz").alias("min_size"),
+        F.max("sz").alias("max_size"),
     )
 
 
@@ -785,6 +837,28 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS f1
         FROM counts
     """
+    hist_stack = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, \"{f}\" AS s FROM scored"
+        for f in _HIST_FIELDS
+    )
+    sql["score_histogram"] = f"""
+        {_sql_chain("scored")},
+    stacked AS ({hist_stack})
+        SELECT field, CAST(floor(s / CAST({_HIST_WIDTH!r} AS DOUBLE)) AS BIGINT) AS bin,
+               count(*) AS n_pairs
+        FROM stacked GROUP BY 1, 2
+    """
+    sql["cluster_size_stats"] = f"""
+        {_SQL_CC},
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+        SELECT count(*) AS n_clusters,
+               round(avg(sz), 6) AS mean_size,
+               round(stddev_samp(sz), 6) AS std_size,
+               min(sz) AS min_size,
+               max(sz) AS max_size
+        FROM sizes
+    """
     cross_fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
     cross_sims = ",\n               ".join(
         sql_lev_sim(f'n1."{f}"', f'n2."{f}"') + f' AS "{f}"'
@@ -908,6 +982,9 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_score"] = f"""
         SELECT doc_id, {T.sql_quality_score("text")} AS quality FROM documents
     """
+    sql["embedding_near_dups"] = ann.sql_embedding_near_duplicates(
+        "embeddings", threshold=0.2, nbits=8
+    )
     sql["cosine_topk"] = ann.sql_cosine_topk(
         "embeddings", "vec_id % 50 = 0", k=5
     )

@@ -156,6 +156,67 @@ def lsh_topk(
     )
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered same-bucket
+    pairs with cosine >= threshold (the dedup-flavored sibling of
+    ``lsh_topk`` — a pair set, not per-query top-k).
+
+    Same scale shape as MinHash dedup: sign-LSH bucket equi-join keeps
+    the candidate stage linear in bucket occupancy; the exact cosine
+    verifies candidates.  Multi-probe (bit-flip) variants would raise
+    recall at the same join shape; one deterministic probe keeps the
+    DuckDB oracle exact.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id_1"),
+            F.col("b.vid").alias("vec_id_2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def sql_embedding_near_duplicates(
+    table: str,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN CAST({vec_col} AS DOUBLE[])[{i + 1}] >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(nbits)
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   {bits} AS bucket
+            FROM {table}
+        )
+        SELECT a.vid AS vec_id_1, b.vid AS vec_id_2,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM base a JOIN base b ON a.bucket = b.bucket AND a.vid < b.vid
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+
+
 def sql_lsh_topk(
     table: str, k: int = 5, nbits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

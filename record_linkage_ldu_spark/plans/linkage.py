@@ -129,6 +129,16 @@ class LinkagePipeline:
 
         if self.store is not None:
             fp = input_fingerprint(documents, ["doc_id"])
+        # The normalize stage is narrow, so its parallelism is the
+        # INPUT's partition count; a source read as a handful of
+        # parquet splits (or a checkpointed union) would leave most
+        # cores idle through the regex-heavy normalizers.  One cheap
+        # round-robin shuffle of the raw docs unlocks the full width;
+        # real cluster inputs arrive with thousands of splits and skip
+        # this.
+        min_width = self.spark.sparkContext.defaultParallelism
+        if documents.rdd.getNumPartitions() < min_width:
+            documents = documents.repartition(2 * min_width)
         records = records_view(documents, cfg)
         records = self._stage("records", records, info, fingerprint_src=documents)
         if self.store is None and cfg.materialize:

@@ -36,8 +36,12 @@ def build_session(
     if master == LOCAL_AUTO:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = _master_parallelism(master or "", cpus)
-        shuffle_partitions = max(2 * n, 8)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            n = _master_parallelism(master or "", cpus)
+            shuffle_partitions = max(2 * n, 8)
 
     builder = SparkSession.builder.appName(app_name)
     if master:

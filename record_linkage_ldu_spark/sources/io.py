@@ -161,6 +161,35 @@ class StageStore:
             shutil.rmtree(self._stage_dir(stage), ignore_errors=True)
 
 
+def read_delimited_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ";",
+    header: bool = True,
+) -> DataFrame:
+    """S1: the reference's record source is ';'-delimited CSV with a
+    header row (pre_processing.py:114-115).  Everything is read as
+    string — the reference coerces all cells to string-or-NaN anyway
+    (SURVEY.md §1.1), and explicit casts downstream beat inference at
+    scale (schema inference is an extra full scan)."""
+    return (
+        spark.read.option("delimiter", delimiter)
+        .option("header", header)
+        .option("inferSchema", False)
+        .csv(path)
+    )
+
+
+def export_presentation_csv(df: DataFrame, path: str) -> None:
+    """S5: single-file presentation export for human review — the
+    Spark stand-in for the reference's Excel sink
+    (main_ldu_hw.py:468-471; 'meant for easy manual examination',
+    :99-102).  ``coalesce(1)`` funnels through one task: presentation
+    tables are small (clusters, not pairs); big outputs should use the
+    partitioned parquet sink via StageStore instead."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
 def input_fingerprint(df: DataFrame, cols: list[str]) -> str:
     """Order-insensitive content fingerprint of selected columns —
     cheap xor/count aggregate, used as the stage-resume key."""
