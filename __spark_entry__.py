@@ -1070,9 +1070,11 @@ def _sql_ngram_jaccard() -> str:
         )
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                round(
-                 CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                 CASE WHEN len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) > 0
                       THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                           / len(list_distinct(a.grams || b.grams))
+                           / (len(a.grams) + len(b.grams)
+                              - len(list_intersect(a.grams, b.grams)))
                       ELSE 1.0 END, 6) AS jaccard
         FROM base a JOIN base b
           ON a.lang = b.lang AND a.len_bucket = b.len_bucket

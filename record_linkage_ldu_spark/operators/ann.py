@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import ensure_width
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,7 +54,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = corpus.select(
+    c = ensure_width(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -130,7 +132,7 @@ def lsh_topk(
     same-sign-bucket candidates.  One equi-join on the bucket key —
     the O(n^2) cross join never happens; recall is tested against the
     brute-force baseline."""
-    base = corpus.select(
+    base = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
@@ -173,7 +175,7 @@ def embedding_near_duplicates(
     recall at the same join shape; one deterministic probe keeps the
     DuckDB oracle exact.
     """
-    base = corpus.select(
+    base = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
