@@ -92,7 +92,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth_documents(_t(spark, sf_dir, "customer"))
+    from record_linkage_ldu_spark.operators.dedup import ensure_width
+
+    # customer.parquet is one split; without widening, the broadcast
+    # joins downstream run their quadratic probe work in 1-2 tasks.
+    docs = synth_documents(ensure_width(_t(spark, sf_dir, "customer")))
     rec = records_view(docs)
     return rec.withColumnRenamed("grp", "group") if "grp" in rec.columns else rec
 
@@ -110,6 +114,8 @@ def _capped_keys(records: DataFrame) -> DataFrame:
 def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs + per-field normalized-Levenshtein scores +
     total + combined score (all JVM-native => oracle-checkable)."""
+    from record_linkage_ldu_spark.operators.scoring import _score_barrier
+
     records = _records(spark, sf_dir)
     pairs = candidate_pairs(_capped_keys(records))
     wide = attach_pair_sides(pairs, records, _PAIR_FIELDS)
@@ -117,7 +123,9 @@ def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
         for f in _PAIR_FIELDS
     ]
-    scored = wide.select("doc_id_1", "doc_id_2", *sims).withColumn(
+    # barrier: total/score below reference every field column, and
+    # CollapseProject would otherwise re-evaluate each levenshtein 3x
+    scored = _score_barrier(wide, ["doc_id_1", "doc_id_2"], sims).withColumn(
         "fax", F.lit(0.0)
     )
     total = reduce(lambda x, y: x + y, [F.col(f) for f in _PAIR_FIELDS])
