@@ -16,6 +16,7 @@ Scale design:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -344,8 +345,24 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------
 
 
-def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+@lru_cache(maxsize=1 << 20)
+def _word_bits(w: str):
+    # natural-language vocabularies are Zipfian: per-executor the same
+    # words hash over and over — memoize the md5->±1 bit vector (the
+    # expensive part of the sketch) per worker.  Module-level so the
+    # UDF closure pickles.
     import hashlib
+
+    import numpy as np
+
+    h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+    return np.array(
+        [1 if (h >> bit) & 1 else -1 for bit in range(64)], dtype=np.int32
+    )
+
+
+def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    import numpy as np
 
     @F.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
@@ -354,22 +371,21 @@ def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             if t is None:
                 out.append(0)
                 continue
-            counts = [0] * 64
             words = set(
-                w for w in "".join(
+                "".join(
                     ch if ch.isalnum() else " " for ch in t.lower()
                 ).split()
             )
+            if not words:
+                out.append(0)
+                continue
+            counts = np.zeros(64, dtype=np.int32)
             for w in words:
-                h = int.from_bytes(
-                    hashlib.md5(w.encode()).digest()[:8], "big"
-                )
-                for bit in range(64):
-                    counts[bit] += 1 if (h >> bit) & 1 else -1
+                counts += _word_bits(w)
+            bits = np.nonzero(counts > 0)[0]
             v = 0
-            for bit in range(64):
-                if counts[bit] > 0:
-                    v |= 1 << bit
+            for bit in bits:
+                v |= 1 << int(bit)
             # to signed 64-bit
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(out, dtype="int64")
