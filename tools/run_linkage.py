@@ -27,6 +27,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python tools/run_linkage.py` runs put tools/ (the script
+# dir) on sys.path, not the repo root; under spark-submit --py-files
+# the zip provides the package instead and this is a no-op.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
