@@ -256,13 +256,25 @@ def salted_candidate_pairs(
 
 
 def generate_candidates(
-    records: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    records: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full candidate generation for a record table: three-tier
     equality-key pairs (plain / salted / dropped) plus, when
     ``cfg.sn_window > 0``, the windowed sorted-neighborhood pass over
     the name field.  One pair-dedup shuffle over the union.  Returns
-    (pairs, dropped_census)."""
+    (pairs, dropped_census).
+
+    ``num_partitions`` makes the dedup shuffle double as the output
+    repartition: the raw pair union is hash-partitioned by
+    (doc_id_1, doc_id_2) to that width and deduped within partitions —
+    HashPartitioning on the dedup keys satisfies the aggregate's
+    required distribution, so Catalyst adds no second exchange, and
+    the explicit width is exempt from AQE coalescing (downstream
+    scorers want many small partitions: pair rows are ~40 bytes but
+    cost ~100us of similarity kernels each, so byte-based sizing
+    under-splits)."""
     keys = block_keys(records, cfg)
     kept, dropped = cap_blocks(keys, cfg)
     pairs = candidate_pairs(kept, dedup=False)
@@ -295,6 +307,8 @@ def generate_candidates(
             F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
         )
         pairs = pairs.unionByName(sn)
+    if num_partitions:
+        pairs = pairs.repartition(num_partitions, "doc_id_1", "doc_id_2")
     return pairs.dropDuplicates(["doc_id_1", "doc_id_2"]), dropped
 
 

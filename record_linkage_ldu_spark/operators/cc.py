@@ -7,26 +7,49 @@ the *documented* semantics — "if A==B and B==C then [A,B,C] are all the
 same client" — as true connected components, fully in DataFrames
 (SURVEY.md §2.8 G1).
 
-Two algorithms, both iterative joins with per-iteration
-``localCheckpoint`` to truncate lineage (Catalyst does not optimize
-across iterations — SURVEY.md §4#3):
+Three algorithms behind one ``method="auto"`` dispatch:
 
-  * ``alternating-star`` (default): the large-star/small-star method of
+  * ``driver-uf``: the small-graph finish of the classic two-level
+    scheme — collect the (already rule-filtered, ~2% of candidate
+    pairs) edge list and run union-find on the driver, then broadcast
+    the doc->cluster mapping back.  Size-gated exactly like a
+    broadcast hash join: it applies only when the edge list fits a
+    driver collect (``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``, default 5M).
+    Replaces ~5 barrier-chained jobs *per star iteration* with one
+    collect + one broadcast join — the star loop's per-job fixed cost
+    is what makes CC scale inversely with core count on small graphs
+    (measured 7.7s @ 8 cores -> 12.0s @ 32 for 336k edges).
+  * ``alternating-star``: the large-star/small-star method of
     Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SOCC'14) — O(log^2 n) rounds, robust to long chains; the published
-    method the north star names.
+    (SOCC'14) — O(log^2 n) rounds, robust to long chains; the
+    published method the north star names, and the path taken for
+    edge sets beyond the driver gate (at 10^12 docs the match-edge
+    list is itself web-scale).
   * ``label-prop``: min-label propagation — O(diameter) rounds; fewer
     joins per round, ideal when clusters are small (entity duplicates
     rarely exceed dozens of members).
 
 Cluster label = min member doc_id (deterministic, order-insensitive —
 replaces the reference's arrival-order-dependent group identity).
+doc_ids are compared as strings; for the ASCII ids this engine emits,
+Python ``min`` (driver-uf) and Spark's binary string ordering (the
+distributed methods) agree.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Driver-finish gate for method="auto": above this edge count the
+# distributed star loop runs instead.  ~5M string pairs collect to a
+# few hundred MB of pandas — the same order as a broadcast-join build
+# side; raise/lower via env on hosts with different driver memory.
+DRIVER_UF_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "5000000")
+)
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -62,14 +85,16 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
-    method: str = "alternating-star",
+    method: str = "auto",
     max_iter: int = 50,
 ) -> DataFrame:
     """edges(doc_id_1, doc_id_2) [+ vertices(doc_id)] ->
     clusters(doc_id, cluster_id) with cluster_id = min member doc_id.
 
     ``vertices`` adds singleton docs (cluster of themselves); without
-    it only matched docs appear.
+    it only matched docs appear.  ``method="auto"`` picks the driver
+    union-find finish when the edge list fits the collect gate, the
+    distributed star loop otherwise.
     """
     # materialize the edge list once (callers may pass an expensive
     # unmaterialized plan — scoring chains), and let its count size
@@ -79,6 +104,13 @@ def connected_components(
     # width was sized for.
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
+    if method == "auto":
+        method = (
+            "driver-uf" if n_edges <= DRIVER_UF_MAX_EDGES
+            else "alternating-star"
+        )
+    if method == "driver-uf":
+        return _driver_uf_clusters(edges, vertices)
     # The in-scope assembly checkpoint is size-gated (only matters
     # once assembly itself is heavy); the inter-star pin is NOT — it
     # wins at every measured size (15k edges: 8s vs 13.5s without;
@@ -123,6 +155,72 @@ def connected_components(
         if big:
             clusters = clusters.localCheckpoint(eager=True)
     return clusters
+
+
+def _driver_uf_clusters(
+    edges: DataFrame, vertices: DataFrame | None
+) -> DataFrame:
+    """Small-graph CC finish: one collect, union-find on the driver,
+    one broadcast-mapping join back.
+
+    Union-by-min keeps every tree's root equal to the component
+    minimum (singleton root = itself = min; merging two min-rooted
+    trees under min(ra, rb) preserves the invariant), so the emitted
+    ``cluster_id`` is the min member doc_id — identical to the
+    distributed methods.  Duplicate and self-loop edges are absorbed
+    by the union, so the canonicalization/dedup shuffle is skipped
+    entirely: the raw match edges are collected as-is.
+    """
+    spark = edges.sparkSession
+    c1, c2 = edges.columns[0], edges.columns[1]
+    pdf = edges.select(c1, c2).toPandas()
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[c1].values, pdf[c2].values):
+        if a is None or b is None or a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    nodes = list(parent.keys())
+    import pandas as pd
+
+    mapping_pdf = pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+    )
+    mapping = spark.createDataFrame(
+        mapping_pdf,
+        schema="doc_id string, cluster_id string",
+    )
+    if len(mapping_pdf) < 4_000_000:
+        mapping = F.broadcast(mapping)
+    if vertices is None:
+        # matched docs only: nodes with no union stay their own root
+        roots = (
+            edges.select(F.col(c1).alias("doc_id"))
+            .union(edges.select(F.col(c2).alias("doc_id")))
+            .dropDuplicates(["doc_id"])
+        )
+        return roots.join(mapping, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    return vertices.select("doc_id").join(mapping, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 class _loop_shuffle_partitions:

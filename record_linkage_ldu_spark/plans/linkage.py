@@ -48,7 +48,7 @@ from ..sources.io import StageStore, input_fingerprint
 @dataclass
 class LinkageConfig:
     blocking: BlockingConfig = field(default_factory=default_blocking)
-    cc_method: str = "alternating-star"
+    cc_method: str = "auto"
     with_jw: bool = True
     # with no StageStore, pin the two reuse points (records feeds the
     # pair join twice + CC vertices; matches feeds both the caller and
@@ -144,16 +144,25 @@ class LinkagePipeline:
         if self.store is None and cfg.materialize:
             records = records.localCheckpoint(eager=False)
 
-        pairs, dropped = generate_candidates(records, cfg.blocking)
+        # The pair dedup and the scoring-width repartition share ONE
+        # shuffle: generate_candidates hash-partitions the raw pair
+        # union by (doc_id_1, doc_id_2) to the scoring width and
+        # dedups within partitions (HashPartitioning on the dedup keys
+        # satisfies the aggregate's distribution, so no second
+        # exchange), instead of a 192-partition dedup shuffle followed
+        # by a full round-robin reshuffle of the deduped pairs.
+        n_score_parts = (
+            self.spark.sparkContext.defaultParallelism
+            * cfg.score_partitions_per_core
+            if cfg.score_partitions_per_core > 0
+            else None
+        )
+        pairs, dropped = generate_candidates(
+            records, cfg.blocking, num_partitions=n_score_parts
+        )
         info["dropped_blocks"] = dropped.count() if self.store is not None else None
         pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)
 
-        if cfg.score_partitions_per_core > 0:
-            n_score_parts = (
-                self.spark.sparkContext.defaultParallelism
-                * cfg.score_partitions_per_core
-            )
-            pairs = pairs.repartition(n_score_parts)
         wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)
         scored = score_pairs_self(wide, with_jw=cfg.with_jw)
         scored = with_combined_score(scored, mode="self")

@@ -34,7 +34,7 @@ GRAPHS = {
 }
 
 
-@pytest.mark.parametrize("method", ["alternating-star", "label-prop"])
+@pytest.mark.parametrize("method", ["alternating-star", "label-prop", "driver-uf"])
 @pytest.mark.parametrize("name", list(GRAPHS))
 def test_cc_golden(spark, method, name):
     edges, expected = GRAPHS[name]
@@ -46,7 +46,7 @@ def test_cc_golden(spark, method, name):
     assert got == expected
 
 
-@pytest.mark.parametrize("method", ["alternating-star", "label-prop"])
+@pytest.mark.parametrize("method", ["alternating-star", "label-prop", "driver-uf"])
 def test_cc_singletons_via_vertices(spark, method):
     edges = spark.createDataFrame([("a", "b")], ["doc_id_1", "doc_id_2"])
     verts = spark.createDataFrame([("a",), ("b",), ("lonely",)], ["doc_id"])
@@ -85,3 +85,43 @@ def test_cc_methods_agree_on_random_graph(spark):
         for r in connected_components(df, method="label-prop").collect()
     }
     assert a == b
+
+
+def test_cc_methods_agree_driver_uf(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"w{i:03d}" for i in range(150)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+    df = spark.createDataFrame(edges, ["doc_id_1", "doc_id_2"])
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, method="alternating-star").collect()
+    }
+    uf = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, method="driver-uf").collect()
+    }
+    assert star == uf
+
+
+def test_cc_auto_dispatch(spark, monkeypatch):
+    """auto -> driver-uf under the gate, alternating-star above it."""
+    from record_linkage_ldu_spark.operators import cc as cc_mod
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["doc_id_1", "doc_id_2"]
+    )
+    expected = {"a": "a", "b": "a", "c": "a"}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, method="auto").collect()
+    }
+    assert got == expected
+    # force the distributed path by shrinking the gate to zero
+    monkeypatch.setattr(cc_mod, "DRIVER_UF_MAX_EDGES", 0)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, method="auto").collect()
+    }
+    assert got == expected
