@@ -254,6 +254,15 @@ SELF_SCORE_FIELDS: tuple[str, ...] = (
     "name", "address",
 )
 
+# column sets for cross-dataset scoring: every HW-side variant column
+# (left) and every LDU-side target column reachable through HW_TO_LDU
+# (right) — what attach_pair_sides must carry into the pair rows.
+CROSS_HW_FIELDS: tuple[str, ...] = tuple(HW_TO_LDU.keys())
+CROSS_LDU_FIELDS: tuple[str, ...] = (
+    "email", "name", "group", "phone", "fax", "address", "city",
+    "state", "zip", "country",
+)
+
 # fields compared in self-dedup mode (compare_ldu_ldu.py:28-40; the ldu
 # table's linkage-relevant columns)
 SELF_COMPARE_FIELDS: tuple[str, ...] = (

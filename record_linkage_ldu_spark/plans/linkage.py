@@ -139,10 +139,20 @@ class LinkagePipeline:
         min_width = self.spark.sparkContext.defaultParallelism
         if documents.rdd.getNumPartitions() < min_width:
             documents = documents.repartition(2 * min_width)
-        records = records_view(documents, cfg)
-        records = self._stage("records", records, info, fingerprint_src=documents)
+        records_full = records_view(documents, cfg)
+        records = self._stage(
+            "records", records_full, info, fingerprint_src=documents
+        )
         if self.store is None and cfg.materialize:
-            records = records.localCheckpoint(eager=False)
+            # The in-session pin stores only the linkage columns: the
+            # spans payload is ~80% of the records bytes and no
+            # internal consumer (blocking keys, pair sides, CC
+            # vertices) reads it.  The store path persists the full
+            # records including spans — resume and presentation joins
+            # read that table.  localCheckpoint materializes ALL
+            # columns (no pruning across an RDD boundary), so the drop
+            # must happen before the pin, not after.
+            records = records.drop("spans").localCheckpoint(eager=False)
 
         # The pair dedup and the scoring-width repartition share ONE
         # shuffle: generate_candidates hash-partitions the raw pair
@@ -181,7 +191,9 @@ class LinkagePipeline:
         clusters = self._stage("clusters", clusters, info, fingerprint_src=documents)
 
         return LinkageResult(
-            records=records,
+            # span-carrying view (store-backed when checkpointing);
+            # the span-free internal pin is an execution detail
+            records=records if self.store is not None else records_full,
             pairs=pairs,
             scores=scored,
             matches=matches,
@@ -198,3 +210,132 @@ class LinkagePipeline:
         res = self.store.run_stage(name, fp, lambda: df)
         info[name] = {"resumed": res.resumed, "wall_s": res.wall_s}
         return res.df
+
+
+class CrossLinkagePipeline:
+    """Cross-dataset linkage — the reference's primary flow
+    (LDU x HW: compare_ldu_hw.py + main_ldu_hw.py, SURVEY.md §3 entry
+    points 2+3).  Two document tables in, one linkage result out:
+
+        left  = the HW-like source (variant columns: name2, phone2,
+                address3..., company_name — SURVEY.md §1.1)
+        right = the LDU-like source (canonical columns)
+
+    Candidate generation is the blocked equi-join between the two key
+    tables (never the reference's driver-materialized cartesian,
+    compare_ldu_hw.py:160-163); scoring is the target-max + family
+    merge collapsed into one ``greatest`` per family
+    (score_pairs_cross); match rules are the D1 masks; clusters come
+    from connected components over the bipartite match edges.
+
+    doc_ids must be globally unique across the two tables (they are
+    the join identity; the reference used disjoint positional indexes,
+    SURVEY.md §1.1 — our stable-id equivalent).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: LinkageConfig | None = None,
+        store: StageStore | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or LinkageConfig()
+        self.store = store
+
+    def run(
+        self, documents_left: DataFrame, documents_right: DataFrame
+    ) -> LinkageResult:
+        from ..config import CROSS_HW_FIELDS, CROSS_LDU_FIELDS
+        from ..operators.blocking import block_census, block_keys, candidate_pairs
+        from ..operators.scoring import score_pairs_cross
+
+        cfg = self.cfg
+        info: dict = {}
+
+        min_width = self.spark.sparkContext.defaultParallelism
+        if documents_left.rdd.getNumPartitions() < min_width:
+            documents_left = documents_left.repartition(2 * min_width)
+        if documents_right.rdd.getNumPartitions() < min_width:
+            documents_right = documents_right.repartition(2 * min_width)
+
+        # resume fingerprints must cover BOTH inputs
+        fp_src = documents_left.select("doc_id").unionByName(
+            documents_right.select("doc_id")
+        )
+        wide_l = normalize_fields(extract_fields(documents_left))
+        wide_r = normalize_fields(extract_fields(documents_right))
+        # internal pins carry only the linkage columns (the spans
+        # payload is never read by blocking/scoring/CC; see the self
+        # pipeline's records pin for the measurement)
+        records_l = wide_l.select("doc_id", "source", *CROSS_HW_FIELDS)
+        records_r = wide_r.select("doc_id", "source", *CROSS_LDU_FIELDS)
+        if self.store is None and cfg.materialize:
+            records_l = records_l.localCheckpoint(eager=False)
+            records_r = records_r.localCheckpoint(eager=False)
+
+        keys_l = block_keys(records_l, cfg.blocking)
+        keys_r = block_keys(records_r, cfg.blocking)
+        # cross-mode block cap: a block's pair volume is |left| * |right|,
+        # so the census runs over the UNION of both key tables and any
+        # key whose combined membership exceeds the cap is dropped from
+        # both sides (the record still pairs through its other keys).
+        census = block_census(keys_l.unionByName(keys_r))
+        big = census.where(
+            F.col("block_size") > cfg.blocking.max_block_size
+        )
+        kept_l = keys_l.join(
+            F.broadcast(big.select("block_key")), "block_key", "left_anti"
+        )
+        kept_r = keys_r.join(
+            F.broadcast(big.select("block_key")), "block_key", "left_anti"
+        )
+        n_score_parts = (
+            self.spark.sparkContext.defaultParallelism
+            * cfg.score_partitions_per_core
+            if cfg.score_partitions_per_core > 0
+            else None
+        )
+        pairs = candidate_pairs(kept_l, kept_r, dedup=False)
+        if n_score_parts:
+            pairs = pairs.repartition(n_score_parts, "doc_id_1", "doc_id_2")
+        pairs = pairs.dropDuplicates(["doc_id_1", "doc_id_2"])
+        info["dropped_blocks"] = big.count() if self.store is not None else None
+        pairs = self._stage("pairs", pairs, info, fp_src)
+
+        wide_pairs = attach_pair_sides(
+            pairs,
+            records_l,
+            CROSS_HW_FIELDS,
+            records_right=records_r,
+            fields_right=CROSS_LDU_FIELDS,
+        )
+        scored = score_pairs_cross(wide_pairs, with_jw=cfg.with_jw)
+        scored = with_combined_score(scored, mode="cross")
+        scored = self._stage("scores", scored, info, fp_src)
+
+        matches = rules.match(scored, mode="cross")
+        matches = self._stage("matches", matches, info, fp_src)
+        if self.store is None and cfg.materialize:
+            matches = matches.localCheckpoint(eager=False)
+
+        vertices = records_l.select("doc_id").unionByName(
+            records_r.select("doc_id")
+        )
+        clusters = connected_components(
+            matches.select("doc_id_1", "doc_id_2"),
+            vertices=vertices,
+            method=cfg.cc_method,
+        )
+        clusters = self._stage("clusters", clusters, info, fp_src)
+
+        return LinkageResult(
+            records=records_l,
+            pairs=pairs,
+            scores=scored,
+            matches=matches,
+            clusters=clusters,
+            stage_info=info,
+        )
+
+    _stage = LinkagePipeline._stage

@@ -41,3 +41,49 @@ def test_export_presentation_csv_single_file(spark, tmp_path):
     text = open(parts[0]).read()
     assert text.splitlines()[0] == "cluster_id,doc_id,name"
     assert len(text.splitlines()) == 3
+
+
+def test_run_linkage_cross_mode(spark, tiny_gen, tmp_path):
+    """tools/run_linkage.py --input-right drives CrossLinkagePipeline
+    end-to-end through a real subprocess (the spark-submit surface)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = tiny_gen.select("doc_id", "spans")
+    left_p = str(tmp_path / "left.parquet")
+    right_p = str(tmp_path / "right.parquet")
+    docs.where(F.col("doc_id").endswith("x0")).write.parquet(left_p)
+    docs.where(~F.col("doc_id").endswith("x0")).write.parquet(right_p)
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "run_linkage.py"),
+            "--master", "local[4]",
+            "--input", left_p,
+            "--input-right", right_p,
+            "--output", str(tmp_path / "out"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout[out.stdout.index("{"):])
+    assert report["clusters"]["docs_in_multiple_clusters"] == 0
+    clusters = spark.read.parquet(str(tmp_path / "out" / "clusters"))
+    assert clusters.count() == docs.count()
+    # matched docs really cluster across the two sources
+    cross = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .count()
+    )
+    assert cross > 0

@@ -71,3 +71,34 @@ def test_cc_method_equivalence_e2e(spark, tiny_gen):
     star = _run(spark, tiny_gen, cc_method="alternating-star").clusters
     prop = _run(spark, tiny_gen, cc_method="label-prop").clusters
     assert sorted(map(tuple, star.collect())) == sorted(map(tuple, prop.collect()))
+
+
+def test_cross_pipeline_golden(spark, tiny_gen):
+    """CrossLinkagePipeline (the reference's LDU x HW flow): left =
+    first copy of every entity, right = the remaining copies.  Every
+    entity's copies must reassemble into one cluster through
+    left-right match edges alone."""
+    from record_linkage_ldu_spark.plans.linkage import CrossLinkagePipeline
+
+    docs = tiny_gen.select("doc_id", "spans")
+    left = docs.where(F.col("doc_id").endswith("x0"))
+    right = docs.where(~F.col("doc_id").endswith("x0"))
+    res = CrossLinkagePipeline(spark, LinkageConfig()).run(left, right)
+
+    # every match edge crosses the two sources
+    bad = res.matches.where(
+        ~F.col("doc_id_1").endswith("x0") & ~F.col("doc_id_2").endswith("x0")
+    ).count()
+    same_side = res.matches.where(
+        F.col("doc_id_1").endswith("x0") & F.col("doc_id_2").endswith("x0")
+    ).count()
+    assert bad == 0 and same_side == 0
+
+    expected = {
+        (r["doc_id"], r["cluster_id"])
+        for r in expected_clusters(
+            tiny_gen.select("doc_id", "entity_id")
+        ).collect()
+    }
+    got = {(r["doc_id"], r["cluster_id"]) for r in res.clusters.collect()}
+    assert got == expected

@@ -266,26 +266,33 @@ Pipeline efficiency relative to the hardware ceiling:
 ## Where the scaling goes (phase decomposition, measured)
 
 Eagerly materializing each pipeline phase at both levels (same input,
-528k docs) shows the compute-bound stage scales at the hardware
-ceiling while single-JVM orchestration does not:
+528k docs, `tools/profile_phases.py`) shows the compute-bound stage
+scales at the hardware ceiling while single-JVM orchestration does
+not:
 
 * **pair scoring + rules** (the reference's 6-hour stage; ~60% of
-  core-seconds): 111.1s @ 8 cores → 37.5s @ 32 = **3.0x of 4x — at
-  this host's pure-CPU ceiling**.  This is the stage that dominates at
-  10^12 docs.
-* candidate generation (shuffle-bound): ~1.5x — bounded by AQE's
-  sequential stage materialization + barrier stragglers in one JVM.
-* normalize (narrow) and the CC loop (many small barrier-chained
-  jobs): near-flat — fixed per-job driver/scheduler cost that a
-  local[N] JVM pays identically at every N.
+  core-seconds, 19.6M pairs): 129.1s @ 8 cores → 47.5s @ 32 =
+  **2.7x of 4x = 0.82 of this host's 0.83 pure-CPU ceiling**.  This
+  is the stage that dominates at 10^12 docs.
+* candidate generation (shuffle-bound): 42.0s → 21.2s (~2.0x) —
+  bounded by AQE's sequential stage materialization, the broadcast
+  census barriers, and single-JVM shuffle I/O contention.
+* normalize (narrow, regex-heavy): 12.9s → 10.4s — allocation-rate
+  bound in one JVM (32 threads share one allocator/GC; separate
+  executor JVMs do not).
+* connected components: 3.3s → 6.7s of mostly job-fixed cost.  The
+  driver union-find finish already collapsed the star loop's ~18
+  barrier-chained jobs into 3 (12.0s → 6.7s at 32 cores); what
+  remains is per-job scheduler cost paid identically at every N.
 
 On a real N vs 4N *executor* cluster the driver-side fixed costs are
 the same absolute seconds for both sizes but the per-executor work
-shrinks 4x, and the single-JVM scheduler/heap contention measured
-here does not exist — the scoring-stage number is the representative
-one for the north-rule criterion.
+shrinks 4x, and the single-JVM scheduler/allocator contention
+measured here does not exist — the scoring-stage number is the
+representative one for the north-rule criterion.
 
-Reproduce: `python tools/bench_scaling.py`
+Reproduce: `python tools/bench_scaling.py` (end-to-end) and
+`python tools/profile_phases.py <cpus> <mult>` (phase decomposition).
 (env: `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_SCALE_MULT`,
 `SPARK_GRAFT_SCALE_LEVELS`, `SPARK_GRAFT_SCALE_REPS`).
 """

@@ -39,9 +39,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="documents table (parquet path or iceberg:<table>)")
+    ap.add_argument(
+        "--input-right",
+        default=None,
+        help="second documents table — switches to cross-dataset mode "
+        "(CrossLinkagePipeline: --input = HW-like left source, "
+        "--input-right = LDU-like right source)",
+    )
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--checkpoint-dir", default=None, help="StageStore dir (enables resume); default <output>/_stages")
-    ap.add_argument("--cc-method", default="alternating-star", choices=["alternating-star", "label-prop"])
+    ap.add_argument(
+        "--cc-method",
+        default="auto",
+        choices=["auto", "driver-uf", "alternating-star", "label-prop"],
+    )
     ap.add_argument("--max-block-size", type=int, default=1000)
     ap.add_argument("--no-jw", action="store_true", help="skip the auxiliary Jaro-Winkler column")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -56,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     from record_linkage_ldu_spark.operators.blocking import BlockingConfig
     from record_linkage_ldu_spark.operators.evaluate import validate_clusters
     from record_linkage_ldu_spark.plans.linkage import (
+        CrossLinkagePipeline,
         LinkageConfig,
         LinkagePipeline,
     )
@@ -68,10 +80,12 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
 
-    if args.input.startswith("iceberg:"):
-        documents = spark.read.format("iceberg").load(args.input[len("iceberg:"):])
-    else:
-        documents = spark.read.parquet(args.input)
+    def _read(path: str):
+        if path.startswith("iceberg:"):
+            return spark.read.format("iceberg").load(path[len("iceberg:"):])
+        return spark.read.parquet(path)
+
+    documents = _read(args.input)
 
     store = StageStore(spark, args.checkpoint_dir or f"{args.output}/_stages")
     cfg = LinkageConfig(
@@ -79,7 +93,12 @@ def main(argv: list[str] | None = None) -> int:
         cc_method=args.cc_method,
         with_jw=not args.no_jw,
     )
-    res = LinkagePipeline(spark, cfg, store=store).run(documents)
+    if args.input_right:
+        res = CrossLinkagePipeline(spark, cfg, store=store).run(
+            documents, _read(args.input_right)
+        )
+    else:
+        res = LinkagePipeline(spark, cfg, store=store).run(documents)
 
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.matches.write.mode("overwrite").parquet(f"{args.output}/matches")
