@@ -34,6 +34,17 @@ from ..config import (
 
 # ------------------------------------------------------------------
 # token-pipeline helpers
+#
+# Codegen note (measured, 528k docs, 32 cores): the lambda F.filter
+# here is CodegenFallback and keeps the normalize projection OUT of
+# whole-stage codegen — and that is the FASTER choice.  The
+# codegen-capable alternative (stopword removal as one token-exact
+# regexp_replace alternation over ~185 words) makes the projection
+# fully codegen but runs 2.4x SLOWER (16.9s vs 7.0s): Java regex
+# tries each alternative per position, while the interpreted filter
+# does one static InSet hash probe per token.  sort_array /
+# array_remove (codegen-capable, same semantics on null-free token
+# arrays) are used over their HOF twins where a choice exists.
 # ------------------------------------------------------------------
 
 
@@ -43,17 +54,19 @@ def _tokens(c: Column, *, replace_with_space: bool) -> Column:
     c = F.regexp_replace(c, "[^a-z0-9 ]", " " if replace_with_space else "")
     toks = F.split(F.trim(c), " +")
     # split('') yields [''], drop empties
-    return F.filter(toks, lambda t: t != F.lit(""))
+    return F.array_remove(toks, "")
 
 
 def _remove_stopwords(toks: Column, stopwords: tuple[str, ...]) -> Column:
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    # isin over a literal list optimizes to InSet (one static hash set
+    # per expression instance) — cheaper than a per-token linear
+    # array_contains scan over the ~180-word corpus.
+    return F.filter(toks, lambda t: ~t.isin(*stopwords))
 
 
 def _join_tokens(toks: Column, *, sort: bool) -> Column:
     if sort:
-        toks = F.array_sort(toks)
+        toks = F.sort_array(toks)
     return F.array_join(toks, " ")
 
 
@@ -64,7 +77,8 @@ def _join_tokens(toks: Column, *, sort: bool) -> Column:
 
 def normalize_name(c: Column) -> Column:
     """pre_processing.py:48-55 — lowercase, strip symbols, drop name
-    stopwords, sort tokens, space-join."""
+    stopwords (token-exact, duplicates preserved), sort tokens,
+    space-join."""
     toks = _remove_stopwords(_tokens(c, replace_with_space=False), NAME_STOPWORDS)
     return _join_tokens(toks, sort=True)
 

@@ -447,25 +447,30 @@ def sorted_neighborhood_pairs(
     rank-distance filter — no cartesian, no driver-side pair state.
     """
     ranked = global_ranks(records, sort_key, id_col, num_partitions)
-    bucketed = ranked.withColumn(
-        "_bucket", F.explode(
-            F.array(
-                (F.col("_rank") / window).cast("long"),
-                ((F.col("_rank") / window) - 1).cast("long"),
-            )
-        )
+    # One-sided bucketing makes every qualifying pair meet in EXACTLY
+    # one bucket, so no dedup shuffle is needed: for a pair with ranks
+    # ra < rb and rb - ra < window, the higher side's primary bucket
+    # db = rb div window satisfies db in {da, da+1} — the lower side
+    # explodes to those two candidate buckets, the higher side joins
+    # on its primary bucket only.  (Two-sided explode — both records
+    # emitting {d, d-1} — makes same-bucket pairs meet twice and
+    # forces a 3.7M-row dropDuplicates at 528k docs.)
+    div = (F.col("_rank") / window).cast("long")
+    lo = ranked.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col("_rank").alias("_rank_lo"),
+        F.explode(F.array(div, div + 1)).alias("_bucket"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    hi = ranked.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col("_rank").alias("_rank_hi"),
+        div.alias("_bucket"),
+    )
     return (
-        a.join(b, "_bucket")
+        lo.join(hi, "_bucket")
         .where(
-            (F.col("b._rank") > F.col("a._rank"))
-            & (F.col("b._rank") - F.col("a._rank") < window)
+            (F.col("_rank_hi") > F.col("_rank_lo"))
+            & (F.col("_rank_hi") - F.col("_rank_lo") < window)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_id_1"),
-            F.col(f"b.{id_col}").alias("doc_id_2"),
-        )
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
+        .select("doc_id_1", "doc_id_2")
     )

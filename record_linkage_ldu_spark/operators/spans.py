@@ -57,7 +57,15 @@ DOCUMENTS_SCHEMA = StructType(
 def span_text(kind: str) -> Column:
     """Text of the first span of ``kind`` (fields appear at most once
     per document); NULL when the field is absent — which downstream
-    scoring treats as score 0 (compare_ldu_hw.py:93-95)."""
+    scoring treats as score 0 (compare_ldu_hw.py:93-95).
+
+    The lambda ``F.filter`` form is the measured-fastest extraction:
+    the codegen-capable alternative (``array_position`` over
+    ``spans.kind`` + ``element_at`` over ``spans.text``) materializes
+    two side arrays per field with no subexpression sharing in the
+    interpreted regime this projection runs in (the normalizers'
+    stopword HOF keeps it out of whole-stage codegen anyway) and
+    measured 1.8x slower at 528k docs."""
     hits = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit(kind))
     return F.try_element_at(hits, F.lit(1))["text"]
 

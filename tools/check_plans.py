@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Physical-plan invariant checks (.explain as a gate, not a vibe).
+
+Asserts the plan properties the engine's scale story depends on:
+
+  1. pair dedup fused with the scoring repartition = ONE exchange
+     above the candidate union (no dedup shuffle + reshuffle);
+  2. parquet scans under projection/filter push columns and predicates
+     into the scan (ReadSchema pruned, PushedFilters non-empty);
+  3. the linkage plan contains no CartesianProduct / BroadcastNestedLoop
+     join anywhere (blocking must keep every join an equi-join);
+  4. the record normalizers compile into WholeStageCodegen (no
+     Python eval in the normalize projection);
+  5. small-side joins (census caps, cluster mapping) broadcast.
+
+Usage: python tools/check_plans.py [sf_dir]   (default sf0.001)
+Exits non-zero on the first violated invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FAILURES: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"{'OK  ' if ok else 'FAIL'}  {name}" + (f" — {detail}" if detail and not ok else ""))
+    if not ok:
+        FAILURES.append(name)
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main(sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.operators.blocking import generate_candidates
+    from record_linkage_ldu_spark.plans.linkage import (
+        LinkageConfig,
+        LinkagePipeline,
+        records_view,
+    )
+    from record_linkage_ldu_spark.session import build_session
+    from record_linkage_ldu_spark.sources.synth import synth_documents
+
+    spark = build_session(app_name="plan-checks", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_documents(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    cfg = LinkageConfig()
+    records = records_view(docs, cfg)
+
+    # 1. fused dedup: exactly one exchange between the pair union and
+    # the dedup aggregate, an explicit REPARTITION_BY_NUM
+    pairs, _ = generate_candidates(records, cfg.blocking, num_partitions=32)
+    plan = executed_plan(pairs)
+    top = plan.split("Union", 1)[0]
+    n_exchanges = top.count("Exchange hashpartitioning(doc_id_1")
+    check(
+        "pair dedup single exchange",
+        n_exchanges == 1 and "REPARTITION_BY_NUM" in top,
+        f"exchanges above union: {n_exchanges}",
+    )
+
+    # 2. pushdown and pruning on a raw parquet scan
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    ep = optimized_explain(li)
+    pushed = re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity", ep)
+    schema = re.search(r"ReadSchema: [^\n]*l_orderkey[^\n]*l_quantity", ep)
+    wide_schema = re.search(r"ReadSchema: [^\n]*l_comment", ep)
+    check("filter pushed to parquet scan", bool(pushed))
+    check(
+        "column pruning at scan",
+        bool(schema) and not wide_schema,
+        "scan reads more columns than the projection needs",
+    )
+
+    # 3-5. full linkage plan properties (scores stage carries the whole
+    # chain: normalize -> keys -> join -> dedup -> sides -> kernels)
+    res = LinkagePipeline(spark, cfg).run(docs)
+    full = executed_plan(res.scores)
+    check(
+        "no cartesian/nested-loop joins in linkage plan",
+        "CartesianProduct" not in full and "BroadcastNestedLoop" not in full,
+    )
+    # normalize: a single narrow projection straight over the scan —
+    # no exchange, no Python eval.  (It is deliberately NOT whole-stage
+    # codegen: the stopword filter is a lambda HOF, and the measured
+    # codegen-capable alternative — a ~185-way regexp alternation —
+    # runs 2.4x slower than the interpreted InSet probe; see
+    # functions/normalizers.py.)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/docs")
+        pdocs = spark.read.parquet(f"{td}/docs")
+        narrow = executed_plan(
+            records_view(pdocs, cfg).select("doc_id", "name", "phone")
+        )
+        check(
+            "normalize is one narrow scan->project stage",
+            "Exchange" not in narrow
+            and "BatchEvalPython" not in narrow
+            and "FileScan parquet" in narrow,
+            narrow.strip().splitlines()[0][:100],
+        )
+    check(
+        "no row-at-a-time Python eval in linkage plan",
+        "BatchEvalPython" not in full,
+    )
+    check("census cap join broadcasts", "BroadcastHashJoin" in full)
+
+    print(f"\n{len(FAILURES)} failures: {FAILURES}")
+    spark.stop()
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    raise SystemExit(main(sf))
