@@ -73,6 +73,70 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming twin of ``sessionize``: gap-based session numbers as a
+    custom STATEFUL operator via ``applyInPandasWithState`` keyed by
+    user.
+
+    Per-user state = (last event epoch, current session_no); each
+    micro-batch sorts its slice by ts, continues the numbering from
+    state, and persists the tail for the next batch — so sessions that
+    span micro-batch boundaries get the SAME numbering the batch
+    window-function form assigns on the full history (asserted by
+    tests/test_incremental.py against ``sessionize``).  Events must
+    reach their key in event-time order across batches (file-ordered
+    replay or an upstream watermark+sort); out-of-order arrivals
+    within one batch are handled by the per-batch sort.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, session_no bigint"
+    )
+    state_schema = "last_epoch double, session_no bigint"
+    gap_s = float(gap_minutes) * 60.0
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        last_epoch, sess_no = (
+            state.get if state.exists else (None, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            epochs = (
+                pd.to_datetime(pdf["ts"]).astype("int64") / 1e9
+            ).to_numpy()
+            nums = []
+            for e in epochs:
+                if last_epoch is None or (e - last_epoch) > gap_s:
+                    sess_no += 1
+                nums.append(sess_no)
+                last_epoch = float(e)
+            out = pdf[["event_id", "user_id", "ts", "event_type"]].copy()
+            out["session_no"] = nums
+            yield out
+        state.update((last_epoch, int(sess_no)))
+
+    return (
+        events_stream.select("event_id", "user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def incremental_linkage_batch(
     spark,
     new_documents: DataFrame,

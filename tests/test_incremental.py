@@ -77,3 +77,68 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     full = LinkagePipeline(spark, LinkageConfig()).run(docs)
     got = _cluster_set(spark.read.parquet(f"{store}/clusters"))
     assert got == _cluster_set(full.clusters)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must assign the SAME
+    session numbers as the batch window-function form even when a
+    user's session spans micro-batch boundaries (state carries the
+    last event epoch + session counter across batches)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = events.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")
+    ).collect()[0]["m"]
+
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for i, half in enumerate(
+        (
+            events.where(F.col("ts").cast("timestamp").cast("double") <= cut),
+            events.where(F.col("ts").cast("timestamp").cast("double") > cut),
+        )
+    ):
+        stage = tmp_path / f"stage{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = stream_dir / f"batch{i}.parquet"
+        shutil.copy(part, dst)
+        # file source replays in modification-time order
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["event_id"], r["session_no"])
+        for r in spark.table("sess_stream_out").collect()
+    }
+    expected = {
+        (r["event_id"], r["session_no"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert len(got) == events.count()
+    assert got == expected
