@@ -142,3 +142,85 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) == events.count()
     assert got == expected
+
+
+def test_windowed_events_watermark_drops_late_data(spark, tmp_path):
+    """Streaming mode of windowed_event_counts: an event arriving
+    after the watermark has passed its window is DROPPED; the window's
+    appended result excludes it."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    def ev(eid, hour, minute):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1, hour, minute),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    batches = [
+        # window [10:00, 11:00): two events; max ts 11:15
+        [ev(1, 10, 0), ev(2, 10, 30), ev(3, 11, 15)],
+        # advances the watermark to 18:00 (2h behind 20:00)
+        [ev(4, 20, 0)],
+        # spacer: watermark updates propagate with a one-batch lag,
+        # and window-state eviction happens at the END of the first
+        # batch that sees the advanced watermark — a late row landing
+        # in that same batch would still merge (watermark is a lower
+        # bound, per the Structured Streaming contract)
+        [ev(6, 20, 30)],
+        # late arrival for the now-evicted 10:00 window -> dropped
+        [ev(5, 10, 45)],
+    ]
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"estage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = stream_dir / f"b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        windowed_event_counts(
+            stream, window_duration="1 hour", watermark="2 hours",
+            streaming=True,
+        )
+        .writeStream.format("memory")
+        .queryName("win_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.table("win_stream_out").collect()
+    }
+    # the 10:00 window closed with 2 events — the late 10:45 event
+    # (event_id 5) arrived after the watermark passed and is not
+    # counted; the 11:00 window holds event 3
+    assert (10, 2) in got
+    assert (10, 3) not in got
+    assert (11, 1) in got
