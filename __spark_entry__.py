@@ -537,6 +537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_ann_topk"] = lambda s, d: ann.lsh_topk(
         _t(s, d, "embeddings"), k=3, nbits=8
     )
+    # IVF ANN (KMeans coarse quantizer, pyspark.ml) — no DuckDB twin
+    # for the quantizer, so rows-only here; exactness at full probe and
+    # recall at partial probe are gated by tests/test_ann.py
+    q["ivf_ann_topk"] = lambda s, d: ann.ivf_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").where(F.col("vec_id") % 50 == 0),
+        k=5, n_centroids=8, nprobe=4,
+    )
 
     # ---------- events: windows / sessions ----------
     q["windowed_events"] = lambda s, d: windowed_event_counts(
