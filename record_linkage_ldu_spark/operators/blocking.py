@@ -259,6 +259,7 @@ def generate_candidates(
     records: DataFrame,
     cfg: BlockingConfig = BlockingConfig(),
     num_partitions: int | None = None,
+    materialize_keys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full candidate generation for a record table: three-tier
     equality-key pairs (plain / salted / dropped) plus, when
@@ -274,8 +275,18 @@ def generate_candidates(
     the explicit width is exempt from AQE coalescing (downstream
     scorers want many small partitions: pair rows are ~40 bytes but
     cost ~100us of similarity kernels each, so byte-based sizing
-    under-splits)."""
+    under-splits).
+
+    ``materialize_keys=True`` pins the exploded key table with an
+    EAGER localCheckpoint before fanning out: the keys/census subplan
+    is referenced by the plain tier, the salt tier, and three census
+    reads, and exchange reuse does not reliably collapse them —
+    measured 17-23s -> ~11s for the full candidate stage at 528k
+    docs.  Off by default because it runs a job at call time (plan
+    builders and oracle queries want a lazy frame)."""
     keys = block_keys(records, cfg)
+    if materialize_keys:
+        keys = keys.localCheckpoint(eager=True)
     kept, dropped = cap_blocks(keys, cfg)
     pairs = candidate_pairs(kept, dedup=False)
     hot = hot_blocks(keys, cfg)

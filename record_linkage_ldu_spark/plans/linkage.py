@@ -168,7 +168,10 @@ class LinkagePipeline:
             else None
         )
         pairs, dropped = generate_candidates(
-            records, cfg.blocking, num_partitions=n_score_parts
+            records,
+            cfg.blocking,
+            num_partitions=n_score_parts,
+            materialize_keys=cfg.materialize,
         )
         info["dropped_blocks"] = dropped.count() if self.store is not None else None
         pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)

@@ -63,20 +63,20 @@ def main(cpus: int, mult: int) -> None:
     )
     pairs = timed(
         "candidates",
-        lambda: generate_candidates(records, cfg.blocking)[0].localCheckpoint(
-            eager=True
-        ),
+        lambda: generate_candidates(
+            records,
+            cfg.blocking,
+            num_partitions=spark.sparkContext.defaultParallelism
+            * cfg.score_partitions_per_core,
+            materialize_keys=True,
+        )[0].localCheckpoint(eager=True),
     )
     n_pairs = pairs.count()
 
     def _score():
-        p = pairs
-        if cfg.score_partitions_per_core > 0:
-            p = p.repartition(
-                spark.sparkContext.defaultParallelism
-                * cfg.score_partitions_per_core
-            )
-        wide = attach_pair_sides(p, records, SELF_COMPARE_FIELDS)
+        # pairs are already hash-partitioned to the scoring width by
+        # generate_candidates (mirrors the pipeline)
+        wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)
         scored = score_pairs_self(wide, with_jw=cfg.with_jw)
         scored = with_combined_score(scored, mode="self")
         return rules.match(scored, mode="self").localCheckpoint(eager=True)
