@@ -255,6 +255,42 @@ def salted_candidate_pairs(
     return out
 
 
+def salted_candidate_pairs_cross(
+    hot_keys_left: DataFrame,
+    hot_keys_right: DataFrame,
+    salt: int = 8,
+    left_alias: str = "doc_id_1",
+    right_alias: str = "doc_id_2",
+    dedup: bool = True,
+) -> DataFrame:
+    """Cross-dataset pair generation for HOT blocks via the classic
+    replicate-one-side salted join.
+
+    Right-side records get a deterministic bucket ``hash(doc) % s``;
+    every left-side record is replicated into all ``s`` buckets, so a
+    (left, right) pair meets in exactly the right record's bucket —
+    no pairs lost, no duplicates created, and the widest task holds
+    ~|right block|/s rows instead of the whole block.  (The self-join
+    triangle scheme does not apply cross-dataset: pairs are ordered
+    (left, right), not unordered.)  Replication factor is ``s`` on
+    the left side only — put the smaller table on the left.
+    """
+    right = hot_keys_right.select(
+        F.col("doc_id").alias(right_alias),
+        "block_key",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+        .cast("int")
+        .alias("_b"),
+    )
+    left = hot_keys_left.select(
+        F.col("doc_id").alias(left_alias),
+        "block_key",
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("_b"),
+    )
+    out = left.join(right, ["block_key", "_b"]).select(left_alias, right_alias)
+    return out.dropDuplicates([left_alias, right_alias]) if dedup else out
+
+
 def generate_candidates(
     records: DataFrame,
     cfg: BlockingConfig = BlockingConfig(),

@@ -279,31 +279,51 @@ class CrossLinkagePipeline:
 
         keys_l = block_keys(records_l, cfg.blocking)
         keys_r = block_keys(records_r, cfg.blocking)
-        # cross-mode block cap: a block's pair volume is |left| * |right|,
-        # so the census runs over the UNION of both key tables and any
-        # key whose combined membership exceeds the cap is dropped from
-        # both sides (the record still pairs through its other keys).
+        if cfg.materialize:
+            keys_l = keys_l.localCheckpoint(eager=True)
+            keys_r = keys_r.localCheckpoint(eager=True)
+        # cross-mode block tiers mirror the self pipeline: a block's
+        # pair volume is |left| * |right|, so the census runs over the
+        # UNION of both key tables; normal blocks go through the plain
+        # equi-join, hot blocks through the replicate-left salted
+        # join, blocks beyond the salted ceiling are dropped from both
+        # sides (the record still pairs through its other keys).
+        bc = cfg.blocking
         census = block_census(keys_l.unionByName(keys_r))
-        big = census.where(
-            F.col("block_size") > cfg.blocking.max_block_size
+        over_cap = census.where(F.col("block_size") > bc.max_block_size)
+        dropped = census.where(
+            F.col("block_size") > bc.max_block_size * bc.salt_drop_factor
+        )
+        hot = over_cap.join(
+            F.broadcast(dropped.select("block_key")), "block_key", "left_anti"
         )
         kept_l = keys_l.join(
-            F.broadcast(big.select("block_key")), "block_key", "left_anti"
+            F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
         )
         kept_r = keys_r.join(
-            F.broadcast(big.select("block_key")), "block_key", "left_anti"
+            F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
         )
+        hot_l = keys_l.join(F.broadcast(hot.select("block_key")), "block_key")
+        hot_r = keys_r.join(F.broadcast(hot.select("block_key")), "block_key")
         n_score_parts = (
             self.spark.sparkContext.defaultParallelism
             * cfg.score_partitions_per_core
             if cfg.score_partitions_per_core > 0
             else None
         )
-        pairs = candidate_pairs(kept_l, kept_r, dedup=False)
+        from ..operators.blocking import salted_candidate_pairs_cross
+
+        pairs = candidate_pairs(kept_l, kept_r, dedup=False).unionByName(
+            salted_candidate_pairs_cross(
+                hot_l, hot_r, salt=bc.salt_buckets, dedup=False
+            )
+        )
         if n_score_parts:
             pairs = pairs.repartition(n_score_parts, "doc_id_1", "doc_id_2")
         pairs = pairs.dropDuplicates(["doc_id_1", "doc_id_2"])
-        info["dropped_blocks"] = big.count() if self.store is not None else None
+        info["dropped_blocks"] = (
+            dropped.count() if self.store is not None else None
+        )
         pairs = self._stage("pairs", pairs, info, fp_src)
 
         wide_pairs = attach_pair_sides(

@@ -145,3 +145,40 @@ def test_three_tier_candidate_generation(spark):
     assert [(r["block_key"], r["block_size"]) for r in dropped.collect()] == [
         ("giant", 200)
     ]
+
+
+def test_salted_cross_pairs_equal_plain_join(spark):
+    """Replicate-left salted cross join loses no pairs and creates no
+    duplicates: on any key table it must produce exactly the plain
+    block equi-join's pair set."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        salted_candidate_pairs_cross,
+    )
+
+    left = spark.createDataFrame(
+        [(f"l{i:03d}", "hot") for i in range(40)]
+        + [(f"l{i:03d}", "warm") for i in range(0, 40, 3)],
+        ["doc_id", "block_key"],
+    )
+    right = spark.createDataFrame(
+        [(f"r{i:03d}", "hot") for i in range(55)]
+        + [(f"r{i:03d}", "warm") for i in range(0, 55, 4)],
+        ["doc_id", "block_key"],
+    )
+    plain = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(left, right).collect()
+    }
+    salted_rows = salted_candidate_pairs_cross(
+        left, right, salt=4, dedup=False
+    ).collect()
+    salted = {(r["doc_id_1"], r["doc_id_2"]) for r in salted_rows}
+    assert salted == plain
+    # no duplicates even before dedup: each pair meets in exactly one
+    # (block_key, bucket) cell... except pairs reachable via BOTH keys
+    multi_key = {
+        p for p in plain
+        if int(p[0][1:]) % 3 == 0 and int(p[1][1:]) % 4 == 0
+    }
+    assert len(salted_rows) == len(salted) + len(multi_key)
