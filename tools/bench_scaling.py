@@ -266,24 +266,26 @@ Pipeline efficiency relative to the hardware ceiling:
 ## Where the scaling goes (phase decomposition, measured)
 
 Eagerly materializing each pipeline phase at both levels (same input,
-528k docs, `tools/profile_phases.py`) shows the compute-bound stage
-scales at the hardware ceiling while single-JVM orchestration does
-not:
+528k docs, `tools/profile_phases.py`, measured back-to-back on the
+throttled late-day host — the ratios, not the absolute walls, are the
+signal) shows the compute-bound stage scales at the hardware ceiling
+while single-JVM orchestration does not:
 
 * **pair scoring + rules** (the reference's 6-hour stage; ~60% of
-  core-seconds, 19.6M pairs): 129.1s @ 8 cores → 47.5s @ 32 =
-  **2.7x of 4x = 0.82 of this host's 0.83 pure-CPU ceiling**.  This
-  is the stage that dominates at 10^12 docs.
-* candidate generation (shuffle-bound): 42.0s → 21.2s (~2.0x) —
+  core-seconds, 19.6M pairs): 114.8s @ 8 cores → 42.9s @ 32 =
+  **2.7x of 4x = 0.84 of this host's concurrent 0.80 pure-CPU
+  ceiling**.  This is the stage that dominates at 10^12 docs.
+* candidate generation (shuffle-bound): 26.2s → 16.0s (~1.6x) —
   bounded by AQE's sequential stage materialization, the broadcast
   census barriers, and single-JVM shuffle I/O contention.
-* normalize (narrow, regex-heavy): 12.9s → 10.4s — allocation-rate
+* normalize (narrow, regex-heavy): 10.7s → 9.5s — allocation-rate
   bound in one JVM (32 threads share one allocator/GC; separate
   executor JVMs do not).
-* connected components: 3.3s → 6.7s of mostly job-fixed cost.  The
-  driver union-find finish already collapsed the star loop's ~18
-  barrier-chained jobs into 3 (12.0s → 6.7s at 32 cores); what
-  remains is per-job scheduler cost paid identically at every N.
+* connected components: 3.1s → 3.9s of job-fixed cost.  The driver
+  union-find finish collapsed the star loop's ~18 barrier-chained
+  jobs into 3 (the loop previously ran 7.7s @ 8 -> 12.0s @ 32 —
+  INVERSE scaling); what remains is per-job scheduler cost paid
+  identically at every N.
 
 On a real N vs 4N *executor* cluster the driver-side fixed costs are
 the same absolute seconds for both sizes but the per-executor work
