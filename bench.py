@@ -94,6 +94,7 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
     timed("cosine_topk", lambda: _force(qs["cosine_topk"](spark, sf_dir)))
     timed("lsh_ann", lambda: _force(qs["lsh_ann_topk"](spark, sf_dir)))
+    timed("ivf_ann", lambda: _force(qs["ivf_ann_topk"](spark, sf_dir)))
     timed("embedding_near_dups", lambda: _force(
         qs["embedding_near_dups"](spark, sf_dir)
     ))
