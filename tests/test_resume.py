@@ -81,3 +81,41 @@ def test_input_fingerprint_order_insensitive(spark):
     c = spark.createDataFrame([("x",), ("y",)], ["doc_id"])
     assert input_fingerprint(a, ["doc_id"]) == input_fingerprint(b, ["doc_id"])
     assert input_fingerprint(a, ["doc_id"]) != input_fingerprint(c, ["doc_id"])
+
+
+def test_cross_pipeline_resume(spark, tiny_gen, tmp_path):
+    """CrossLinkagePipeline under a StageStore: a second run resumes
+    every stage (fingerprint covers BOTH inputs) and reproduces the
+    clusters exactly; perturbing the right input invalidates resume."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.plans.linkage import (
+        CrossLinkagePipeline,
+        LinkageConfig,
+    )
+
+    docs = tiny_gen.select("doc_id", "spans")
+    left = docs.where(F.col("doc_id").endswith("x0"))
+    right = docs.where(~F.col("doc_id").endswith("x0"))
+
+    store = StageStore(spark, str(tmp_path / "xstages"))
+    r1 = CrossLinkagePipeline(spark, LinkageConfig(), store=store).run(
+        left, right
+    )
+    c1 = sorted(map(tuple, r1.clusters.collect()))
+    assert all(not v["resumed"] for k, v in r1.stage_info.items()
+               if isinstance(v, dict))
+
+    r2 = CrossLinkagePipeline(spark, LinkageConfig(), store=store).run(
+        left, right
+    )
+    c2 = sorted(map(tuple, r2.clusters.collect()))
+    assert c1 == c2
+    assert all(v["resumed"] for k, v in r2.stage_info.items()
+               if isinstance(v, dict))
+
+    # a changed right-side input must invalidate the fingerprint
+    r3 = CrossLinkagePipeline(spark, LinkageConfig(), store=store).run(
+        left, right.limit(50)
+    )
+    assert not r3.stage_info["pairs"]["resumed"]
