@@ -67,6 +67,7 @@ from record_linkage_ldu_spark.plans.linkage import (
     records_view,
 )
 from record_linkage_ldu_spark.sources.synth import (
+    sql_media_pick,
     synth_documents,
     synth_sql_cte,
 )
@@ -590,8 +591,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dups"] = lambda s, d: dedup.simhash_near_duplicates(
         dedup.simhash_sketch(_t(s, d, "documents")), max_hamming=16
     )
+    # feature is array<float>; the harness canonicalizes via pandas
+    # sort, which cannot hash lists — return the bytes the stub decoder
+    # derived them from (x*255 is exact through float32) as a string.
+    # The md5 stub IS SQL-expressible, so this entry is hash-checked.
     q["media_features"] = lambda s, d: extract_media_features(
         media_table(synth_documents(_t(s, d, "customer")))
+    ).select(
+        "doc_id",
+        "media_ref",
+        "media_type",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("feature_bytes"),
+        "decode_ok",
     )
     q["span_invariant_check"] = lambda s, d: _span_invariant(s, d)
     return q
@@ -800,12 +817,15 @@ def oracle_sql() -> dict[str, str]:
     mask_aggs = []
     for i, m in enumerate(masks):
         others = " OR ".join(mm for j, mm in enumerate(masks) if j != i)
+        # CAST to BIGINT: DuckDB sums to HUGEINT, which canonicalizes
+        # differently from Spark's long (the one red hash in round 1)
         mask_aggs.append(
-            f"sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS mask{i}_count"
+            f"CAST(sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS mask{i}_count"
         )
         mask_aggs.append(
-            f"sum(CASE WHEN ({m}) AND NOT ({others}) THEN 1 ELSE 0 END)"
-            f" AS mask{i}_unique"
+            f"CAST(sum(CASE WHEN ({m}) AND NOT ({others}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS mask{i}_unique"
         )
     sql["mask_stats"] = f"""
         {_sql_chain("scored")}
@@ -1046,6 +1066,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
+    """
+    # md5-stub feature bytes recomputed directly (multimodal.py stub:
+    # feature[i] = digest[i % 16] / 255, emitted as bytes by the query)
+    media_bytes = ", ".join(
+        f"(('0x' || substr(md5(media_ref), {2 * i + 1}, 2))::INT)"
+        for i in range(8)
+    )
+    sql["media_features"] = f"""
+        WITH {synth_sql_cte()},
+    media AS (
+        SELECT doc_id, 'img://' || doc_id AS media_ref
+        FROM synth WHERE {sql_media_pick("doc_id")}
+    )
+        SELECT doc_id, media_ref, 'image' AS media_type,
+               concat_ws(',', {media_bytes}) AS feature_bytes,
+               TRUE AS decode_ok
+        FROM media
     """
     return sql
 

@@ -291,9 +291,23 @@ def synth_documents(cust: DataFrame, with_c_copy: bool = True) -> DataFrame:
         F.lit(offset + 1).cast("int").alias("offset"),
     )
     spans_arr = F.when(
-        F.crc32(F.col("doc_id")) % 3 == 0, F.array(*spans, media)
+        _media_pick(F.col("doc_id")), F.array(*spans, media)
     ).otherwise(F.array(*spans))
     return flat.select("doc_id", spans_arr.alias("spans"))
+
+
+def _media_pick(doc_id: Column) -> Column:
+    """Deterministic ~1/3 selection of docs that carry a media span.
+    md5-based (not crc32) so the DuckDB oracle can replicate it —
+    see ``sql_media_pick``."""
+    return (
+        F.conv(F.substring(F.md5(doc_id), 1, 2), 16, 10).cast("int") % 3 == 0
+    )
+
+
+def sql_media_pick(doc_id: str) -> str:
+    """DuckDB twin of ``_media_pick``."""
+    return f"(('0x' || substr(md5({doc_id}), 1, 2))::INT % 3 = 0)"
 
 
 # ------------------------------------------------------------------
