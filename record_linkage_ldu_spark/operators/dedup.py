@@ -28,6 +28,36 @@ from ..functions.text import (
     sql_tokens,
     tokens,
 )
+from .blocking import BlockingConfig, candidate_pairs_capped
+
+
+def capped_bucket_pairs(
+    keys: DataFrame,
+    max_bucket_size: int = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Three-tier candidate generation over a generic ``(doc_id,
+    block_key)`` bucket table — the linkage blocking layer's
+    census/cap/salt scheme (blocking.py:144-291) applied to dedup
+    buckets (MinHash bands, SimHash bands, metadata blocks).
+
+    Why: a single boilerplate bucket (templated/empty docs sharing one
+    band key) turns the bucket self-join quadratic IN ONE JOIN KEY at
+    corpus scale.  Tiering bounds it: buckets up to ``max_bucket_size``
+    pair through the plain equi-join; buckets up to ``drop_factor``
+    times that go through the lossless triangle-salted join (bounded
+    per-task width, no pairs lost); anything larger is dropped and
+    reported in the returned census (degenerate content — empty or
+    templated documents).  Returns (pairs(doc_id_1 < doc_id_2),
+    dropped_census(block_key, block_size)).
+    """
+    cfg = BlockingConfig(
+        max_block_size=max_bucket_size,
+        salt_buckets=salt_buckets,
+        salt_drop_factor=drop_factor,
+    )
+    return candidate_pairs_capped(keys, cfg)
 
 
 def ensure_width(df: DataFrame) -> DataFrame:
@@ -182,23 +212,45 @@ def minhash_near_duplicates(
     band_size: int = 3,
     threshold: float = 0.7,
     shingle_size: int = 3,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
 ) -> DataFrame:
     """LSH candidates (band-key join) verified by exact shingle-set
-    Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard)."""
+    Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard).
+
+    Band buckets go through the census/cap/salt tiers
+    (``capped_bucket_pairs``): the salt tier is lossless, so results
+    are identical to the plain join unless a bucket exceeds the drop
+    ceiling (``max_bucket_size * drop_factor`` docs sharing one band —
+    boilerplate/empty texts whose pairs would be quadratic in a single
+    join key).  ``max_bucket_size=None`` disables tiering (plain join).
+    """
     bands = minhash_signatures(
         df, text_col, id_col, num_hashes, band_size, shingle_size
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    keys = bands.select(
+        "doc_id",
+        F.concat_ws(":", F.col("band_idx").cast("string"), "band_key").alias(
+            "block_key"
+        ),
     )
+    if max_bucket_size is None:
+        a = keys.alias("a")
+        b = keys.alias("b")
+        cand = (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+        )
+    else:
+        cand, _ = capped_bucket_pairs(
+            keys, max_bucket_size, salt_buckets, drop_factor
+        )
     toks_tbl = _shingled(df, text_col, id_col, shingle_size, out_col="toks")
     return (
         cand.join(
@@ -289,11 +341,24 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     n: int = 2,
     threshold: float = 0.5,
+    max_block_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
 ) -> DataFrame:
     """Word n-gram Jaccard over within-block pairs (block on cheap
-    metadata, e.g. language + length bucket).  The quadratic stage is
-    bounded by block size — suitable when blocks are small; use the
-    MinHash path otherwise."""
+    metadata, e.g. language + length bucket).
+
+    A metadata block is one join key, so a dominant (lang, len_bucket)
+    cell goes quadratic in a single task at corpus scale — the same
+    failure mode as a hot linkage block.  Tiering bounds it: blocks up
+    to ``max_block_size`` keep the cheap gram-carrying equi-join; hot
+    blocks up to ``drop_factor`` times that pair through the lossless
+    triangle-salted join (gram arrays re-attached per side); larger
+    blocks are dropped (use the MinHash path for such corpora).  A pair
+    lives in exactly one block (block cols are per-doc attributes), so
+    the tiers need no cross-tier dedup.  ``max_block_size=None``
+    disables tiering.
+    """
     tokenized = ensure_width(df).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
@@ -323,20 +388,87 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(F.array(grams)).alias("grams"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
-        a.join(b, list(block_cols))
+    jac = lambda: F.round(  # noqa: E731
+        jaccard_col(F.col("a.grams"), F.col("b.grams")), 6
+    ).alias("jaccard")
+    if max_block_size is None:
+        a = base.alias("a")
+        b = base.alias("b")
+        return (
+            a.join(b, list(block_cols))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+                jac(),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    from .blocking import block_census, salted_candidate_pairs
+
+    # equi-joins drop null keys, so a row with any null block col never
+    # pairs — make the composite key preserve that before tiering
+    not_null = F.lit(True)
+    for c in block_cols:
+        not_null = not_null & F.col(c).isNotNull()
+    keyed = base.where(not_null).withColumn(
+        "block_key",
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in block_cols]
+        ),
+    )
+    census = block_census(keyed.select("doc_id", "block_key"))
+    over_cap = census.where(F.col("block_size") > max_block_size)
+    hot = census.where(
+        (F.col("block_size") > max_block_size)
+        & (F.col("block_size") <= max_block_size * drop_factor)
+    )
+    kept = keyed.join(
+        F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    plain = (
+        a.join(b, "block_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            F.round(
-                jaccard_col(F.col("a.grams"), F.col("b.grams")), 6
-            ).alias("jaccard"),
+            jac(),
         )
-        .where(F.col("jaccard") >= threshold)
     )
+    hot_keys = keyed.join(
+        F.broadcast(hot.select("block_key")), "block_key"
+    ).select("doc_id", "block_key")
+    salted = salted_candidate_pairs(
+        hot_keys, salt=salt_buckets, dedup=False
+    )
+    gram_tbl = keyed.select("doc_id", "grams")
+    hot_pairs = (
+        salted.join(
+            gram_tbl.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("grams").alias("g1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            gram_tbl.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("grams").alias("g2"),
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jaccard_col(F.col("g1"), F.col("g2")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return plain.unionByName(hot_pairs).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------------
@@ -396,25 +528,79 @@ def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def simhash_near_duplicates(
-    sketches: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+    sketches: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
 ) -> DataFrame:
-    """Near-dups by hamming distance <= max_hamming, blocked on the
-    top ``prefix_bits`` bits (docs differing inside the prefix are
-    missed — standard multi-probe tables would run 4 rotations; one
-    block suffices for the test corpus).  XOR+popcount is native."""
-    keyed = ensure_width(sketches).withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    """Near-dups by hamming distance <= max_hamming via multi-probe
+    band tables: the 64-bit sketch is split into ``n_bands`` disjoint
+    bit bands and docs sharing ANY band value become candidates
+    (union of ``n_bands`` bucket tables, one pair-dedup).
+
+    Recall guarantee by pigeonhole: a pair within hamming distance
+    ``n_bands - 1`` differs in fewer bits than there are bands, so at
+    least one band is untouched and the pair shares that band's bucket
+    — recall is EXACTLY 1.0 for ``max_hamming <= n_bands - 1`` (the
+    pytest gate).  Larger ``max_hamming`` degrades gracefully
+    (candidates from any agreeing band).  Band buckets go through the
+    census/cap/salt tiers like every other bucket family; verification
+    is native XOR+popcount against the (tiny) sketch table.
+    """
+    width = 64 // n_bands
+    sk = ensure_width(sketches).select("doc_id", "simhash")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b).cast("string"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("string"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    keys = sk.select("doc_id", F.explode(band_keys).alias("block_key"))
+    if max_bucket_size is None:
+        a = keys.alias("a")
+        b = keys.alias("b")
+        cand = (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+        )
+    else:
+        cand, _ = capped_bucket_pairs(
+            keys, max_bucket_size, salt_buckets, drop_factor
+        )
     return (
-        a.join(b, "block")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(
+            sk.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("simhash").alias("sh_1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            sk.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("simhash").alias("sh_2"),
+            ),
+            "doc_id_2",
+        )
         .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            ham.alias("hamming"),
+            "doc_id_1",
+            "doc_id_2",
+            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
     )

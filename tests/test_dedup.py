@@ -1,0 +1,165 @@
+"""Dedup-family scale tiers: census/cap/salt over MinHash band
+buckets, n-gram metadata blocks, and SimHash multi-probe bands.
+
+The salt tier must be LOSSLESS (identical pairs to the plain join) and
+the drop tier must only remove pairs of the degenerate mega-bucket.
+SimHash multi-probe carries a pigeonhole recall guarantee: hamming <=
+n_bands - 1 implies at least one untouched band, so recall vs brute
+force is exactly 1.0 at max_hamming=3 with 4 bands.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.operators import dedup
+
+
+def _docs(spark, groups, filler=0):
+    """groups = list of (prefix, n_variants): n_variants docs sharing a
+    long common text with a distinct trailing token each (near-dups).
+    filler adds singleton docs with unrelated texts."""
+    rows = []
+    for gi, (prefix, n) in enumerate(groups):
+        base = " ".join(f"{prefix}{w}" for w in range(30))
+        for v in range(n):
+            rows.append((f"g{gi}-d{v:04d}", f"{base} variant{v}"))
+    for i in range(filler):
+        txt = " ".join(f"unique{i}w{j}" for j in range(25))
+        rows.append((f"f-{i:04d}", txt))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_id_1"], r["doc_id_2"]) for r in df.select(
+            "doc_id_1", "doc_id_2"
+        ).collect()
+    }
+
+
+def test_minhash_salt_tier_is_lossless(spark):
+    # 40 docs share every band bucket (identical long prefix) -> with
+    # cap 10 they land in the salt tier (10 < 40 <= 10*16)
+    docs = _docs(spark, [("alpha", 40), ("beta", 6)], filler=20)
+    plain = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, max_bucket_size=None
+    )
+    capped = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, max_bucket_size=10, salt_buckets=4
+    )
+    assert _pairs_set(plain) == _pairs_set(capped)
+    assert len(_pairs_set(capped)) >= 40 * 39 // 2  # alpha group paired
+
+
+def test_minhash_drop_tier_removes_only_megabucket(spark):
+    # cap 2, drop factor 3 -> ceiling 6: the 40-doc bucket is dropped,
+    # the 5-doc group (salt tier: 2 < 5 <= 6) survives losslessly
+    docs = _docs(spark, [("alpha", 40), ("beta", 5)], filler=10)
+    capped = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, max_bucket_size=2, salt_buckets=2,
+        drop_factor=3,
+    )
+    got = _pairs_set(capped)
+    beta = {p for p in got if p[0].startswith("g1-")}
+    assert len(beta) == 5 * 4 // 2
+    assert not any(p[0].startswith("g0-") for p in got)
+
+
+def test_capped_bucket_pairs_census_reports_drops(spark):
+    keys = spark.createDataFrame(
+        [(f"d{i}", "mega") for i in range(50)]
+        + [(f"d{i}", f"solo{i}") for i in range(50)],
+        "doc_id string, block_key string",
+    )
+    pairs, dropped = dedup.capped_bucket_pairs(
+        keys, max_bucket_size=2, salt_buckets=2, drop_factor=4
+    )
+    assert pairs.count() == 0  # mega dropped, solos are singletons
+    drops = dropped.collect()
+    assert len(drops) == 1 and drops[0]["block_key"] == "mega"
+    assert drops[0]["block_size"] == 50
+
+
+def test_ngram_jaccard_capped_matches_plain(spark):
+    docs = _docs(spark, [("alpha", 30), ("beta", 4)], filler=15)
+    # one hot block: all docs share lang 'en' except filler in 'xx'
+    docs = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id").startswith("f-"), F.lit("xx")).otherwise(
+            F.lit("en")
+        ),
+    )
+    plain = dedup.ngram_jaccard_pairs(
+        docs, block_cols=("lang",), threshold=0.3, max_block_size=None
+    )
+    capped = dedup.ngram_jaccard_pairs(
+        docs, block_cols=("lang",), threshold=0.3, max_block_size=10,
+        salt_buckets=4,
+    )
+    p, c = _pairs_set(plain), _pairs_set(capped)
+    assert p == c
+    # jaccard values survive the salted path bit-for-bit
+    pv = {tuple(r) for r in plain.collect()}
+    cv = {tuple(r) for r in capped.collect()}
+    assert pv == cv
+
+
+def test_ngram_null_block_cols_never_pair(spark):
+    docs = spark.createDataFrame(
+        [("a", "x y z w", None), ("b", "x y z w", None),
+         ("c", "x y z w", "en"), ("d", "x y z w", "en")],
+        "doc_id string, text string, lang string",
+    )
+    got = dedup.ngram_jaccard_pairs(
+        docs, block_cols=("lang",), threshold=0.1, max_block_size=10
+    )
+    assert _pairs_set(got) == {("c", "d")}
+
+
+@pytest.fixture(scope="module")
+def sketch_corpus(spark):
+    # near-dup groups + filler; sketches computed once
+    docs = _docs(spark, [("alpha", 12), ("beta", 8)], filler=60)
+    sk = dedup.simhash_sketch(docs).cache()
+    sk.count()
+    return sk
+
+
+def _brute_hamming_pairs(sk_rows, max_hamming):
+    out = set()
+    for i in range(len(sk_rows)):
+        for j in range(i + 1, len(sk_rows)):
+            a, b = sk_rows[i], sk_rows[j]
+            if bin((a["simhash"] ^ b["simhash"]) & ((1 << 64) - 1)).count(
+                "1"
+            ) <= max_hamming:
+                p = tuple(sorted((a["doc_id"], b["doc_id"])))
+                out.add(p)
+    return out
+
+
+def test_simhash_multiprobe_recall_is_total_at_guaranteed_hamming(
+    spark, sketch_corpus
+):
+    rows = sketch_corpus.collect()
+    want = _brute_hamming_pairs(rows, max_hamming=3)
+    got = _pairs_set(
+        dedup.simhash_near_duplicates(
+            sketch_corpus, max_hamming=3, n_bands=4
+        )
+    )
+    assert want, "fixture must contain hamming<=3 pairs"
+    # pigeonhole: 4 disjoint 16-bit bands, <=3 differing bits -> one
+    # band untouched -> candidate found.  Recall must be exactly 1.0.
+    assert got == want
+
+
+def test_simhash_capped_matches_uncapped(spark, sketch_corpus):
+    plain = dedup.simhash_near_duplicates(
+        sketch_corpus, max_hamming=6, n_bands=4, max_bucket_size=None
+    )
+    capped = dedup.simhash_near_duplicates(
+        sketch_corpus, max_hamming=6, n_bands=4, max_bucket_size=5,
+        salt_buckets=3,
+    )
+    assert _pairs_set(plain) == _pairs_set(capped)
