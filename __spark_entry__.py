@@ -237,17 +237,29 @@ def _verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cluster_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: reviewer-facing view — member rows with cluster, normalized
-    name, and the ids each member matched against."""
+    name, RAW human-readable span text (the reference's Excel panes
+    carry the pre-normalization copies, main_ldu_hw.py:97-146 /
+    pre_processing.py:172-173,264-267), and the ids each member
+    matched against."""
+    from record_linkage_ldu_spark.operators.spans import span_text
+
     records = _records(spark, sf_dir)
     pv = presentation_view(
         _clusters(spark, sf_dir),
-        records.select("doc_id", "name"),
+        records.select(
+            "doc_id",
+            "name",
+            span_text("name").alias("raw_name"),
+            span_text("address").alias("raw_address"),
+        ),
         _matches(spark, sf_dir).select("doc_id_1", "doc_id_2"),
     )
     return pv.select(
         "cluster_id",
         "doc_id",
         "name",
+        "raw_name",
+        "raw_address",
         F.concat_ws(
             ",",
             F.coalesce(F.col("matched_ids"), F.array().cast("array<string>")),
@@ -954,9 +966,11 @@ def oracle_sql() -> dict[str, str]:
         FROM sym GROUP BY doc_id
     )
         SELECT c.cluster_id, c.doc_id, n.name,
+               s.name AS raw_name, s.address AS raw_address,
                coalesce(mi.matched, '') AS matched
         FROM clusters c
         JOIN norm n ON c.doc_id = n.doc_id
+        JOIN synth s ON c.doc_id = s.doc_id
         LEFT JOIN mi ON c.doc_id = mi.doc_id
     """
     sql["cluster_diff"] = f"""

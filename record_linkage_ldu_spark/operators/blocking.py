@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -64,22 +64,29 @@ class BlockingConfig:
     fallback_name_fields: tuple[str, ...] = ("company_name",)
 
 
+def name_expr(records: DataFrame, cfg: BlockingConfig) -> Column:
+    """The blocking name: the configured name field coalesced with its
+    fallbacks (company_name by default) — shared by the key families
+    and both sorted-neighborhood passes."""
+    name_fields = [
+        c
+        for c in (cfg.name_field, *cfg.fallback_name_fields)
+        if c in records.columns
+    ]
+    return (
+        F.coalesce(*[F.col(c) for c in name_fields])
+        if len(name_fields) > 1
+        else F.col(name_fields[0])
+    )
+
+
 def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
     """records(doc_id, <normalized fields>) -> (doc_id, block_key).
 
     Exploded key table, one row per (doc, key); empty/null fields emit
     no key.
     """
-    name_fields = [
-        c
-        for c in (cfg.name_field, *cfg.fallback_name_fields)
-        if c in records.columns
-    ]
-    name = (
-        F.coalesce(*[F.col(c) for c in name_fields])
-        if len(name_fields) > 1
-        else F.col(name_fields[0])
-    )
+    name = name_expr(records, cfg)
     first_tok = F.try_element_at(F.split(name, " "), F.lit(1))
     second_tok = F.coalesce(
         F.try_element_at(F.split(name, " "), F.lit(2)), F.lit("")
@@ -142,7 +149,9 @@ def block_census(keys: DataFrame) -> DataFrame:
 
 
 def cap_blocks(
-    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    keys: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    census: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the key table into (kept, dropped_census).
 
@@ -151,8 +160,11 @@ def cap_blocks(
     ``dropped_census``.  Hot blocks between the two are NOT in either
     output — route them through ``salted_candidate_pairs`` (or use
     ``candidate_pairs_capped`` which composes all three tiers).
+    Pass a precomputed (ideally pinned) ``census`` to share one
+    aggregate across the tier filters.
     """
-    census = block_census(keys)
+    if census is None:
+        census = block_census(keys)
     big = census.where(F.col("block_size") > cfg.max_block_size)
     kept = keys.join(F.broadcast(big.select("block_key")), "block_key", "left_anti")
     dropped = census.where(
@@ -162,11 +174,14 @@ def cap_blocks(
 
 
 def hot_blocks(
-    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    keys: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """Keys of the salt tier: block size in
     (max_block_size, max_block_size * salt_drop_factor]."""
-    census = block_census(keys)
+    if census is None:
+        census = block_census(keys)
     hot = census.where(
         (F.col("block_size") > cfg.max_block_size)
         & (F.col("block_size") <= cfg.max_block_size * cfg.salt_drop_factor)
@@ -321,25 +336,22 @@ def generate_candidates(
     docs.  Off by default because it runs a job at call time (plan
     builders and oracle queries want a lazy frame)."""
     keys = block_keys(records, cfg)
+    census = None
     if materialize_keys:
         keys = keys.localCheckpoint(eager=True)
-    kept, dropped = cap_blocks(keys, cfg)
+        # the census feeds the kept/dropped/hot tier filters (three
+        # aggregate subplans exchange reuse does not reliably
+        # collapse); it is tiny (one row per distinct block key) —
+        # pin it once alongside the keys.
+        census = block_census(keys).localCheckpoint(eager=True)
+    kept, dropped = cap_blocks(keys, cfg, census=census)
     pairs = candidate_pairs(kept, dedup=False)
-    hot = hot_blocks(keys, cfg)
+    hot = hot_blocks(keys, cfg, census=census)
     pairs = pairs.unionByName(
         salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
     )
     if cfg.sn_window > 0:
-        name_fields = [
-            c
-            for c in (cfg.name_field, *cfg.fallback_name_fields)
-            if c in records.columns
-        ]
-        name = (
-            F.coalesce(*[F.col(c) for c in name_fields])
-            if len(name_fields) > 1
-            else F.col(name_fields[0])
-        )
+        name = name_expr(records, cfg)
         sn = sorted_neighborhood_pairs(
             records.where(name.isNotNull() & (name != "")),
             name,
@@ -426,6 +438,7 @@ def global_ranks(
     sort_key,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, _rank): dense global rank by (sort_key, id) WITHOUT a
     single-partition window.
@@ -451,7 +464,11 @@ def global_ranks(
         # offsets collect is one small row per partition either way).
         n_part = max(8, min(n_part, 64))
     part = (
-        records.select(F.col(id_col), sort_key.alias("_k"))
+        records.select(
+            F.col(id_col),
+            sort_key.alias("_k"),
+            *[F.col(c) for c in carry_cols],
+        )
         .repartitionByRange(n_part, F.col("_k"), F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -471,6 +488,7 @@ def global_ranks(
     return part.select(
         F.col(id_col),
         (F.row_number().over(w) + off_map[F.col("_pid")]).alias("_rank"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -520,4 +538,71 @@ def sorted_neighborhood_pairs(
             & (F.col("_rank_hi") - F.col("_rank_lo") < window)
         )
         .select("doc_id_1", "doc_id_2")
+    )
+
+
+def sorted_neighborhood_pairs_cross(
+    records_left: DataFrame,
+    records_right: DataFrame,
+    sort_key_left,
+    sort_key_right,
+    window: int = 5,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-dataset sorted neighborhood: rank the UNION of both
+    sides by the sort key and keep only cross-side pairs within the
+    window, oriented (left doc_id_1, right doc_id_2).
+
+    This is the cross-mode recall twin of the self pipeline's windowed
+    SN pass — without it, cross candidates come only from soundex +
+    contact keys and a name typo that flips the soundex code loses the
+    pair entirely.  Same scale bound: pair volume <= n*(window-1)
+    regardless of name-value skew (worst case all window-mates are
+    cross-side).  The side tag rides through ``global_ranks`` — no
+    post-hoc side join.  doc_ids must be globally unique across the
+    two inputs (the cross pipeline's standing requirement).
+    """
+    left = records_left.select(
+        F.col(id_col), sort_key_left.alias("_k"), F.lit(0).alias("_side")
+    )
+    right = records_right.select(
+        F.col(id_col), sort_key_right.alias("_k"), F.lit(1).alias("_side")
+    )
+    union = left.unionByName(right).where(
+        F.col("_k").isNotNull() & (F.col("_k") != "")
+    )
+    ranked = global_ranks(
+        union, F.col("_k"), id_col, num_partitions, carry_cols=("_side",)
+    )
+    # same one-sided bucketing as the self pass: each qualifying pair
+    # meets in exactly one bucket, no dedup shuffle needed.
+    div = (F.col("_rank") / window).cast("long")
+    lo = ranked.select(
+        F.col(id_col).alias("_id_lo"),
+        F.col("_side").alias("_side_lo"),
+        F.col("_rank").alias("_rank_lo"),
+        F.explode(F.array(div, div + 1)).alias("_bucket"),
+    )
+    hi = ranked.select(
+        F.col(id_col).alias("_id_hi"),
+        F.col("_side").alias("_side_hi"),
+        F.col("_rank").alias("_rank_hi"),
+        div.alias("_bucket"),
+    )
+    return (
+        lo.join(hi, "_bucket")
+        .where(
+            (F.col("_rank_hi") > F.col("_rank_lo"))
+            & (F.col("_rank_hi") - F.col("_rank_lo") < window)
+            & (F.col("_side_lo") != F.col("_side_hi"))
+        )
+        .select(
+            F.when(F.col("_side_lo") == 0, F.col("_id_lo"))
+            .otherwise(F.col("_id_hi"))
+            .alias("doc_id_1"),
+            F.when(F.col("_side_lo") == 0, F.col("_id_hi"))
+            .otherwise(F.col("_id_lo"))
+            .alias("doc_id_2"),
+        )
     )

@@ -43,13 +43,22 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Driver-finish gate for method="auto": above this edge count the
-# distributed star loop runs instead.  ~5M string pairs collect to a
-# few hundred MB of pandas — the same order as a broadcast-join build
-# side; raise/lower via env on hosts with different driver memory.
+# Driver-finish gates for method="auto": the edge list must clear BOTH
+# a row-count cap and a BYTE cap before the driver union-find runs —
+# a row count alone mis-sizes long doc_ids (5M pairs of 60-char ids is
+# ~3GB of Python strings, not "a few hundred MB").  Bytes are estimated
+# from the actual checkpointed edge payload (sum of id lengths, one
+# cheap agg over the already-materialized edges) times a measured
+# in-memory expansion factor for Python str objects + the union-find
+# dict (~10x raw UTF-8 bytes).  Raise/lower via env on hosts with
+# different driver memory.
 DRIVER_UF_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "5000000")
 )
+DRIVER_UF_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_BYTES", str(512 * 1024**2))
+)
+_PY_STR_EXPANSION = 10
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -105,10 +114,19 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     if method == "auto":
-        method = (
-            "driver-uf" if n_edges <= DRIVER_UF_MAX_EDGES
-            else "alternating-star"
-        )
+        fits = n_edges <= DRIVER_UF_MAX_EDGES
+        if fits and n_edges > 0:
+            raw_bytes = edges.agg(
+                F.coalesce(
+                    F.sum(
+                        F.length(F.col("doc_id_1"))
+                        + F.length(F.col("doc_id_2"))
+                    ),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
+            fits = raw_bytes * _PY_STR_EXPANSION <= DRIVER_UF_MAX_BYTES
+        method = "driver-uf" if fits else "alternating-star"
     if method == "driver-uf":
         return _driver_uf_clusters(edges, vertices)
     # The in-scope assembly checkpoint is size-gated (only matters

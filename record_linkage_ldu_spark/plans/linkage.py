@@ -127,8 +127,21 @@ class LinkagePipeline:
         cfg = self.cfg
         info: dict = {}
 
-        if self.store is not None:
-            fp = input_fingerprint(documents, ["doc_id"])
+        # ONE fingerprint job per run (it is a full scan+agg of the
+        # input — per-stage recomputation would cost 4 extra full
+        # scans at 100TB); every stage resumes against this value.
+        fp = (
+            input_fingerprint(documents, ["doc_id"])
+            if self.store is not None
+            else ""
+        )
+        # A fully-checkpointed downstream means the eager plan-build
+        # work (key-table pin, census, dropped-blocks count) is pure
+        # waste — a resumed run must not pay the compute it is
+        # resuming past.
+        resuming_pairs = self.store is not None and self.store.is_complete(
+            "pairs", fp
+        )
         # The normalize stage is narrow, so its parallelism is the
         # INPUT's partition count; a source read as a handful of
         # parquet splits (or a checkpointed union) would leave most
@@ -140,9 +153,7 @@ class LinkagePipeline:
         if documents.rdd.getNumPartitions() < min_width:
             documents = documents.repartition(2 * min_width)
         records_full = records_view(documents, cfg)
-        records = self._stage(
-            "records", records_full, info, fingerprint_src=documents
-        )
+        records = self._stage("records", records_full, info, fp)
         if self.store is None and cfg.materialize:
             # The in-session pin stores only the linkage columns: the
             # spans payload is ~80% of the records bytes and no
@@ -167,22 +178,33 @@ class LinkagePipeline:
             if cfg.score_partitions_per_core > 0
             else None
         )
-        pairs, dropped = generate_candidates(
-            records,
-            cfg.blocking,
-            num_partitions=n_score_parts,
-            materialize_keys=cfg.materialize,
-        )
-        info["dropped_blocks"] = dropped.count() if self.store is not None else None
-        pairs = self._stage("pairs", pairs, info, fingerprint_src=documents)
+        if resuming_pairs:
+            # don't even BUILD the candidate plan: generate_candidates
+            # runs eager jobs at plan-build time (key-table pin, SN
+            # global-rank checkpoint + offsets collect) that a resumed
+            # run must not pay.  _stage loads the checkpoint without
+            # invoking the compute thunk.
+            info["dropped_blocks"] = None
+            pairs = self._stage("pairs", None, info, fp)
+        else:
+            pairs, dropped = generate_candidates(
+                records,
+                cfg.blocking,
+                num_partitions=n_score_parts,
+                materialize_keys=cfg.materialize,
+            )
+            info["dropped_blocks"] = (
+                dropped.count() if self.store is not None else None
+            )
+            pairs = self._stage("pairs", pairs, info, fp)
 
         wide = attach_pair_sides(pairs, records, SELF_COMPARE_FIELDS)
         scored = score_pairs_self(wide, with_jw=cfg.with_jw)
         scored = with_combined_score(scored, mode="self")
-        scored = self._stage("scores", scored, info, fingerprint_src=documents)
+        scored = self._stage("scores", scored, info, fp)
 
         matches = rules.match(scored, mode="self")
-        matches = self._stage("matches", matches, info, fingerprint_src=documents)
+        matches = self._stage("matches", matches, info, fp)
         if self.store is None and cfg.materialize:
             matches = matches.localCheckpoint(eager=False)
 
@@ -191,7 +213,7 @@ class LinkagePipeline:
             vertices=records.select("doc_id"),
             method=cfg.cc_method,
         )
-        clusters = self._stage("clusters", clusters, info, fingerprint_src=documents)
+        clusters = self._stage("clusters", clusters, info, fp)
 
         return LinkageResult(
             # span-carrying view (store-backed when checkpointing);
@@ -205,11 +227,10 @@ class LinkagePipeline:
         )
 
     def _stage(
-        self, name: str, df: DataFrame, info: dict, fingerprint_src: DataFrame
+        self, name: str, df: DataFrame, info: dict, fp: str
     ) -> DataFrame:
         if self.store is None:
             return df
-        fp = input_fingerprint(fingerprint_src, ["doc_id"])
         res = self.store.run_stage(name, fp, lambda: df)
         info[name] = {"resumed": res.resumed, "wall_s": res.wall_s}
         return res.df
@@ -262,9 +283,21 @@ class CrossLinkagePipeline:
         if documents_right.rdd.getNumPartitions() < min_width:
             documents_right = documents_right.repartition(2 * min_width)
 
-        # resume fingerprints must cover BOTH inputs
-        fp_src = documents_left.select("doc_id").unionByName(
-            documents_right.select("doc_id")
+        # Resume fingerprints cover BOTH inputs AND side membership:
+        # per-side fingerprints concatenated (one fingerprint job per
+        # side per run).  A union/xor of the two id sets would be
+        # side-blind — swapping left/right arguments, or moving a doc
+        # between sources, would silently resume stale stages computed
+        # with the opposite field orientation (a_<hw> vs b_<ldu>).
+        fp = (
+            input_fingerprint(documents_left, ["doc_id"])
+            + "|"
+            + input_fingerprint(documents_right, ["doc_id"])
+            if self.store is not None
+            else ""
+        )
+        resuming_pairs = self.store is not None and self.store.is_complete(
+            "pairs", fp
         )
         wide_l = normalize_fields(extract_fields(documents_left))
         wide_r = normalize_fields(extract_fields(documents_right))
@@ -277,54 +310,101 @@ class CrossLinkagePipeline:
             records_l = records_l.localCheckpoint(eager=False)
             records_r = records_r.localCheckpoint(eager=False)
 
-        keys_l = block_keys(records_l, cfg.blocking)
-        keys_r = block_keys(records_r, cfg.blocking)
-        if cfg.materialize:
-            keys_l = keys_l.localCheckpoint(eager=True)
-            keys_r = keys_r.localCheckpoint(eager=True)
-        # cross-mode block tiers mirror the self pipeline: a block's
-        # pair volume is |left| * |right|, so the census runs over the
-        # UNION of both key tables; normal blocks go through the plain
-        # equi-join, hot blocks through the replicate-left salted
-        # join, blocks beyond the salted ceiling are dropped from both
-        # sides (the record still pairs through its other keys).
-        bc = cfg.blocking
-        census = block_census(keys_l.unionByName(keys_r))
-        over_cap = census.where(F.col("block_size") > bc.max_block_size)
-        dropped = census.where(
-            F.col("block_size") > bc.max_block_size * bc.salt_drop_factor
-        )
-        hot = over_cap.join(
-            F.broadcast(dropped.select("block_key")), "block_key", "left_anti"
-        )
-        kept_l = keys_l.join(
-            F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
-        )
-        kept_r = keys_r.join(
-            F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
-        )
-        hot_l = keys_l.join(F.broadcast(hot.select("block_key")), "block_key")
-        hot_r = keys_r.join(F.broadcast(hot.select("block_key")), "block_key")
-        n_score_parts = (
-            self.spark.sparkContext.defaultParallelism
-            * cfg.score_partitions_per_core
-            if cfg.score_partitions_per_core > 0
-            else None
-        )
-        from ..operators.blocking import salted_candidate_pairs_cross
-
-        pairs = candidate_pairs(kept_l, kept_r, dedup=False).unionByName(
-            salted_candidate_pairs_cross(
-                hot_l, hot_r, salt=bc.salt_buckets, dedup=False
+        if resuming_pairs:
+            # don't BUILD the candidate plan on resume: the key pins,
+            # census checkpoint, and SN global-rank offsets all run
+            # eager jobs at plan-build time.  _stage loads the
+            # checkpoint without invoking the compute thunk.
+            info["dropped_blocks"] = None
+            pairs = self._stage("pairs", None, info, fp)
+        else:
+            keys_l = block_keys(records_l, cfg.blocking)
+            keys_r = block_keys(records_r, cfg.blocking)
+            if cfg.materialize:
+                keys_l = keys_l.localCheckpoint(eager=True)
+                keys_r = keys_r.localCheckpoint(eager=True)
+            # cross-mode block tiers mirror the self pipeline: a
+            # block's pair volume is |left| * |right|, so the census
+            # runs over the UNION of both key tables; normal blocks go
+            # through the plain equi-join, hot blocks through the
+            # replicate-left salted join, blocks beyond the salted
+            # ceiling are dropped from both sides (the record still
+            # pairs through its other keys).
+            bc = cfg.blocking
+            census = block_census(keys_l.unionByName(keys_r))
+            if cfg.materialize:
+                # the census feeds FIVE broadcast filters below;
+                # exchange reuse does not reliably collapse the five
+                # aggregate subplans (measured as the candidate
+                # phase's non-scaling residue), and the census is tiny
+                # (one row per distinct block key) — pin it once.
+                census = census.localCheckpoint(eager=True)
+            over_cap = census.where(F.col("block_size") > bc.max_block_size)
+            dropped = census.where(
+                F.col("block_size") > bc.max_block_size * bc.salt_drop_factor
             )
-        )
-        if n_score_parts:
-            pairs = pairs.repartition(n_score_parts, "doc_id_1", "doc_id_2")
-        pairs = pairs.dropDuplicates(["doc_id_1", "doc_id_2"])
-        info["dropped_blocks"] = (
-            dropped.count() if self.store is not None else None
-        )
-        pairs = self._stage("pairs", pairs, info, fp_src)
+            hot = over_cap.join(
+                F.broadcast(dropped.select("block_key")),
+                "block_key",
+                "left_anti",
+            )
+            kept_l = keys_l.join(
+                F.broadcast(over_cap.select("block_key")),
+                "block_key",
+                "left_anti",
+            )
+            kept_r = keys_r.join(
+                F.broadcast(over_cap.select("block_key")),
+                "block_key",
+                "left_anti",
+            )
+            hot_l = keys_l.join(
+                F.broadcast(hot.select("block_key")), "block_key"
+            )
+            hot_r = keys_r.join(
+                F.broadcast(hot.select("block_key")), "block_key"
+            )
+            n_score_parts = (
+                self.spark.sparkContext.defaultParallelism
+                * cfg.score_partitions_per_core
+                if cfg.score_partitions_per_core > 0
+                else None
+            )
+            from ..operators.blocking import salted_candidate_pairs_cross
+
+            pairs = candidate_pairs(kept_l, kept_r, dedup=False).unionByName(
+                salted_candidate_pairs_cross(
+                    hot_l, hot_r, salt=bc.salt_buckets, dedup=False
+                )
+            )
+            if bc.sn_window > 0:
+                # windowed sorted-neighborhood tier over the union of
+                # both sides — the same name-typo recall the self
+                # pipeline gets from its SN pass; without it cross
+                # candidates come only from soundex + contact keys.
+                from ..operators.blocking import (
+                    name_expr,
+                    sorted_neighborhood_pairs_cross,
+                )
+
+                pairs = pairs.unionByName(
+                    sorted_neighborhood_pairs_cross(
+                        records_l,
+                        records_r,
+                        name_expr(records_l, bc),
+                        name_expr(records_r, bc),
+                        window=bc.sn_window,
+                    )
+                )
+            if n_score_parts:
+                pairs = pairs.repartition(
+                    n_score_parts, "doc_id_1", "doc_id_2"
+                )
+            pairs = pairs.dropDuplicates(["doc_id_1", "doc_id_2"])
+            info["dropped_blocks"] = (
+                dropped.count() if self.store is not None else None
+            )
+            pairs = self._stage("pairs", pairs, info, fp)
 
         wide_pairs = attach_pair_sides(
             pairs,
@@ -335,10 +415,10 @@ class CrossLinkagePipeline:
         )
         scored = score_pairs_cross(wide_pairs, with_jw=cfg.with_jw)
         scored = with_combined_score(scored, mode="cross")
-        scored = self._stage("scores", scored, info, fp_src)
+        scored = self._stage("scores", scored, info, fp)
 
         matches = rules.match(scored, mode="cross")
-        matches = self._stage("matches", matches, info, fp_src)
+        matches = self._stage("matches", matches, info, fp)
         if self.store is None and cfg.materialize:
             matches = matches.localCheckpoint(eager=False)
 
@@ -350,7 +430,7 @@ class CrossLinkagePipeline:
             vertices=vertices,
             method=cfg.cc_method,
         )
-        clusters = self._stage("clusters", clusters, info, fp_src)
+        clusters = self._stage("clusters", clusters, info, fp)
 
         return LinkageResult(
             records=records_l,

@@ -190,6 +190,52 @@ def export_presentation_csv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def export_grouped_presentation_csv(
+    df: DataFrame,
+    path: str,
+    group_col: str = "cluster_id",
+    order_col: str = "doc_id",
+) -> None:
+    """S5 fidelity variant: the reference's review workbook renders one
+    cluster per visual group with a BLANK separator row between groups
+    (main_ldu_hw.py:97-146,468-471 — groups_to_df appends an
+    all-empty row after each group).  Reproduced here as a single-file
+    CSV: real rows ordered by (group, member), one empty row after
+    each group.
+
+    Shape: separator rows are synthesized from the distinct group keys
+    (one tiny aggregate), unioned, globally sorted on hidden
+    (group, is_sep, member) keys, and funneled through one task —
+    same small-presentation-table caveat as
+    ``export_presentation_csv``; large outputs belong in the
+    partitioned parquet sink."""
+    cols = df.columns
+    data = df.select(
+        F.col(group_col).alias("_grp"),
+        F.lit(0).alias("_sep"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    seps = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            F.col(group_col).alias("_grp"),
+            F.lit(1).alias("_sep"),
+            *[F.lit("").alias(c) for c in cols],
+        )
+    )
+    out = (
+        data.unionByName(seps)
+        .orderBy("_grp", "_sep", order_col)
+        .drop("_grp", "_sep")
+    )
+    # emptyValue='' writes separator cells as truly empty (the
+    # writer's default would quote them as "")
+    out.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "emptyValue", ""
+    ).csv(path)
+
+
 def input_fingerprint(df: DataFrame, cols: list[str]) -> str:
     """Order-insensitive content fingerprint of selected columns —
     cheap xor/count aggregate, used as the stage-resume key."""

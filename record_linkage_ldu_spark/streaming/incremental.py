@@ -88,7 +88,14 @@ def sessionize_stream(
     tests/test_incremental.py against ``sessionize``).  Events must
     reach their key in event-time order across batches (file-ordered
     replay or an upstream watermark+sort); out-of-order arrivals
-    within one batch are handled by the per-batch sort.
+    within one batch are handled by concatenating ALL of the key's
+    Arrow chunks and sorting once — applyInPandasWithState delivers a
+    key's batch as an iterator of chunks (split at
+    arrow.maxRecordsPerBatch, default 10k) with no ts ordering ACROSS
+    chunks, so a per-chunk sort would misnumber any key with more
+    events than one chunk in a single micro-batch.  The concat bounds
+    memory at one key's events per micro-batch — the same bound the
+    batch window form's per-key partition already implies.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -106,10 +113,11 @@ def sessionize_stream(
         last_epoch, sess_no = (
             state.get if state.exists else (None, 0)
         )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts", kind="mergesort")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "ts", kind="mergesort"
+            )
             epochs = (
                 pd.to_datetime(pdf["ts"]).astype("int64") / 1e9
             ).to_numpy()

@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 from record_linkage_ldu_spark.operators.ann import (
     cosine_topk,
+    ivf_index,
     ivf_topk,
+    load_ivf_index,
     lsh_topk,
+    save_ivf_index,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -62,6 +65,30 @@ def test_ivf_partial_probe_recall(spark, embeddings, queries, exact):
     assert recall >= 0.5, recall
     # every returned neighbor is a true corpus member with a sane rank
     assert all(q < N_QUERIES for q, _ in got)
+
+
+def test_ivf_prebuilt_index_probe_matches_inline_build(
+    spark, embeddings, queries, tmp_path
+):
+    """The production split: build once (``ivf_index``), persist
+    (``save_ivf_index``), probe against the loaded index — results
+    must equal the convenience inline-build path (same seed)."""
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            embeddings, queries, k=K, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    centroids, assigned = ivf_index(embeddings, n_centroids=8)
+    save_ivf_index(centroids, assigned, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    probed = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            embeddings, queries, k=K, nprobe=4, index=loaded
+        ).collect()
+    }
+    assert probed == inline
 
 
 def test_lsh_topk_finds_planted_near_duplicates(spark, embeddings):

@@ -6,6 +6,7 @@ import glob
 import os
 
 from record_linkage_ldu_spark.sources.io import (
+    export_grouped_presentation_csv,
     export_presentation_csv,
     read_delimited_csv,
 )
@@ -41,6 +42,35 @@ def test_export_presentation_csv_single_file(spark, tmp_path):
     text = open(parts[0]).read()
     assert text.splitlines()[0] == "cluster_id,doc_id,name"
     assert len(text.splitlines()) == 3
+
+
+def test_export_grouped_csv_blank_separator_rows(spark, tmp_path):
+    """The reference's workbook groups clusters with an all-empty row
+    between them (main_ldu_hw.py:97-146); the grouped CSV export must
+    emit members ordered within cluster and exactly one blank row
+    after each cluster."""
+    df = spark.createDataFrame(
+        [
+            ("c1", "a1", "acme"),
+            ("c1", "b1", "acme corp"),
+            ("c2", "a2", "beta"),
+        ],
+        ["cluster_id", "doc_id", "name"],
+    )
+    out = str(tmp_path / "grouped")
+    export_grouped_presentation_csv(df, out)
+    parts = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(parts) == 1
+    lines = open(parts[0]).read().splitlines()
+    assert lines[0] == "cluster_id,doc_id,name"
+    body = ['' if set(ln) <= {','} else ln for ln in lines[1:]]
+    assert body == [
+        "c1,a1,acme",
+        "c1,b1,acme corp",
+        "",
+        "c2,a2,beta",
+        "",
+    ]
 
 
 def test_run_linkage_cross_mode(spark, tiny_gen, tmp_path):

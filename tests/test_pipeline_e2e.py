@@ -73,6 +73,25 @@ def test_cc_method_equivalence_e2e(spark, tiny_gen):
     assert sorted(map(tuple, star.collect())) == sorted(map(tuple, prop.collect()))
 
 
+def test_cross_f1_gate_small(spark, small_gen):
+    """Cross-pipeline twin of the BASELINE F1 gate at reference-like
+    scale: split every entity's copies across two sources (left = the
+    x0 copy, right = the rest) and require pairwise F1 >= 0.99 of the
+    reassembled clusters against the planted labels.  Transitivity
+    through the left hub recovers right-right duplicate pairs, so the
+    gate runs over ALL labeled pairs, not just cross-side ones."""
+    from record_linkage_ldu_spark.plans.linkage import CrossLinkagePipeline
+
+    docs = small_gen.select("doc_id", "spans")
+    left = docs.where(F.col("doc_id").endswith("x0"))
+    right = docs.where(~F.col("doc_id").endswith("x0"))
+    res = CrossLinkagePipeline(spark, LinkageConfig()).run(left, right)
+    lab = labeled_pairs(small_gen.select("doc_id", "entity_id"))
+    pred = clusters_to_pairs(res.clusters)
+    overall = pairwise_prf(pred, lab)
+    assert overall["f1"] >= 0.99, overall
+
+
 def test_cross_pipeline_golden(spark, tiny_gen):
     """CrossLinkagePipeline (the reference's LDU x HW flow): left =
     first copy of every entity, right = the remaining copies.  Every

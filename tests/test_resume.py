@@ -119,3 +119,63 @@ def test_cross_pipeline_resume(spark, tiny_gen, tmp_path):
         left, right.limit(50)
     )
     assert not r3.stage_info["pairs"]["resumed"]
+
+
+def test_cross_resume_is_side_sensitive(spark, tiny_gen, tmp_path):
+    """Swapping the left/right arguments must NOT resume: the stages
+    were computed with the opposite field orientation (a_<hw> fields
+    vs b_<ldu> fields), so a side-blind fingerprint would silently
+    serve stale scores.  The per-side concatenated fingerprint makes
+    the swap a cache miss."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.plans.linkage import (
+        CrossLinkagePipeline,
+        LinkageConfig,
+    )
+
+    docs = tiny_gen.select("doc_id", "spans")
+    left = docs.where(F.col("doc_id").endswith("x0"))
+    right = docs.where(~F.col("doc_id").endswith("x0"))
+
+    store = StageStore(spark, str(tmp_path / "swapstages"))
+    CrossLinkagePipeline(spark, LinkageConfig(), store=store).run(left, right)
+    swapped = CrossLinkagePipeline(spark, LinkageConfig(), store=store).run(
+        right, left
+    )
+    assert all(
+        not v["resumed"]
+        for v in swapped.stage_info.values()
+        if isinstance(v, dict)
+    )
+
+
+def test_one_fingerprint_job_per_run(spark, tiny_gen, tmp_path, monkeypatch):
+    """The resume fingerprint is a full scan+agg of the input — the
+    self pipeline must compute it ONCE per run (per-stage recomputation
+    would cost 4 extra full input scans at 100TB); the cross pipeline
+    once per side."""
+    import record_linkage_ldu_spark.plans.linkage as L
+
+    calls = {"n": 0}
+    real_fp = input_fingerprint
+
+    def counting_fp(df, cols):
+        calls["n"] += 1
+        return real_fp(df, cols)
+
+    monkeypatch.setattr(L, "input_fingerprint", counting_fp)
+    docs = tiny_gen.select("doc_id", "spans")
+    store = StageStore(spark, str(tmp_path / "fpstages"))
+    L.LinkagePipeline(spark, store=store).run(docs)
+    assert calls["n"] == 1
+
+    from pyspark.sql import functions as F
+
+    calls["n"] = 0
+    xstore = StageStore(spark, str(tmp_path / "fpxstages"))
+    L.CrossLinkagePipeline(spark, store=xstore).run(
+        docs.where(F.col("doc_id").endswith("x0")),
+        docs.where(~F.col("doc_id").endswith("x0")),
+    )
+    assert calls["n"] == 2
