@@ -53,6 +53,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     candidate_pairs,
     cap_blocks,
     sorted_neighborhood_pairs,
+    sorted_neighborhood_pairs_cross,
 )
 from record_linkage_ldu_spark.operators.cc import connected_components
 from record_linkage_ldu_spark.operators.multimodal import (
@@ -508,6 +509,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cluster_diff"] = lambda s, d: _cluster_diff_q(s, d)
     q["sorted_neighborhood"] = lambda s, d: sorted_neighborhood_pairs(
         _records(s, d).select("doc_id", "zip"), F.col("zip"), window=3
+    )
+    # cross-dataset SN: a-copies vs b/c-copies, pairs oriented
+    # (left, right) — the cross pipeline's name-typo recall tier
+    q["sorted_neighborhood_cross"] = lambda s, d: sorted_neighborhood_pairs_cross(
+        _records(s, d)
+        .where(F.col("doc_id").startswith("a"))
+        .select("doc_id", "zip"),
+        _records(s, d)
+        .where(~F.col("doc_id").startswith("a"))
+        .select("doc_id", "zip"),
+        F.col("zip"),
+        F.col("zip"),
+        window=3,
     )
 
     # ---------- dedup / text / fingerprint ----------
@@ -1013,6 +1027,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         FROM ranked a JOIN ranked b
           ON b.r > a.r AND b.r - a.r < 3
+    """
+    sql["sorted_neighborhood_cross"] = f"""
+        {_sql_chain("norm")},
+    u AS (
+        SELECT doc_id, zip,
+               CASE WHEN doc_id LIKE 'a%' THEN 0 ELSE 1 END AS side
+        FROM norm WHERE zip IS NOT NULL AND zip <> ''
+    ),
+    ranked AS (
+        SELECT doc_id, side, row_number() OVER (ORDER BY zip, doc_id) AS r
+        FROM u
+    )
+        SELECT CASE WHEN a.side = 0 THEN a.doc_id ELSE b.doc_id END AS doc_id_1,
+               CASE WHEN a.side = 0 THEN b.doc_id ELSE a.doc_id END AS doc_id_2
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r - a.r < 3 AND a.side <> b.side
     """
     sql["exact_dedup"] = f"""
         SELECT doc_id, {T.sql_doc_fingerprint("text")} AS fingerprint

@@ -132,13 +132,16 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
             )
         )
 
-    exploded = (
-        records.select(
-            "doc_id", F.explode(F.array(*keys)).alias("block_key")
-        )
-        .where(F.col("block_key").isNotNull())
-        .dropDuplicates(["doc_id", "block_key"])
-    )
+    # (doc_id, block_key) is unique BY CONSTRUCTION: every key family
+    # emits at most one key per record and each family carries a
+    # distinct prefix (sx:/sx1:/sn:/ph:/em:/zp:/fx:), so no dedup
+    # shuffle is needed here — at web scale that was a full hash
+    # shuffle of the entire key table for zero removed rows.  Pair
+    # duplicates from multi-key reachability are collapsed once at
+    # the pair level (candidate_pairs / generate_candidates).
+    exploded = records.select(
+        "doc_id", F.explode(F.array(*keys)).alias("block_key")
+    ).where(F.col("block_key").isNotNull())
     return exploded
 
 
@@ -328,44 +331,76 @@ def generate_candidates(
     cost ~100us of similarity kernels each, so byte-based sizing
     under-splits).
 
-    ``materialize_keys=True`` pins the exploded key table with an
-    EAGER localCheckpoint before fanning out: the keys/census subplan
-    is referenced by the plain tier, the salt tier, and three census
-    reads, and exchange reuse does not reliably collapse them —
-    measured 17-23s -> ~11s for the full candidate stage at 528k
-    docs.  Off by default because it runs a job at call time (plan
-    builders and oracle queries want a lazy frame)."""
-    keys = block_keys(records, cfg)
-    census = None
-    if materialize_keys:
-        keys = keys.localCheckpoint(eager=True)
-        # the census feeds the kept/dropped/hot tier filters (three
-        # aggregate subplans exchange reuse does not reliably
-        # collapse); it is tiny (one row per distinct block key) —
-        # pin it once alongside the keys.
-        census = block_census(keys).localCheckpoint(eager=True)
-    kept, dropped = cap_blocks(keys, cfg, census=census)
-    pairs = candidate_pairs(kept, dedup=False)
-    hot = hot_blocks(keys, cfg, census=census)
-    pairs = pairs.unionByName(
-        salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
-    )
-    if cfg.sn_window > 0:
+    ``materialize_keys=True`` pins the exploded key table and its
+    census with EAGER localCheckpoints before fanning out: the
+    keys/census subplan is referenced by the plain tier, the salt
+    tier, and three census reads, and exchange reuse does not reliably
+    collapse them — measured 17-23s -> ~11s for the full candidate
+    stage at 528k docs (round 1); with the key-dedup shuffle removed
+    and the overlapped build below, ~14.8s @ 8 cores / ~10.4s @ 32.
+    Off by default because it runs a job at call time (plan builders
+    and oracle queries want a lazy frame).
+
+    In the eager mode the two independent preparation chains — the
+    key/census pins and the SN global-rank build (range-partition
+    sample job + checkpoint + offsets collect) — are submitted from
+    two threads: each chain is a sequence of small driver-barrier
+    jobs whose wall cost is roughly core-count-independent, so run
+    serially they put a constant ~5s floor under the candidate phase
+    that caps its 8->32 scaling; overlapped, the idle cores of one
+    chain's barrier absorb the other chain's work (Spark schedules
+    concurrent jobs from separate threads)."""
+
+    def _build_key_tiers():
+        keys = block_keys(records, cfg)
+        census = None
+        if materialize_keys:
+            keys = keys.localCheckpoint(eager=True)
+            # the census feeds the kept/dropped/hot tier filters
+            # (three aggregate subplans exchange reuse does not
+            # reliably collapse); it is tiny (one row per distinct
+            # block key) — pin it once alongside the keys.
+            census = block_census(keys).localCheckpoint(eager=True)
+        kept, dropped = cap_blocks(keys, cfg, census=census)
+        pairs = candidate_pairs(kept, dedup=False)
+        hot = hot_blocks(keys, cfg, census=census)
+        return (
+            pairs.unionByName(
+                salted_candidate_pairs(
+                    hot, salt=cfg.salt_buckets, dedup=False
+                )
+            ),
+            dropped,
+        )
+
+    def _build_sn():
         name = name_expr(records, cfg)
         sn = sorted_neighborhood_pairs(
             records.where(name.isNotNull() & (name != "")),
             name,
             window=cfg.sn_window,
         )
-        # SN emits pairs in RANK order; canonicalize to doc_id order so
-        # the final dedup collapses them with the equality-key pairs
-        # (an uncanonicalized reversed pair would be scored twice and
-        # evade downstream doc_id_1<doc_id_2 conventions).
-        sn = sn.select(
+        # SN emits pairs in RANK order; canonicalize to doc_id order
+        # so the final dedup collapses them with the equality-key
+        # pairs (an uncanonicalized reversed pair would be scored
+        # twice and evade downstream doc_id_1<doc_id_2 conventions).
+        return sn.select(
             F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
             F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
         )
+
+    if materialize_keys and cfg.sn_window > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_tiers = ex.submit(_build_key_tiers)
+            f_sn = ex.submit(_build_sn)
+            (pairs, dropped), sn = f_tiers.result(), f_sn.result()
         pairs = pairs.unionByName(sn)
+    else:
+        pairs, dropped = _build_key_tiers()
+        if cfg.sn_window > 0:
+            pairs = pairs.unionByName(_build_sn())
     if num_partitions:
         pairs = pairs.repartition(num_partitions, "doc_id_1", "doc_id_2")
     return pairs.dropDuplicates(["doc_id_1", "doc_id_2"]), dropped
