@@ -272,16 +272,21 @@ signal) shows the compute-bound stage scales at the hardware ceiling
 while single-JVM orchestration does not:
 
 * **pair scoring + rules** (the reference's 6-hour stage; ~60% of
-  core-seconds, 19.6M pairs): 114.8s @ 8 cores → 42.9s @ 32 =
-  **2.7x of 4x = 0.84 of this host's concurrent 0.80 pure-CPU
-  ceiling**.  This is the stage that dominates at 10^12 docs.
-* candidate generation (shuffle-bound): 26.2s → 16.0s (~1.6x) —
-  bounded by AQE's sequential stage materialization, the broadcast
-  census barriers, and single-JVM shuffle I/O contention.
-* normalize (narrow, regex-heavy): 10.7s → 9.5s — allocation-rate
+  core-seconds, 19.6M pairs): 158.2s @ 8 cores → 47.9s @ 32 =
+  **3.3x of 4x = 0.83 raw, ~0.97 of this host's measured 0.851
+  pure-CPU ceiling**.  This is the stage that dominates at 10^12
+  docs.
+* candidate generation (shuffle-bound): 30.5s → 13.6s (**2.25x**,
+  up from 1.6x in round 1 after removing the redundant key-dedup
+  shuffle, pinning the census once, and overlapping the key/census
+  and SN-rank build chains from two submitter threads); the residue
+  is AQE's sequential stage materialization and the range-partition
+  sample + offsets-collect barriers, whose wall cost is
+  core-count-independent.
+* normalize (narrow, regex-heavy): 14.2s → 11.5s — allocation-rate
   bound in one JVM (32 threads share one allocator/GC; separate
   executor JVMs do not).
-* connected components: 3.1s → 3.9s of job-fixed cost.  The driver
+* connected components: 5.1s → 6.3s of job-fixed cost.  The driver
   union-find finish collapsed the star loop's ~18 barrier-chained
   jobs into 3 (the loop previously ran 7.7s @ 8 -> 12.0s @ 32 —
   INVERSE scaling); what remains is per-job scheduler cost paid
