@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Reviewer report: the engine-side stand-in for the reference's
+matplotlib artifacts (score distribution plot, cluster-size pie,
+per-rule counts — main_ldu_hw.py:260,267-327), which exist to let a
+human pick score thresholds and sanity-check rule firing.
+
+No plotting libs ship in this sandbox, so the report is CSV tables
+plus an ASCII rendering of the score histogram in REPORT.md — the
+same decision inputs, reviewable in a terminal or a PR.  The data
+comes from the SAME driver queries the correctness harness checks
+(`score_histogram`, `cluster_size_stats`, `mask_stats`), so the
+report never drifts from the verified pipeline.
+
+Usage: python tools/report.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _bar(frac: float, width: int = 40) -> str:
+    n = int(round(frac * width))
+    return "#" * n if n > 0 else ("." if frac > 0 else "")
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import __spark_entry__ as E
+    from record_linkage_ldu_spark.session import build_session
+    from record_linkage_ldu_spark.sources.io import export_presentation_csv
+
+    spark = build_session(app_name="rl-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    os.makedirs(out_dir, exist_ok=True)
+
+    hist = qs["score_histogram"](spark, sf_dir).orderBy(
+        "field", "bin"
+    ).collect()
+    sizes = qs["cluster_size_stats"](spark, sf_dir).collect()[0].asDict()
+    masks = qs["mask_stats"](spark, sf_dir).collect()[0].asDict()
+
+    export_presentation_csv(
+        qs["score_histogram"](spark, sf_dir).orderBy("field", "bin"),
+        os.path.join(out_dir, "score_histogram"),
+    )
+    export_presentation_csv(
+        qs["cluster_size_stats"](spark, sf_dir),
+        os.path.join(out_dir, "cluster_size_stats"),
+    )
+    export_presentation_csv(
+        qs["mask_stats"](spark, sf_dir),
+        os.path.join(out_dir, "mask_stats"),
+    )
+
+    fields = sorted({r["field"] for r in hist})
+    by_field = {
+        f: [r for r in hist if r["field"] == f] for f in fields
+    }
+    lines = [
+        "# Linkage report",
+        "",
+        f"input: `{sf_dir}`",
+        "",
+        "## Per-field similarity distributions (threshold-picking view)",
+        "",
+        "The reference reads these off matplotlib histograms "
+        "(main_ldu_hw.py:260); same data, terminal-rendered. "
+        "Buckets are 0.05-wide similarity bins.",
+        "",
+    ]
+    for f in fields:
+        rows = by_field[f]
+        total = sum(r["n_pairs"] for r in rows) or 1
+        peak = max(r["n_pairs"] for r in rows) or 1
+        lines += [
+            f"### {f}",
+            "",
+            "| sim bucket | pairs | share | |",
+            "|---|---|---|---|",
+        ]
+        for r in rows:
+            lo = r["bin"] * 0.05
+            frac = r["n_pairs"] / total
+            lines.append(
+                f"| {lo:.2f}-{lo + 0.05:.2f} | {r['n_pairs']} | "
+                f"{frac:.1%} | `{_bar(r['n_pairs'] / peak)}` |"
+            )
+        lines.append("")
+    lines += [
+        "",
+        "## Cluster sizes",
+        "",
+        "| stat | value |",
+        "|---|---|",
+    ]
+    for k, v in sizes.items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "## Rule-mask firing counts (D3 per-mask stats)",
+        "",
+        "| mask | pairs |",
+        "|---|---|",
+    ]
+    for k, v in masks.items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+
+    with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_dir}/REPORT.md (+3 CSV tables)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "report_out")
+    main(sf, out)
