@@ -144,6 +144,83 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_sessionize_stream_multi_chunk_key(spark, tmp_path):
+    """A key whose micro-batch slice exceeds one Arrow chunk:
+    applyInPandasWithState hands the slice over as MULTIPLE pandas
+    chunks with no ts ordering ACROSS them, so the sessionizer must
+    concat-then-sort (a per-chunk sort misnumbers sessions).  Shrink
+    the chunk size to 50 and feed one user 600 out-of-order events in
+    a single micro-batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    # 600 events, 10 sessions of 60 events each (1-min spacing inside,
+    # 2h gaps between), written in REVERSE ts order so chunk order is
+    # maximally wrong.
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    eid = 0
+    for sess in range(10):
+        for k in range(60):
+            rows.append(
+                (
+                    eid,
+                    7,
+                    base + pd.Timedelta(hours=3 * sess, minutes=k),
+                    "click",
+                )
+            )
+            eid += 1
+    rows.reverse()
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    events = spark.createDataFrame(pdf)
+    stream_dir = tmp_path / "mc_in"
+    stream_dir.mkdir()
+    events.coalesce(1).write.parquet(str(tmp_path / "mc_stage"))
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "mc_stage" / "part-*.parquet"))[0],
+        stream_dir / "batch0.parquet",
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(str(stream_dir))
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sess_mc_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        (r["event_id"], r["session_no"])
+        for r in spark.table("sess_mc_out").collect()
+    }
+    expected = {
+        (r["event_id"], r["session_no"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert len(got) == 600
+    assert got == expected
+
+
 def test_windowed_events_watermark_drops_late_data(spark, tmp_path):
     """Streaming mode of windowed_event_counts: an event arriving
     after the watermark has passed its window is DROPPED; the window's
