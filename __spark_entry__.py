@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_near_duplicates(
         _t(s, d, "documents"), threshold=0.3
     )
+    # the pipeline-level dedup DECISION: connected components over the
+    # near-dup pairs, canonical per component, keep-flag for filtering
+    q["near_dup_keep_list"] = lambda s, d: dedup.near_duplicate_keep_list(
+        _t(s, d, "documents"), threshold=0.3
+    )
     q["ngram_jaccard_dedup"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _t(s, d, "documents").withColumn(
             "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
@@ -1052,6 +1057,25 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
     )
+    sql["near_dup_keep_list"] = f"""
+        WITH RECURSIVE np AS (
+            {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}
+        ),
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT doc_id_1 AS s, doc_id_2 AS d FROM np
+            UNION
+            SELECT doc_id_2 AS s, doc_id_1 AS d FROM np
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        )
+        SELECT a AS doc_id, min(b) AS canonical_id,
+               CAST(CASE WHEN a = min(b) THEN 1 ELSE 0 END AS INT) AS keep
+        FROM reach GROUP BY a
+    """
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
     sql["token_count"] = f"""
         SELECT doc_id, {T.sql_token_count("text")} AS n_tokens FROM documents

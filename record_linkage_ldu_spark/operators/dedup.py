@@ -329,6 +329,45 @@ def sql_minhash_near_duplicates(
     """
 
 
+def near_duplicate_keep_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Corpus-level dedup DECISION: (doc_id, canonical_id, keep).
+
+    Near-duplicate pairs are not what a training-data pipeline emits —
+    it emits the corpus minus the duplicates.  Pairwise similarity is
+    not transitive, so keep/drop must be decided per connected
+    component of the verified pair graph (the standard shingle-cluster
+    step of Broder's scheme): canonical = min doc_id per component,
+    ``keep = 1`` exactly for canonicals (every singleton keeps
+    itself).  Filtering the corpus is then one broadcast-able
+    semi-join against ``keep = 1``.
+
+    Scale shape: MinHash-LSH pairs (bucketed, capped) -> connected
+    components (driver union-find under the gate, alternating-star
+    beyond — the dup-pair graph is ~orders smaller than the corpus)
+    -> one join back.  No all-pairs stage anywhere.
+    """
+    from .cc import connected_components
+
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold=threshold, **minhash_kwargs
+    )
+    clusters = connected_components(
+        pairs.select("doc_id_1", "doc_id_2"),
+        vertices=df.select(F.col(id_col).alias("doc_id")),
+    )
+    return clusters.select(
+        "doc_id",
+        F.col("cluster_id").alias("canonical_id"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
 # ------------------------------------------------------------------
 # n-gram Jaccard near-dup (blocked, no LSH — small-block path)
 # ------------------------------------------------------------------
