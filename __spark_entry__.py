@@ -59,6 +59,8 @@ from record_linkage_ldu_spark.operators.cc import connected_components
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
     media_table,
+    resize_media,
+    sample_frames,
 )
 from record_linkage_ldu_spark.operators.scoring import attach_pair_sides
 from record_linkage_ldu_spark.operators.spans import span_fingerprint
@@ -641,6 +643,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("feature_bytes"),
         "decode_ok",
     )
+    # multimodal plumbing twins: stub dims/durations are md5-derived,
+    # so the target-dimension and sampling arithmetic is hash-checked
+    # against DuckDB; the codec swap-in point stays a stub (no codec
+    # libs in this container)
+    q["media_resize"] = lambda s, d: resize_media(
+        media_table(synth_documents(_t(s, d, "customer")))
+    ).select(
+        "doc_id", "media_ref", "media_type",
+        "width", "height", "out_width", "out_height",
+    )
+    q["media_frame_sample"] = lambda s, d: sample_frames(
+        media_table(synth_documents(_t(s, d, "customer")))
+    ).select(
+        "doc_id", "media_ref", "media_type",
+        "frame_idx", "ts_ms", "frame_ref",
+    )
     q["span_invariant_check"] = lambda s, d: _span_invariant(s, d)
     return q
 
@@ -1150,6 +1168,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, 'image' AS media_type,
                concat_ws(',', {media_bytes}) AS feature_bytes,
                TRUE AS decode_ok
+        FROM media
+    """
+    # resize stub dims: w = 64 + 4*digest[2], h = 64 + 4*digest[3]
+    # (hex chars 5-6 / 7-8 of md5(media_ref)); target = floor-scale to
+    # the longer side at 256, min 1 — same double-op order as the
+    # pandas kernel
+    sql["media_resize"] = f"""
+        WITH {synth_sql_cte()},
+    media AS (
+        SELECT doc_id, 'img://' || doc_id AS media_ref
+        FROM synth WHERE {sql_media_pick("doc_id")}
+    ),
+    dims AS (
+        SELECT doc_id, media_ref,
+               64 + 4 * (('0x' || substr(md5(media_ref), 5, 2))::INT) AS w,
+               64 + 4 * (('0x' || substr(md5(media_ref), 7, 2))::INT) AS h
+        FROM media
+    )
+        SELECT doc_id, media_ref, 'image' AS media_type,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                    ELSE greatest(1, CAST(floor(w * 256.0 / greatest(w, h)) AS INT))
+                    END AS INT) AS out_width,
+               CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                    ELSE greatest(1, CAST(floor(h * 256.0 / greatest(w, h)) AS INT))
+                    END AS INT) AS out_height
+        FROM dims
+    """
+    # synth media are all still images: exactly one frame at ts 0
+    # (the md5-duration video path is gated by tests/test_multimodal.py)
+    sql["media_frame_sample"] = f"""
+        WITH {synth_sql_cte()},
+    media AS (
+        SELECT doc_id, 'img://' || doc_id AS media_ref
+        FROM synth WHERE {sql_media_pick("doc_id")}
+    )
+        SELECT doc_id, media_ref, 'image' AS media_type,
+               CAST(0 AS INT) AS frame_idx, CAST(0 AS INT) AS ts_ms,
+               media_ref || '#0' AS frame_ref
         FROM media
     """
     return sql
