@@ -236,6 +236,35 @@ def export_grouped_presentation_csv(
     ).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    bucket_col: str = "doc_id",
+) -> None:
+    """Persist a table hash-bucketed by ``bucket_col`` (Spark bucketed
+    parquet; the Iceberg equivalent is a `bucket(N, col)` partition
+    transform).
+
+    At 100TB the records table is joined on doc_id over and over (pair
+    side-attach reads it twice per run, presentation/evaluate joins
+    read it again): bucketing pre-pays that shuffle ONCE at write
+    time.  Joins against `spark.table(table)` then leave the bucketed
+    side exchange-free — only the narrow pair-id side shuffles to the
+    bucket count (see tests/test_io_sources.py's plan assertion).
+    Sorting within buckets additionally enables sort-merge without a
+    per-task sort for the common doc_id-ordered reads."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
 def input_fingerprint(df: DataFrame, cols: list[str]) -> str:
     """Order-insensitive content fingerprint of selected columns —
     cheap xor/count aggregate, used as the stage-resume key."""

@@ -9,6 +9,7 @@ from record_linkage_ldu_spark.sources.io import (
     export_grouped_presentation_csv,
     export_presentation_csv,
     read_delimited_csv,
+    write_bucketed,
 )
 
 
@@ -71,6 +72,42 @@ def test_export_grouped_csv_blank_separator_rows(spark, tmp_path):
         "c2,a2,beta",
         "",
     ]
+
+
+def test_bucketed_records_join_skips_record_shuffle(spark, tmp_path):
+    """Co-located join path: a records table bucketed on doc_id must
+    join WITHOUT an exchange on the records side — only the narrow
+    pair-id side shuffles to the bucket count.  This is the 100TB
+    shape for the pair side-attach joins (records never reshuffle)."""
+    from pyspark.sql import functions as F
+
+    records = spark.range(0, 10_000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("name"),
+    )
+    write_bucketed(
+        records, "rl_test_bucketed", str(tmp_path / "bucketed"), buckets=8
+    )
+    try:
+        tbl = spark.table("rl_test_bucketed")
+        pairs = spark.range(0, 1_000).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("d"), F.col("id") + 1).alias("doc_id_2"),
+        )
+        # force the sort-merge path (a broadcast would hide the
+        # bucketing; at 100TB neither side broadcasts)
+        joined = tbl.hint("merge").join(pairs, "doc_id")
+        assert len(joined.collect()) == 1_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # AQE prints final + initial sections; judge the FINAL plan
+        if "== Initial Plan ==" in plan:
+            plan = plan[: plan.index("== Initial Plan ==")]
+        # exactly one shuffle: the pairs side.  The bucketed scan must
+        # not sit under an Exchange.
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rl_test_bucketed")
 
 
 def test_run_linkage_cross_mode(spark, tiny_gen, tmp_path):
