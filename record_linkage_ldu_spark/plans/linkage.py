@@ -318,66 +318,71 @@ class CrossLinkagePipeline:
             info["dropped_blocks"] = None
             pairs = self._stage("pairs", None, info, fp)
         else:
-            keys_l = block_keys(records_l, cfg.blocking)
-            keys_r = block_keys(records_r, cfg.blocking)
-            if cfg.materialize:
-                keys_l = keys_l.localCheckpoint(eager=True)
-                keys_r = keys_r.localCheckpoint(eager=True)
-            # cross-mode block tiers mirror the self pipeline: a
-            # block's pair volume is |left| * |right|, so the census
-            # runs over the UNION of both key tables; normal blocks go
-            # through the plain equi-join, hot blocks through the
-            # replicate-left salted join, blocks beyond the salted
-            # ceiling are dropped from both sides (the record still
-            # pairs through its other keys).
             bc = cfg.blocking
-            census = block_census(keys_l.unionByName(keys_r))
-            if cfg.materialize:
-                # the census feeds FIVE broadcast filters below;
-                # exchange reuse does not reliably collapse the five
-                # aggregate subplans (measured as the candidate
-                # phase's non-scaling residue), and the census is tiny
-                # (one row per distinct block key) — pin it once.
-                census = census.localCheckpoint(eager=True)
-            over_cap = census.where(F.col("block_size") > bc.max_block_size)
-            dropped = census.where(
-                F.col("block_size") > bc.max_block_size * bc.salt_drop_factor
-            )
-            hot = over_cap.join(
-                F.broadcast(dropped.select("block_key")),
-                "block_key",
-                "left_anti",
-            )
-            kept_l = keys_l.join(
-                F.broadcast(over_cap.select("block_key")),
-                "block_key",
-                "left_anti",
-            )
-            kept_r = keys_r.join(
-                F.broadcast(over_cap.select("block_key")),
-                "block_key",
-                "left_anti",
-            )
-            hot_l = keys_l.join(
-                F.broadcast(hot.select("block_key")), "block_key"
-            )
-            hot_r = keys_r.join(
-                F.broadcast(hot.select("block_key")), "block_key"
-            )
-            n_score_parts = (
-                self.spark.sparkContext.defaultParallelism
-                * cfg.score_partitions_per_core
-                if cfg.score_partitions_per_core > 0
-                else None
-            )
-            from ..operators.blocking import salted_candidate_pairs_cross
 
-            pairs = candidate_pairs(kept_l, kept_r, dedup=False).unionByName(
-                salted_candidate_pairs_cross(
-                    hot_l, hot_r, salt=bc.salt_buckets, dedup=False
+            def _build_key_tiers():
+                # cross-mode block tiers mirror the self pipeline: a
+                # block's pair volume is |left| * |right|, so the
+                # census runs over the UNION of both key tables;
+                # normal blocks go through the plain equi-join, hot
+                # blocks through the replicate-left salted join,
+                # blocks beyond the salted ceiling are dropped from
+                # both sides (the record still pairs through its
+                # other keys).
+                keys_l = block_keys(records_l, bc)
+                keys_r = block_keys(records_r, bc)
+                if cfg.materialize:
+                    keys_l = keys_l.localCheckpoint(eager=True)
+                    keys_r = keys_r.localCheckpoint(eager=True)
+                census = block_census(keys_l.unionByName(keys_r))
+                if cfg.materialize:
+                    # the census feeds FIVE broadcast filters below;
+                    # exchange reuse does not reliably collapse the
+                    # five aggregate subplans, and the census is tiny
+                    # (one row per distinct block key) — pin it once.
+                    census = census.localCheckpoint(eager=True)
+                over_cap = census.where(
+                    F.col("block_size") > bc.max_block_size
                 )
-            )
-            if bc.sn_window > 0:
+                dropped = census.where(
+                    F.col("block_size")
+                    > bc.max_block_size * bc.salt_drop_factor
+                )
+                hot = over_cap.join(
+                    F.broadcast(dropped.select("block_key")),
+                    "block_key",
+                    "left_anti",
+                )
+                kept_l = keys_l.join(
+                    F.broadcast(over_cap.select("block_key")),
+                    "block_key",
+                    "left_anti",
+                )
+                kept_r = keys_r.join(
+                    F.broadcast(over_cap.select("block_key")),
+                    "block_key",
+                    "left_anti",
+                )
+                hot_l = keys_l.join(
+                    F.broadcast(hot.select("block_key")), "block_key"
+                )
+                hot_r = keys_r.join(
+                    F.broadcast(hot.select("block_key")), "block_key"
+                )
+                from ..operators.blocking import (
+                    salted_candidate_pairs_cross,
+                )
+
+                return (
+                    candidate_pairs(kept_l, kept_r, dedup=False).unionByName(
+                        salted_candidate_pairs_cross(
+                            hot_l, hot_r, salt=bc.salt_buckets, dedup=False
+                        )
+                    ),
+                    dropped,
+                )
+
+            def _build_sn():
                 # windowed sorted-neighborhood tier over the union of
                 # both sides — the same name-typo recall the self
                 # pipeline gets from its SN pass; without it cross
@@ -387,15 +392,35 @@ class CrossLinkagePipeline:
                     sorted_neighborhood_pairs_cross,
                 )
 
-                pairs = pairs.unionByName(
-                    sorted_neighborhood_pairs_cross(
-                        records_l,
-                        records_r,
-                        name_expr(records_l, bc),
-                        name_expr(records_r, bc),
-                        window=bc.sn_window,
-                    )
+                return sorted_neighborhood_pairs_cross(
+                    records_l,
+                    records_r,
+                    name_expr(records_l, bc),
+                    name_expr(records_r, bc),
+                    window=bc.sn_window,
                 )
+
+            n_score_parts = (
+                self.spark.sparkContext.defaultParallelism
+                * cfg.score_partitions_per_core
+                if cfg.score_partitions_per_core > 0
+                else None
+            )
+            if cfg.materialize and bc.sn_window > 0:
+                # overlap the two independent eager prep chains (key +
+                # census pins vs the SN global-rank build) — same
+                # barrier-floor removal as generate_candidates
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_tiers = ex.submit(_build_key_tiers)
+                    f_sn = ex.submit(_build_sn)
+                    (pairs, dropped), sn = f_tiers.result(), f_sn.result()
+                pairs = pairs.unionByName(sn)
+            else:
+                pairs, dropped = _build_key_tiers()
+                if bc.sn_window > 0:
+                    pairs = pairs.unionByName(_build_sn())
             if n_score_parts:
                 pairs = pairs.repartition(
                     n_score_parts, "doc_id_1", "doc_id_2"
