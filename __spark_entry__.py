@@ -541,6 +541,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_keep_list"] = lambda s, d: dedup.near_duplicate_keep_list(
         _t(s, d, "documents"), threshold=0.3
     )
+    # same canonicalization over the embedding-cosine pair family
+    q["embedding_keep_list"] = lambda s, d: dedup.keep_list_from_pairs(
+        ann.embedding_near_duplicates(
+            _t(s, d, "embeddings"), threshold=0.2, nbits=8
+        ).select(
+            F.col("vec_id_1").alias("doc_id_1"),
+            F.col("vec_id_2").alias("doc_id_2"),
+        ),
+        _t(s, d, "embeddings"),
+        id_col="vec_id",
+    ).select(
+        F.col("doc_id").alias("vec_id"), "canonical_id", "keep"
+    )
     q["ngram_jaccard_dedup"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _t(s, d, "documents").withColumn(
             "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
@@ -1091,6 +1104,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
         )
         SELECT a AS doc_id, min(b) AS canonical_id,
+               CAST(CASE WHEN a = min(b) THEN 1 ELSE 0 END AS INT) AS keep
+        FROM reach GROUP BY a
+    """
+    sql["embedding_keep_list"] = f"""
+        WITH RECURSIVE np AS (
+            {ann.sql_embedding_near_duplicates("embeddings", threshold=0.2, nbits=8)}
+        ),
+        nodes AS (SELECT vec_id FROM embeddings),
+        edges AS (
+            SELECT vec_id_1 AS s, vec_id_2 AS d FROM np
+            UNION
+            SELECT vec_id_2 AS s, vec_id_1 AS d FROM np
+        ),
+        reach(a, b) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        )
+        SELECT a AS vec_id, min(b) AS canonical_id,
                CAST(CASE WHEN a = min(b) THEN 1 ELSE 0 END AS INT) AS keep
         FROM reach GROUP BY a
     """

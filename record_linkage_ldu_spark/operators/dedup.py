@@ -329,6 +329,30 @@ def sql_minhash_near_duplicates(
     """
 
 
+def keep_list_from_pairs(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic canonicalization step shared by every near-dup family:
+    pairs(doc_id_1, doc_id_2) + the full id set -> (doc_id,
+    canonical_id, keep).  Connected components over the pair graph
+    (similarity is not transitive, so keep/drop is a component
+    decision), canonical = min id, keep = 1 exactly for canonicals;
+    singletons keep themselves."""
+    from .cc import connected_components
+
+    clusters = connected_components(
+        pairs.select("doc_id_1", "doc_id_2"),
+        vertices=ids.select(F.col(id_col).alias("doc_id")),
+    )
+    return clusters.select(
+        "doc_id",
+        F.col("cluster_id").alias("canonical_id"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
 def near_duplicate_keep_list(
     df: DataFrame,
     text_col: str = "text",
@@ -352,20 +376,10 @@ def near_duplicate_keep_list(
     beyond — the dup-pair graph is ~orders smaller than the corpus)
     -> one join back.  No all-pairs stage anywhere.
     """
-    from .cc import connected_components
-
     pairs = minhash_near_duplicates(
         df, text_col, id_col, threshold=threshold, **minhash_kwargs
     )
-    clusters = connected_components(
-        pairs.select("doc_id_1", "doc_id_2"),
-        vertices=df.select(F.col(id_col).alias("doc_id")),
-    )
-    return clusters.select(
-        "doc_id",
-        F.col("cluster_id").alias("canonical_id"),
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
-    )
+    return keep_list_from_pairs(pairs, df, id_col)
 
 
 # ------------------------------------------------------------------
