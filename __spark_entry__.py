@@ -19,9 +19,10 @@ Oracle notes:
     validates the whole chain, not a re-implementation.
   * similarity scores in oracle-checked queries use the JVM-native
     normalized Levenshtein (DuckDB has levenshtein); the
-    Ratcliff-Obershelp / Jaro-Winkler / Soundex / SimHash operators
-    have no DuckDB twin and are covered by pytest goldens + rows-only
-    entries here.
+    Ratcliff-Obershelp / Jaro-Winkler / Soundex operators have no
+    DuckDB twin and are covered by pytest goldens + rows-only entries
+    here.  SimHash's md5 sketch IS DuckDB-expressible and hash-checked
+    (sql_simhash_near_duplicates).
 """
 
 from __future__ import annotations
@@ -201,8 +202,8 @@ def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-dataset mode (SURVEY.md §2.6 C1 + §2.7 D1): left = 'a'
+def _cross_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset scored pairs (SURVEY.md §2.6 C1): left = 'a'
     copies (the HW-like source), right = 'b'/'c' copies; the name
     family score is the reference's target-max (best similarity across
     the right-side candidate target columns) via native greatest."""
@@ -214,7 +215,7 @@ def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wide = attach_pair_sides(cross, records, _PAIR_FIELDS)
     fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
-    scored = wide.select(
+    return wide.select(
         "doc_id_1",
         "doc_id_2",
         F.greatest(
@@ -227,7 +228,13 @@ def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in fields
         ],
     )
-    return _round_pairs(rules.match(scored, mode="cross"))
+
+
+def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: cross pairs passing the LDU x HW rule masks."""
+    return _round_pairs(
+        rules.match(_cross_scored(spark, sf_dir), mode="cross")
+    )
 
 
 def _verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +450,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_nationkey",
         N.fix_country(F.col("n_name")).alias("country_canonical"),
     )
+    # F5: website normalizer (compared field in self mode,
+    # config.py web_site; reference pre_processing.py:82-85,188-189) —
+    # a www-prefixed URL-ish string exercises the www-token removal
+    q["normalize_website"] = lambda s, d: _t(s, d, "customer").select(
+        "c_custkey",
+        N.normalize_website(
+            F.concat(F.lit("www."), F.col("c_name"), F.lit(".com"))
+        ).alias("norm_website"),
+    )
 
     # ---------- filters / projections / record surgery (P*/M*) ----------
     q["filter_valid_records"] = lambda s, d: (
@@ -506,6 +522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["score_histogram"] = lambda s, d: _score_histogram(s, d)
     q["cluster_size_stats"] = lambda s, d: _cluster_size_stats(s, d)
     q["cross_match_rules"] = lambda s, d: _cross_matches(s, d)
+    # D3 cross variant (reference main_ldu_hw.py:422-429): per-mask
+    # fire counts + unique-to-mask counts over the cross scored pairs
+    q["cross_mask_stats"] = lambda s, d: rules.mask_stats(
+        _cross_scored(s, d), mode="cross"
+    )
     q["verified_clusters"] = lambda s, d: _verified_clusters(s, d)
     q["cluster_presentation"] = lambda s, d: _cluster_presentation(s, d)
     q["cluster_diff"] = lambda s, d: _cluster_diff_q(s, d)
@@ -628,14 +649,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    # ---------- rows-only (no SQL twin: RO/JW/Soundex/SimHash/media) ----------
+    # ---------- rows-only (no SQL twin: RO/JW/Soundex) + simhash ----------
     q["soundex_keys"] = lambda s, d: block_keys(
         _records(s, d), BlockingConfig(use_sorted_neighborhood=False,
                                        contact_fields=())
     )
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
+    # hash-green since round 3: the md5-based sketch + band/hamming
+    # stages have an exact DuckDB twin (sql_simhash_near_duplicates).
+    # max_hamming=3 matches the n_bands=4 pigeonhole guarantee
+    # (recall 1.0 for hamming <= n_bands - 1; see test_dedup.py).
     q["simhash_near_dups"] = lambda s, d: dedup.simhash_near_duplicates(
-        dedup.simhash_sketch(_t(s, d, "documents")), max_hamming=16
+        dedup.simhash_sketch(_t(s, d, "documents")), max_hamming=3,
+        n_bands=4,
     )
     # feature is array<float>; the harness canonicalizes via pandas
     # sort, which cannot hash lists — return the bytes the stub decoder
@@ -777,7 +803,13 @@ def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_linkage_ldu_spark.functions.similarity import jw_sim_col, ro_sim_col
 
     records = _records(spark, sf_dir)
-    pairs = candidate_pairs(_capped_keys(records)).limit(2000)
+    # deterministic ~1/43 sample: a bare limit() admits ANY 2000 pairs
+    # (plan/order dependent), so the rows-only driver check would pass
+    # under kernel drift; the hash-mod pick yields the same row set on
+    # every run
+    pairs = candidate_pairs(_capped_keys(records)).where(
+        F.pmod(F.xxhash64("doc_id_1", "doc_id_2"), F.lit(43)) == 0
+    )
     wide = attach_pair_sides(pairs, records, ("name", "address"))
     return wide.select(
         "doc_id_1",
@@ -828,6 +860,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_nationkey,
                {N.sql_fix_country("n_name")} AS country_canonical
         FROM nation
+    """
+    sql["normalize_website"] = f"""
+        SELECT c_custkey,
+               {N.sql_normalize_website("('www.' || c_name || '.com')")}
+                   AS norm_website
+        FROM customer
     """
     sql["filter_valid_records"] = r"""
         SELECT c_custkey,
@@ -984,6 +1022,38 @@ def oracle_sql() -> dict[str, str]:
     )
         SELECT doc_id_1, doc_id_2, {cross_round}
         FROM csims WHERE {rules.sql_cross_rule_predicate()}
+    """
+    cross_masks = rules.sql_cross_rule_masks()
+    cross_mask_aggs = []
+    for i, m in enumerate(cross_masks):
+        others = " OR ".join(
+            mm for j, mm in enumerate(cross_masks) if j != i
+        )
+        cross_mask_aggs.append(
+            f"CAST(sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS mask{i}_count"
+        )
+        cross_mask_aggs.append(
+            f"CAST(sum(CASE WHEN ({m}) AND NOT ({others}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS mask{i}_unique"
+        )
+    sql["cross_mask_stats"] = f"""
+        {_sql_chain("pairs")},
+    cpairs AS (
+        SELECT * FROM pairs
+        WHERE substr(doc_id_1, 1, 1) = 'a' AND substr(doc_id_2, 1, 1) <> 'a'
+    ),
+    csims AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               greatest({sql_lev_sim('n1.name', 'n2.name')},
+                        {sql_lev_sim('n1.name', 'n2."group"')}) AS name,
+               CAST(0.0 AS DOUBLE) AS company_name,
+               {cross_sims}
+        FROM cpairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+    )
+        SELECT {", ".join(cross_mask_aggs)} FROM csims
     """
     sql["verified_clusters"] = f"""
         {_SQL_CC},
@@ -1143,6 +1213,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings", "vec_id % 50 = 0", k=5
     )
     sql["lsh_ann_topk"] = ann.sql_lsh_topk("embeddings", k=3, nbits=8)
+    sql["simhash_near_dups"] = dedup.sql_simhash_near_duplicates(
+        "documents", max_hamming=3, n_bands=4
+    )
     sql["windowed_events"] = """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
                event_type,

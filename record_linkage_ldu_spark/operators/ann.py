@@ -121,38 +121,155 @@ def sign_bucket(vec: Column, nbits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def auto_nbits(n_vectors: int, target_bucket: int = 500) -> int:
+    """Scale-aware bucket width: enough sign bits that the MEAN bucket
+    holds ~``target_bucket`` vectors (occupancy is skewed on correlated
+    embedding dims, so the census/cap/salt tiers below still bound the
+    tail).  Clamped to [8, 24] — 2^24 buckets is plenty of spread and
+    the join key stays a short string."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 8
+    return max(8, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def _sign_bucket_candidates(
+    corpus: DataFrame,
+    nbits: int,
+    id_col: str,
+    vec_col: str,
+    multiprobe: bool,
+    max_bucket_size: int | None,
+    salt_buckets: int,
+    drop_factor: int,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared candidate stage for the sign-LSH family: (doc_id, bucket)
+    keys routed through the census/cap/salt tiers of
+    ``capped_bucket_pairs`` — the same bounded-width scheme the
+    MinHash/SimHash bucket families use.  A plain ``a.join(b, bucket)``
+    goes quadratic inside ONE join key when a mega-bucket appears
+    (embedding dims are correlated, so sign-bucket occupancy is
+    heavily skewed at corpus scale); the tiers cap it: plain equi-join
+    up to ``max_bucket_size``, lossless triangle-salted join up to
+    ``drop_factor`` times that, census-reported drop beyond.
+
+    ``multiprobe=True`` additionally emits every 1-bit-flip of the
+    bucket as a probe key: two vectors whose buckets differ in <= 2
+    sign bits then share at least one key (flip_i(a) == flip_j(b) when
+    a ^ b == e_i ^ e_j), trading ``nbits`` extra key rows per vector
+    for recall across sign-boundary jitter.  Same-bucket pairs meet in
+    every shared key; ``capped_bucket_pairs``' single pair-dedup
+    collapses them.
+
+    Returns (pairs(vid_1 < vid_2), dropped_census | None).
+    """
+    from .dedup import capped_bucket_pairs
+
+    base = ensure_width(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
+    )
+    if multiprobe:
+        flips = [
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(
+                    F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, nbits - i - 1),
+            )
+            for i in range(nbits)
+        ]
+        keys = base.select(
+            "doc_id",
+            F.explode(F.array(F.col("bucket"), *flips)).alias("block_key"),
+        )
+    else:
+        keys = base.select("doc_id", F.col("bucket").alias("block_key"))
+    if max_bucket_size is None:
+        a = keys.alias("a")
+        b = keys.alias("b")
+        pairs = (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+        )
+        return pairs, None
+    pairs, dropped = capped_bucket_pairs(
+        keys, max_bucket_size, salt_buckets, drop_factor
+    )
+    return pairs, dropped
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
 ) -> DataFrame:
     """Approximate all-pairs top-k: cosine ranking restricted to
-    same-sign-bucket candidates.  One equi-join on the bucket key —
-    the O(n^2) cross join never happens; recall is tested against the
-    brute-force baseline."""
-    base = ensure_width(corpus).select(
+    same-sign-bucket candidates.
+
+    Candidates come from ``_sign_bucket_candidates`` — census/cap/salt
+    tiers bound the per-key join width (a plain bucket self-join goes
+    quadratic in one mega-bucket at corpus scale).  The salt tier is
+    lossless, so results are identical to the plain join unless a
+    bucket exceeds the drop ceiling; recall vs the brute-force baseline
+    is gated by tests/test_ann.py.  ``multiprobe=True`` adds 1-bit-flip
+    probe keys (recall across sign jitter; off for the DuckDB oracle,
+    which reproduces the single-probe candidate set exactly).
+    """
+    pairs, _ = _sign_bucket_candidates(
+        corpus, nbits, id_col, vec_col, multiprobe,
+        max_bucket_size, salt_buckets, drop_factor,
+    )
+    vecs = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
     sims = (
-        a.join(b, "bucket")
-        .where(F.col("a.vid") != F.col("b.vid"))
+        pairs.join(
+            vecs.select(F.col("vid").alias("doc_id_1"), F.col("v").alias("v1")),
+            "doc_id_1",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("doc_id_2"), F.col("v").alias("v2")),
+            "doc_id_2",
+        )
         .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            "doc_id_1",
+            "doc_id_2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
+        )
+    )
+    # unordered candidate pairs -> both query orientations (cosine is
+    # symmetric: one similarity evaluation serves both)
+    both = sims.select(
+        F.col("doc_id_1").alias("query_id"),
+        F.col("doc_id_2").alias("neighbor_id"),
+        "cosine_sim",
+    ).unionByName(
+        sims.select(
+            F.col("doc_id_2").alias("query_id"),
+            F.col("doc_id_1").alias("neighbor_id"),
+            "cosine_sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        both.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
@@ -292,34 +409,61 @@ def embedding_near_duplicates(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    multiprobe: bool = False,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    with_census: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-duplicate pairs: unordered same-bucket
     pairs with cosine >= threshold (the dedup-flavored sibling of
     ``lsh_topk`` — a pair set, not per-query top-k).
 
-    Same scale shape as MinHash dedup: sign-LSH bucket equi-join keeps
-    the candidate stage linear in bucket occupancy; the exact cosine
-    verifies candidates.  Multi-probe (bit-flip) variants would raise
-    recall at the same join shape; one deterministic probe keeps the
-    DuckDB oracle exact.
+    Same scale shape as MinHash dedup: sign-LSH bucket candidates
+    routed through the census/cap/salt tiers (``capped_bucket_pairs``),
+    exact cosine verifying candidates.  The salt tier is lossless —
+    results equal the plain bucket join unless a bucket exceeds the
+    drop ceiling (``max_bucket_size * drop_factor``; degenerate
+    embedding mass, e.g. zero/templated vectors).  ``multiprobe=True``
+    adds 1-bit-flip probe keys for recall across sign jitter; the
+    default single probe keeps the DuckDB oracle exact.  Pick ``nbits``
+    with ``auto_nbits(corpus_size)`` at scale.
+
+    ``with_census=True`` returns (pairs, dropped_census) so callers
+    can observe which mega-buckets lost their pairs — dropped content
+    is the MOST duplicated content, so the drop must be a reported
+    decision, not a silent one.
     """
-    base = ensure_width(corpus).select(
+    pairs, dropped = _sign_bucket_candidates(
+        corpus, nbits, id_col, vec_col, multiprobe,
+        max_bucket_size, salt_buckets, drop_factor,
+    )
+    vecs = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
-        a.join(b, "bucket")
-        .where(F.col("a.vid") < F.col("b.vid"))
+    out = (
+        pairs.join(
+            vecs.select(F.col("vid").alias("doc_id_1"), F.col("v").alias("v1")),
+            "doc_id_1",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("doc_id_2"), F.col("v").alias("v2")),
+            "doc_id_2",
+        )
         .select(
-            F.col("a.vid").alias("vec_id_1"),
-            F.col("b.vid").alias("vec_id_2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.col("doc_id_1").alias("vec_id_1"),
+            F.col("doc_id_2").alias("vec_id_2"),
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+    if with_census:
+        empty = corpus.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
+        return out, (dropped if dropped is not None else empty)
+    return out
 
 
 def sql_embedding_near_duplicates(

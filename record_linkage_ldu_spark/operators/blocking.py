@@ -85,6 +85,14 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
 
     Exploded key table, one row per (doc, key); empty/null fields emit
     no key.
+
+    PRECONDITION: ``records`` has exactly ONE row per doc_id (the
+    records_view contract).  (doc_id, block_key) uniqueness — and with
+    it the block_census counts that drive the cap/salt/drop tier
+    assignment — relies on it: duplicated doc_id rows inflate
+    block_size (shifting blocks across tiers, including into the
+    silent drop tier) and duplicate pair-join rows.  Callers with raw
+    inputs must dropDuplicates(["doc_id"]) first.
     """
     name = name_expr(records, cfg)
     first_tok = F.try_element_at(F.split(name, " "), F.lit(1))
@@ -121,9 +129,14 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
             )
         )
     prefixes = {"phone": "ph:", "email": "em:", "zip": "zp:", "fax": "fx:"}
+    seen: set[str] = set()
+    # dedupe defensively: a repeated entry in cfg.contact_fields would
+    # emit the same key twice per record, silently doubling block_size
+    # in the census (same tier-shift failure as duplicated doc_ids)
     for f_name in cfg.contact_fields:
-        if f_name not in records.columns:
+        if f_name not in records.columns or f_name in seen:
             continue
+        seen.add(f_name)
         c = F.col(f_name)
         keys.append(
             F.when(
@@ -319,7 +332,9 @@ def generate_candidates(
     equality-key pairs (plain / salted / dropped) plus, when
     ``cfg.sn_window > 0``, the windowed sorted-neighborhood pass over
     the name field.  One pair-dedup shuffle over the union.  Returns
-    (pairs, dropped_census).
+    (pairs, dropped_census).  ``records`` must carry one row per
+    doc_id (see block_keys' precondition — tier assignment depends on
+    exact census counts).
 
     ``num_partitions`` makes the dedup shuffle double as the output
     repartition: the raw pair union is hash-partitioned by
@@ -478,12 +493,25 @@ def global_ranks(
     """(id, _rank): dense global rank by (sort_key, id) WITHOUT a
     single-partition window.
 
-    ``repartitionByRange`` range-partitions on the sort key, ranks are
-    computed per partition, and tiny per-partition counts are collected
-    to the driver to form cumulative offsets — the standard scalable
-    global-rank recipe.  The range-partitioned frame is pinned with
-    ``localCheckpoint`` first: range boundaries come from sampling, so
-    the counts pass and the rank pass must see the SAME partitioning.
+    Round-3 shape (replacing the repartitionByRange + eager
+    localCheckpoint + offsets-collect recipe, whose two driver
+    barriers put a core-count-independent wall floor under the SN
+    candidate phase — the r2 review's remaining 8->32 scaling target):
+
+      1. ONE cheap count job + ONE tiny seeded-sample collect learn
+         the key distribution; ~``n_part - 1`` sample quantiles become
+         LITERAL range bounds, so bucket assignment is a deterministic
+         native expression — no sampled-partitioning nondeterminism,
+         hence nothing to checkpoint;
+      2. ranks are row_number within bucket + a cumulative offset, and
+         the offsets come from a broadcast-joined per-bucket census
+         cumsum (a window over <= n_part tiny rows) — all LAZY, so the
+         whole rank plan fuses into the downstream pair join's DAG
+         instead of materializing behind a barrier.
+
+    Correctness does not depend on the sample (only balance does):
+    ties on the key land in one bucket by construction, and the
+    census/rank passes evaluate the same literal-bounds expression.
     """
     from pyspark.sql import Window
 
@@ -493,37 +521,57 @@ def global_ranks(
     )
     if num_partitions is None:
         # the rank frame is (id, key) only; cap the default width so
-        # the two eager jobs here (checkpoint + counts collect) don't
-        # degenerate into fleets of near-empty tasks on wide sessions.
-        # Large corpora should pass num_partitions explicitly (the
-        # offsets collect is one small row per partition either way).
+        # the rank shuffle doesn't degenerate into fleets of
+        # near-empty tasks on wide sessions.  Large corpora should
+        # pass num_partitions explicitly.
         n_part = max(8, min(n_part, 64))
-    part = (
-        records.select(
+    base = records.select(
+        F.col(id_col),
+        sort_key.alias("_k"),
+        *[F.col(c) for c in carry_cols],
+    )
+    n = base.count()
+    n_part = max(1, min(n_part, n or 1))
+    bounds: list = []
+    if n_part > 1:
+        frac = min(1.0, (n_part * 20.0) / max(n, 1))
+        sample = sorted(
+            r["_k"]
+            for r in base.select("_k").sample(False, frac, seed=42).collect()
+            if r["_k"] is not None
+        )
+        if sample:
+            step = len(sample) / n_part
+            # sorted-set: skewed samples produce duplicate cut keys —
+            # fewer (still correct) buckets
+            bounds = sorted({sample[int(step * i)] for i in range(1, n_part)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("_k") >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = base.withColumn("_bucket", bucket)
+    census = bucketed.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = census.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("_k", id_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .select(
             F.col(id_col),
-            sort_key.alias("_k"),
+            (F.row_number().over(w) + F.col("_off")).alias("_rank"),
             *[F.col(c) for c in carry_cols],
         )
-        .repartitionByRange(n_part, F.col("_k"), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    w = Window.partitionBy("_pid").orderBy("_k", id_col)
-    return part.select(
-        F.col(id_col),
-        (F.row_number().over(w) + off_map[F.col("_pid")]).alias("_rank"),
-        *[F.col(c) for c in carry_cols],
     )
 
 

@@ -218,9 +218,14 @@ def _driver_uf_clusters(
     mapping_pdf = pd.DataFrame(
         {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
     )
+    # id type follows the edge columns (string doc_ids, long vec_ids):
+    # a hardcoded string schema breaks Arrow conversion for integer ids
+    # (slow per-row fallback) and forces cast coercion into every
+    # downstream join
+    id_type = dict(edges.dtypes)[c1]
     mapping = spark.createDataFrame(
         mapping_pdf,
-        schema="doc_id string, cluster_id string",
+        schema=f"doc_id {id_type}, cluster_id {id_type}",
     )
     if len(mapping_pdf) < 4_000_000:
         mapping = F.broadcast(mapping)

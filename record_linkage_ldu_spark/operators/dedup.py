@@ -137,12 +137,22 @@ def minhash_signatures(
     num_hashes: int = 12,
     band_size: int = 3,
     shingle_size: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band_idx, band_key): one row per (doc, band).  Narrow
     projection + posexplode.  Sketch units are distinct w-word shingles
     (Broder resemblance) — unigram tokens collide massively on any
     corpus with a shared vocabulary, turning LSH candidate generation
     quadratic; 3-word shingles keep buckets sparse.
+
+    ``hash_fn``: ``"md5"`` (default) draws each signature slot as an
+    md5 over a seeded string — chosen because the DuckDB oracle
+    reproduces it bit-for-bit.  ``"xxhash64"`` is the production knob:
+    one 64-bit JVM hash per (seed, shingle) instead of a string-concat
+    md5 (~10x cheaper per draw at corpus scale); signatures differ
+    from the md5 draws but any fixed hash family gives the same
+    collision statistics, so near-dup recall is equivalent (gated by
+    tests/test_dedup.py).
 
     The whole shingles -> signature-array -> band-key-array chain is
     ONE linear expression (each intermediate referenced exactly once):
@@ -156,16 +166,38 @@ def minhash_signatures(
     # the next level's lambda reads a materialized array instead of
     # re-deriving the whole upstream chain per element.
     shingled = _shingled(ensure_width(df), text_col, id_col, shingle_size)
-    # sig[s] = min over shingles of md5("s:" + shingle)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda t: F.md5(F.concat(s.cast("string"), F.lit(":"), t)),
-            )
-        ),
-    )
+    if hash_fn == "xxhash64":
+        # sig[s] = min over shingles of xxhash64(seed=s, shingle),
+        # zero-padded to fixed width so array_min's string order equals
+        # numeric order (banding only needs SOME total order per slot)
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda t: F.lpad(
+                        F.conv(
+                            F.hex(F.xxhash64(s.cast("string"), t)), 16, 10
+                        ),
+                        20,
+                        "0",
+                    ),
+                )
+            ),
+        )
+    elif hash_fn == "md5":
+        # sig[s] = min over shingles of md5("s:" + shingle)
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda t: F.md5(F.concat(s.cast("string"), F.lit(":"), t)),
+                )
+            ),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     signed = shingled.select(
         "doc_id", F.explode(F.array(sig)).alias("sig")
     )
@@ -215,7 +247,9 @@ def minhash_near_duplicates(
     max_bucket_size: int | None = 1000,
     salt_buckets: int = 8,
     drop_factor: int = 16,
-) -> DataFrame:
+    hash_fn: str = "md5",
+    with_census: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH candidates (band-key join) verified by exact shingle-set
     Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard).
 
@@ -225,9 +259,17 @@ def minhash_near_duplicates(
     ceiling (``max_bucket_size * drop_factor`` docs sharing one band —
     boilerplate/empty texts whose pairs would be quadratic in a single
     join key).  ``max_bucket_size=None`` disables tiering (plain join).
+
+    ``with_census=True`` returns (pairs, dropped_census(block_key,
+    block_size)): a dropped band bucket is exactly the MOST-duplicated
+    content (boilerplate/templated docs — the prime dedup target), so
+    every member silently becomes ``keep=1`` downstream.  The census
+    makes that a reported decision, mirroring generate_candidates'
+    dropped_blocks reporting; pipelines should log/persist it.
     """
     bands = minhash_signatures(
-        df, text_col, id_col, num_hashes, band_size, shingle_size
+        df, text_col, id_col, num_hashes, band_size, shingle_size,
+        hash_fn=hash_fn,
     )
     keys = bands.select(
         "doc_id",
@@ -247,12 +289,15 @@ def minhash_near_duplicates(
             )
             .dropDuplicates(["doc_id_1", "doc_id_2"])
         )
+        dropped = df.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
     else:
-        cand, _ = capped_bucket_pairs(
+        cand, dropped = capped_bucket_pairs(
             keys, max_bucket_size, salt_buckets, drop_factor
         )
     toks_tbl = _shingled(df, text_col, id_col, shingle_size, out_col="toks")
-    return (
+    out = (
         cand.join(
             toks_tbl.select(
                 F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
@@ -274,6 +319,7 @@ def minhash_near_duplicates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return (out, dropped) if with_census else out
 
 
 def sql_minhash_near_duplicates(
@@ -358,8 +404,9 @@ def near_duplicate_keep_list(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    with_census: bool = False,
     **minhash_kwargs,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Corpus-level dedup DECISION: (doc_id, canonical_id, keep).
 
     Near-duplicate pairs are not what a training-data pipeline emits —
@@ -375,11 +422,21 @@ def near_duplicate_keep_list(
     components (driver union-find under the gate, alternating-star
     beyond — the dup-pair graph is ~orders smaller than the corpus)
     -> one join back.  No all-pairs stage anywhere.
+
+    ``with_census=True`` additionally returns the dropped-bucket
+    census: members of a dropped mega-bucket lose their pairs and thus
+    come out ``keep=1`` — exactly the most-duplicated content — so a
+    pipeline running with tiering on (the default) should check the
+    census is empty or route the dropped keys through a coarser
+    dedup (e.g. exact fingerprint) instead of trusting keep=1.
     """
-    pairs = minhash_near_duplicates(
-        df, text_col, id_col, threshold=threshold, **minhash_kwargs
+    res = minhash_near_duplicates(
+        df, text_col, id_col, threshold=threshold, with_census=True,
+        **minhash_kwargs,
     )
-    return keep_list_from_pairs(pairs, df, id_col)
+    pairs, dropped = res
+    keep = keep_list_from_pairs(pairs, df, id_col)
+    return (keep, dropped) if with_census else keep
 
 
 # ------------------------------------------------------------------
@@ -547,7 +604,18 @@ def _word_bits(w: str):
 
 
 def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): Charikar 64-bit sketch over the doc's
+    DISTINCT word set, one Arrow batch pass (no per-row Python in the
+    plan).  Tokenization is the regex split of functions.text.tokens /
+    sql_tokens (lowercase, split on [^a-z0-9]+) and the per-word hash
+    is the first 8 bytes of md5 big-endian — both reproducible in
+    DuckDB, so the sketch (and the band/hamming stages over it) has an
+    exact oracle twin (``sql_simhash_near_duplicates``)."""
+    import re
+
     import numpy as np
+
+    word_re = re.compile(r"[^a-z0-9]+")
 
     @F.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
@@ -556,11 +624,7 @@ def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             if t is None:
                 out.append(0)
                 continue
-            words = set(
-                "".join(
-                    ch if ch.isalnum() else " " for ch in t.lower()
-                ).split()
-            )
+            words = {w for w in word_re.split(t.lower()) if w}
             if not words:
                 out.append(0)
                 continue
@@ -587,7 +651,8 @@ def simhash_near_duplicates(
     max_bucket_size: int | None = 1000,
     salt_buckets: int = 8,
     drop_factor: int = 16,
-) -> DataFrame:
+    with_census: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dups by hamming distance <= max_hamming via multi-probe
     band tables: the 64-bit sketch is split into ``n_bands`` disjoint
     bit bands and docs sharing ANY band value become candidates
@@ -601,6 +666,10 @@ def simhash_near_duplicates(
     (candidates from any agreeing band).  Band buckets go through the
     census/cap/salt tiers like every other bucket family; verification
     is native XOR+popcount against the (tiny) sketch table.
+
+    ``with_census=True`` returns (pairs, dropped_census): a dropped
+    band bucket is the most-duplicated content losing its pairs —
+    report it, don't silently keep it (see minhash_near_duplicates).
     """
     width = 64 // n_bands
     sk = ensure_width(sketches).select("doc_id", "simhash")
@@ -629,11 +698,14 @@ def simhash_near_duplicates(
             )
             .dropDuplicates(["doc_id_1", "doc_id_2"])
         )
+        dropped = sketches.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
     else:
-        cand, _ = capped_bucket_pairs(
+        cand, dropped = capped_bucket_pairs(
             keys, max_bucket_size, salt_buckets, drop_factor
         )
-    return (
+    out = (
         cand.join(
             sk.select(
                 F.col("doc_id").alias("doc_id_1"),
@@ -657,3 +729,72 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    return (out, dropped) if with_census else out
+
+
+def sql_simhash_near_duplicates(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> str:
+    """DuckDB twin of simhash_sketch + simhash_near_duplicates.
+
+    Reproduces the sketch bit-for-bit: same regex tokenization
+    (sql_tokens), same per-word hash (first 8 bytes of md5, big-endian
+    = first 16 hex chars cast via '0x'), same majority-vote bits.  The
+    sketch lives as UBIGINT so band extraction (>> is logical) and
+    xor/bit_count see the same 64-bit pattern as Spark's
+    shiftrightunsigned over the signed long."""
+    width = 64 // n_bands
+    # per-bit majority votes over the doc's distinct words
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    # usk = sum of 2^b over bits with positive vote (docs with no
+    # words have no agg row -> sketch 0 via the left join); 2^b as
+    # decimal literals — DuckDB's << computes in BIGINT and overflows
+    # at 1 << 63 even from a UBIGINT operand
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"(usk >> {b * width}) & {(1 << width) - 1} AS band_val FROM sk"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH words AS (
+            SELECT {id_col} AS doc_id,
+                   unnest(list_distinct({sql_tokens(text_col)})) AS w
+            FROM {table}
+        ),
+        hv AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+            FROM words
+        ),
+        agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+        sk AS (
+            SELECT t.{id_col} AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 0::UBIGINT
+                        ELSE {bits} END AS usk
+            FROM {table} t LEFT JOIN agg a ON t.{id_col} = a.doc_id
+        ),
+        bands AS ({bands}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_id_1, c.doc_id_2,
+               CAST(bit_count(xor(s1.usk, s2.usk)) AS INT) AS hamming
+        FROM cand c
+        JOIN sk s1 ON c.doc_id_1 = s1.doc_id
+        JOIN sk s2 ON c.doc_id_2 = s2.doc_id
+        WHERE bit_count(xor(s1.usk, s2.usk)) <= {max_hamming}
+    """

@@ -68,18 +68,25 @@ def mask_stats(df: DataFrame, mode: str) -> DataFrame:
     return df.agg(*aggs)
 
 
+def sql_cross_rule_masks(prefix: str = "") -> list[str]:
+    """DuckDB fragments for the four LDU x HW masks, one per mask, in
+    the same order as ``cross_rule_masks`` (feeds both the D1 match
+    predicate and the D3 cross mask-stats oracle)."""
+    p = prefix
+    return [
+        f"(({p}name >= 0.8 OR {p}company_name >= 0.9) AND "
+        f"({p}email >= 0.9 OR {p}phone >= 0.9))",
+        f"({p}city >= 0.9 AND {p}state >= 0.9 AND {p}zip >= 1.0 AND "
+        f"{p}country >= 1.0 AND {p}address >= 1.0)",
+        f"({p}city >= 0.8 AND {p}state >= 0.8 AND {p}zip >= 0.8 AND "
+        f"{p}country >= 0.9 AND {p}phone >= 1.0)",
+        f"({p}name = 1.0 OR {p}company_name = 1.0 OR {p}email = 1.0)",
+    ]
+
+
 def sql_cross_rule_predicate(prefix: str = "") -> str:
     """DuckDB oracle fragment for the LDU x HW match predicate (D1)."""
-    p = prefix
-    return (
-        f"(({p}name >= 0.8 OR {p}company_name >= 0.9) AND "
-        f"({p}email >= 0.9 OR {p}phone >= 0.9)) OR "
-        f"({p}city >= 0.9 AND {p}state >= 0.9 AND {p}zip >= 1.0 AND "
-        f"{p}country >= 1.0 AND {p}address >= 1.0) OR "
-        f"({p}city >= 0.8 AND {p}state >= 0.8 AND {p}zip >= 0.8 AND "
-        f"{p}country >= 0.9 AND {p}phone >= 1.0) OR "
-        f"({p}name = 1.0 OR {p}company_name = 1.0 OR {p}email = 1.0)"
-    )
+    return " OR ".join(sql_cross_rule_masks(prefix))
 
 
 def sql_self_rule_predicate(prefix: str = "") -> str:

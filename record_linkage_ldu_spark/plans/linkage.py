@@ -227,11 +227,27 @@ class LinkagePipeline:
         )
 
     def _stage(
-        self, name: str, df: DataFrame, info: dict, fp: str
+        self, name: str, df: DataFrame | None, info: dict, fp: str
     ) -> DataFrame:
         if self.store is None:
             return df
-        res = self.store.run_stage(name, fp, lambda: df)
+
+        def _compute() -> DataFrame:
+            # df=None is the resume fast path: the caller checked
+            # is_complete() and skipped building the plan.  If the
+            # manifest vanished between that check and here (external
+            # cleanup, concurrent run), recomputing is impossible —
+            # fail with the cause instead of an opaque None.write.
+            if df is None:
+                raise RuntimeError(
+                    f"stage '{name}' checkpoint vanished mid-resume "
+                    "(manifest was complete at plan-build time; the "
+                    "store was cleaned or invalidated concurrently) — "
+                    "re-run the pipeline to recompute"
+                )
+            return df
+
+        res = self.store.run_stage(name, fp, _compute)
         info[name] = {"resumed": res.resumed, "wall_s": res.wall_s}
         return res.df
 

@@ -153,29 +153,56 @@ def incremental_linkage_batch(
 ) -> dict:
     """foreachBatch body for incremental linkage.
 
-    Per-batch SCORING work is incremental, not a full re-run:
-      1. only the new documents are normalized; prior batches' records
-         are read back from ``<store>/records`` (normalize once);
-      2. candidate generation runs over the full record store (cheap:
-         key projection + joins) but only pairs with at least one NEW
-         side are scored — an old-old equality-key pair was already
-         generated when both members were present (blocking is
-         deterministic), and an old-old sorted-neighborhood pair can
-         only LEAVE the window as new ranks push old ranks apart,
-         never newly appear;
-      3. new match edges union into ``<store>/edges``; connected
-         components re-runs over the union (labels are min-doc_id, so
-         labels of untouched components are stable across batches);
-      4. ``<store>/clusters`` is overwritten.
+    Per-batch work is incremental END TO END — old-old pairs are never
+    generated (round-2 review: the previous version re-ran
+    generate_candidates over the FULL store per batch and semi-joined
+    away the old-old pairs AFTER paying their key-explode / census /
+    join / dedup cost):
 
-    Returns counters: docs in store, pairs scored this batch, total
-    edges, clusters.
+      1. only the new documents are normalized (``<store>/records``
+         holds prior batches; normalize once, append-only);
+      2. the exploded block-key table persists at ``<store>/keys``
+         (append-only) and the block census at ``<store>/census``
+         (merged incrementally: stored sizes + this batch's counts —
+         no rescan of old keys to re-count);
+      3. candidate pairs = new-keys x stored-keys restricted to the
+         blocks this batch TOUCHES (a broadcast semi-join of the new
+         block keys prunes the store side), plus new x new — with the
+         same census tiers as the batch pipeline: plain equi-join
+         under the cap, replicate-side salted join for hot blocks,
+         drop + census beyond the ceiling.  Old-old pairs cannot
+         appear: one join side is always new.  The windowed
+         sorted-neighborhood tier re-ranks the union (O(n) rank work,
+         pair volume bounded by n*(window-1)) and keeps new-touching
+         pairs only;
+      4. new match edges append into ``<store>/edges``; connected
+         components re-runs over the accumulated edge set (labels are
+         min-doc_id, so labels of untouched components are stable);
+      5. ``<store>/clusters`` is overwritten (the only non-append
+         store — cluster labels are global).
+
+    Returns counters: docs in store, new docs, pairs scored this
+    batch, ``candidate_key_rows`` (key rows entering the pair join —
+    the per-batch work bound: new keys + stored keys of touched
+    blocks, ~flat as the store grows), total edges, clusters.
+
+    At cluster scale the keys table would be written bucketed by
+    block_key (sources/io.py write_bucketed pattern) so the
+    per-batch equi-join co-locates without shuffling the store side;
+    the parquet layout here keeps the same join shape minus that
+    exchange.
     """
     import os
 
     from ..config import SELF_COMPARE_FIELDS
     from ..operators import rules
-    from ..operators.blocking import generate_candidates
+    from ..operators.blocking import (
+        block_keys,
+        candidate_pairs,
+        name_expr,
+        salted_candidate_pairs_cross,
+        sorted_neighborhood_pairs,
+    )
     from ..operators.cc import connected_components
     from ..operators.scoring import (
         attach_pair_sides,
@@ -185,7 +212,10 @@ def incremental_linkage_batch(
     from ..plans.linkage import LinkageConfig, records_view
 
     cfg = cfg or LinkageConfig()
+    bc = cfg.blocking
     records_path = os.path.join(store_dir, "records")
+    keys_path = os.path.join(store_dir, "keys")
+    census_path = os.path.join(store_dir, "census")
     edges_path = os.path.join(store_dir, "edges")
     clusters_path = os.path.join(store_dir, "clusters")
 
@@ -193,33 +223,110 @@ def incremental_linkage_batch(
         new_documents.dropDuplicates(["doc_id"]), cfg
     ).localCheckpoint(eager=True)
 
-    if os.path.exists(records_path):
+    have_store = os.path.exists(records_path)
+    if have_store:
         old_records = spark.read.parquet(records_path)
         # idempotent replay: a doc already in the store is not "new"
         new_records = new_records.join(
             old_records.select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
-        all_records = old_records.unionByName(new_records).localCheckpoint(
-            eager=True
-        )
+        all_records = old_records.unionByName(new_records)
     else:
         all_records = new_records
 
-    pairs, _ = generate_candidates(all_records, cfg.blocking)
-    new_ids = new_records.select("doc_id")
-    pairs = (
-        pairs.join(
+    new_keys = block_keys(new_records, bc).localCheckpoint(eager=True)
+
+    # census merge: stored sizes + this batch's counts (O(new keys) +
+    # one tiny-table outer join; never re-counts the stored keys)
+    new_counts = new_keys.groupBy("block_key").agg(
+        F.count("*").alias("_n_new")
+    )
+    if have_store and os.path.exists(census_path):
+        census = (
+            spark.read.parquet(census_path)
+            .join(new_counts, "block_key", "full_outer")
+            .select(
+                "block_key",
+                (
+                    F.coalesce(F.col("block_size"), F.lit(0))
+                    + F.coalesce(F.col("_n_new"), F.lit(0))
+                ).alias("block_size"),
+            )
+        )
+    else:
+        census = new_counts.select(
+            "block_key", F.col("_n_new").alias("block_size")
+        )
+    # pinned: feeds three tier filters now and is persisted at the end
+    # (overwriting the file it was derived from)
+    census = census.localCheckpoint(eager=True)
+
+    over_cap = census.where(F.col("block_size") > bc.max_block_size)
+    dropped = census.where(
+        F.col("block_size") > bc.max_block_size * bc.salt_drop_factor
+    )
+    hot = over_cap.join(
+        F.broadcast(dropped.select("block_key")), "block_key", "left_anti"
+    )
+
+    # store side of the pair join: only blocks TOUCHED by this batch
+    # (broadcast semi-join on the new block keys — per-batch join
+    # input stays proportional to the batch, not the store)
+    touched = new_keys.select("block_key").distinct()
+    if have_store and os.path.exists(keys_path):
+        store_keys = spark.read.parquet(keys_path).join(
+            F.broadcast(touched), "block_key", "left_semi"
+        )
+    else:
+        store_keys = spark.createDataFrame(
+            [], "doc_id string, block_key string"
+        )
+    all_keys = new_keys.unionByName(store_keys).localCheckpoint(eager=True)
+    n_key_rows = all_keys.count()
+
+    kept_new = new_keys.join(
+        F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
+    )
+    kept_all = all_keys.join(
+        F.broadcast(over_cap.select("block_key")), "block_key", "left_anti"
+    )
+    # new x (old ∪ new): old-old pairs cannot appear (left side is
+    # always new); new-new pairs appear in both orientations and
+    # collapse in the final dedup
+    pairs = candidate_pairs(kept_new, kept_all, dedup=False)
+    hot_new = new_keys.join(F.broadcast(hot.select("block_key")), "block_key")
+    hot_all = all_keys.join(F.broadcast(hot.select("block_key")), "block_key")
+    pairs = pairs.unionByName(
+        salted_candidate_pairs_cross(
+            hot_new, hot_all, salt=bc.salt_buckets, dedup=False
+        )
+    )
+    if bc.sn_window > 0:
+        name = name_expr(all_records, bc)
+        sn = sorted_neighborhood_pairs(
+            all_records.where(name.isNotNull() & (name != "")),
+            name,
+            window=bc.sn_window,
+        )
+        new_ids = new_records.select("doc_id")
+        sn = sn.join(
             new_ids.withColumnRenamed("doc_id", "doc_id_1"),
             "doc_id_1",
             "left_semi",
-        )
-        .unionByName(
-            pairs.join(
+        ).unionByName(
+            sn.join(
                 new_ids.withColumnRenamed("doc_id", "doc_id_2"),
                 "doc_id_2",
                 "left_semi",
             )
         )
+        pairs = pairs.unionByName(sn)
+    pairs = (
+        pairs.select(
+            F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+            F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        )
+        .where(F.col("doc_id_1") != F.col("doc_id_2"))
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
 
@@ -227,31 +334,38 @@ def incremental_linkage_batch(
     scored = with_combined_score(
         score_pairs_self(wide, with_jw=cfg.with_jw), mode="self"
     )
-    new_edges = rules.match(scored, "self").select("doc_id_1", "doc_id_2")
+    new_edges = (
+        rules.match(scored, "self")
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=True)
+    )
     n_scored = scored.count()
 
-    if os.path.exists(edges_path):
-        edges = (
-            spark.read.parquet(edges_path)
-            .unionByName(new_edges)
-            .dropDuplicates(["doc_id_1", "doc_id_2"])
-        )
+    if have_store and os.path.exists(edges_path):
+        edges = spark.read.parquet(edges_path).unionByName(new_edges)
     else:
         edges = new_edges
-    edges = edges.localCheckpoint(eager=True)
 
     clusters = connected_components(
         edges, vertices=all_records.select("doc_id"), method=cfg.cc_method
     )
-
-    all_records.write.mode("overwrite").parquet(records_path)
-    edges.write.mode("overwrite").parquet(edges_path)
+    # clusters first: its job scans the OLD records/edges files, which
+    # must still be intact (the appends below add files to the same
+    # directories)
     clusters.write.mode("overwrite").parquet(clusters_path)
+
+    n_new = new_records.count()
+    if n_new > 0 or not have_store:
+        new_records.write.mode("append").parquet(records_path)
+        new_keys.write.mode("append").parquet(keys_path)
+        new_edges.write.mode("append").parquet(edges_path)
+        census.write.mode("overwrite").parquet(census_path)
     return {
-        "docs": all_records.count(),
-        "new_docs": new_records.count(),
+        "docs": spark.read.parquet(records_path).count(),
+        "new_docs": n_new,
         "pairs_scored": n_scored,
-        "edges": edges.count(),
+        "candidate_key_rows": n_key_rows,
+        "edges": spark.read.parquet(edges_path).count(),
         "clusters": clusters.select("cluster_id").distinct().count(),
     }
 

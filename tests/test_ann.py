@@ -11,7 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from record_linkage_ldu_spark.operators.ann import (
+    auto_nbits,
     cosine_topk,
+    embedding_near_duplicates,
     ivf_index,
     ivf_topk,
     load_ivf_index,
@@ -89,6 +91,109 @@ def test_ivf_prebuilt_index_probe_matches_inline_build(
         ).collect()
     }
     assert probed == inline
+
+
+def _mega_bucket_corpus(spark, n_mega=60, n_noise=40, dim=8):
+    """n_mega vectors whose dims are ALL positive (one sign bucket — a
+    planted mega-bucket) + noise vectors with mixed signs.  Mega
+    vectors come in near-duplicate pairs (i, i+1 scaled) so the salt
+    tier has pairs to preserve."""
+    rows = []
+    for i in range(n_mega):
+        base = [(1.0 + 0.01 * ((i // 2) * dim + j)) for j in range(dim)]
+        scale = 1.0 if i % 2 == 0 else 1.05
+        rows.append((i, [v * scale for v in base]))
+    for i in range(n_noise):
+        rows.append(
+            (
+                1000 + i,
+                [(1.0 if (i >> j) & 1 else -1.0) * (1 + 0.1 * j) for j in range(dim)],
+            )
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dups_salt_tier_is_lossless(spark):
+    """The planted all-positive mega-bucket (60 docs) exceeds a cap of
+    10 but stays under the 10*16 drop ceiling -> triangle-salted tier.
+    Pairs (and cosines) must equal the untiered join bit-for-bit."""
+    corpus = _mega_bucket_corpus(spark)
+    plain = embedding_near_duplicates(
+        corpus, threshold=0.9, nbits=8, max_bucket_size=None
+    )
+    capped = embedding_near_duplicates(
+        corpus, threshold=0.9, nbits=8, max_bucket_size=10, salt_buckets=4
+    )
+    pv = {tuple(r) for r in plain.collect()}
+    cv = {tuple(r) for r in capped.collect()}
+    assert pv == cv
+    assert len(pv) >= 30  # the 30 planted near-dup pairs are in there
+
+
+def test_embedding_near_dups_drop_tier_reports_census(spark):
+    """Beyond the drop ceiling the mega-bucket's pairs are dropped —
+    and the census must SAY so (the dropped bucket is the most
+    duplicated content)."""
+    corpus = _mega_bucket_corpus(spark)
+    pairs, dropped = embedding_near_duplicates(
+        corpus, threshold=0.9, nbits=8, max_bucket_size=4,
+        salt_buckets=2, drop_factor=3, with_census=True,
+    )
+    drops = dropped.collect()
+    assert len(drops) == 1 and drops[0]["block_size"] == 60
+    assert drops[0]["block_key"] == "1" * 8
+    # noise buckets are small; no same-bucket noise near-dups planted
+    assert not any(r["vec_id_1"] < 1000 for r in pairs.collect())
+
+
+def test_lsh_topk_tiered_matches_plain(spark, embeddings):
+    tiered = {
+        tuple(r)
+        for r in lsh_topk(embeddings, k=3, nbits=8).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in lsh_topk(
+            embeddings, k=3, nbits=8, max_bucket_size=None
+        ).collect()
+    }
+    assert tiered == plain
+
+
+def test_multiprobe_raises_recall_across_sign_jitter(spark):
+    """Plant near-duplicates that differ in EXACTLY ONE sign bit (one
+    dim nudged across zero): single-probe sign-LSH cannot pair them
+    (different buckets); 1-bit-flip multi-probe must find them all."""
+    dim = 8
+    rows = []
+    for i in range(20):
+        base = [1.0 + 0.05 * (i * dim + j) for j in range(dim)]
+        jit = list(base)
+        jit[i % dim] = -1e-6  # flips exactly one sign bit
+        rows.append((i, base))
+        rows.append((1000 + i, jit))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    single = embedding_near_duplicates(
+        corpus, threshold=0.5, nbits=dim, multiprobe=False
+    )
+    multi = embedding_near_duplicates(
+        corpus, threshold=0.5, nbits=dim, multiprobe=True
+    )
+    single_pairs = {(r["vec_id_1"], r["vec_id_2"]) for r in single.collect()}
+    multi_pairs = {(r["vec_id_1"], r["vec_id_2"]) for r in multi.collect()}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert not (single_pairs & planted)
+    assert planted <= multi_pairs
+    assert single_pairs <= multi_pairs
+
+
+def test_auto_nbits_scales_with_corpus():
+    assert auto_nbits(100) == 8
+    assert auto_nbits(500_000) == 10
+    assert auto_nbits(10**9) == 21
+    assert auto_nbits(10**13) == 24  # clamped
 
 
 def test_lsh_topk_finds_planted_near_duplicates(spark, embeddings):

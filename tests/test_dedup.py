@@ -98,6 +98,11 @@ def test_ngram_jaccard_capped_matches_plain(spark):
     )
     p, c = _pairs_set(plain), _pairs_set(capped)
     assert p == c
+    # exactly-once emission from the triangle-salted tier: set equality
+    # alone would mask duplicate rows (ngram_jaccard_pairs applies no
+    # final dropDuplicates — the triangle scheme must emit each pair
+    # exactly once)
+    assert capped.count() == plain.count()
     # jaccard values survive the salted path bit-for-bit
     pv = {tuple(r) for r in plain.collect()}
     cv = {tuple(r) for r in capped.collect()}
@@ -152,6 +157,61 @@ def test_simhash_multiprobe_recall_is_total_at_guaranteed_hamming(
     # pigeonhole: 4 disjoint 16-bit bands, <=3 differing bits -> one
     # band untouched -> candidate found.  Recall must be exactly 1.0.
     assert got == want
+
+
+def test_minhash_with_census_surfaces_dropped_megabucket(spark):
+    """A dropped mega-bucket is the MOST duplicated content — the keep
+    list marks every member keep=1 with no pairs.  with_census=True
+    must surface exactly which buckets were dropped so the decision is
+    observable (ADVICE r2)."""
+    docs = _docs(spark, [("alpha", 40), ("beta", 5)], filler=10)
+    pairs, dropped = dedup.minhash_near_duplicates(
+        docs, threshold=0.5, max_bucket_size=2, salt_buckets=2,
+        drop_factor=3, with_census=True,
+    )
+    drops = dropped.collect()
+    assert drops, "mega-bucket must be reported"
+    # every dropped bucket exceeds the ceiling (cap 2 * factor 3), and
+    # the alpha mega-bucket (a few docs may fall out of a band when a
+    # variant shingle wins that band's min) dominates
+    assert all(d["block_size"] > 6 for d in drops)
+    assert max(d["block_size"] for d in drops) >= 35
+    # and the keep list surfaces the same census
+    keep, dropped2 = dedup.near_duplicate_keep_list(
+        docs, threshold=0.5, with_census=True, max_bucket_size=2,
+        salt_buckets=2, drop_factor=3,
+    )
+    assert dropped2.count() == len(drops)
+    # dropped members pair nowhere -> all keep=1 (the documented trap)
+    alpha_keep = keep.where(F.col("doc_id").startswith("g0-"))
+    assert alpha_keep.where(F.col("keep") == 1).count() == 40
+
+
+def test_simhash_with_census_default_empty(spark, sketch_corpus):
+    pairs, dropped = dedup.simhash_near_duplicates(
+        sketch_corpus, max_hamming=3, n_bands=4, with_census=True
+    )
+    assert dropped.count() == 0
+    assert dropped.columns == ["block_key", "block_size"]
+
+
+def test_minhash_xxhash_knob_equivalent_recall(spark):
+    """hash_fn='xxhash64' (the production knob: one JVM hash per draw
+    instead of a string-concat md5) is a different hash family, so the
+    signatures differ — but collision statistics are the same, so the
+    verified near-dup pairs on a fixture with clear structure must
+    match the md5 path."""
+    docs = _docs(spark, [("alpha", 8), ("beta", 6)], filler=30)
+    md5_pairs = _pairs_set(
+        dedup.minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5")
+    )
+    xx_pairs = _pairs_set(
+        dedup.minhash_near_duplicates(docs, threshold=0.5, hash_fn="xxhash64")
+    )
+    # exact-Jaccard verification makes both paths precision-1.0; the
+    # fixture's near-dups (within-group pairs) must be recalled by both
+    assert md5_pairs == xx_pairs
+    assert len(md5_pairs) >= 8 * 7 // 2 + 6 * 5 // 2
 
 
 def test_simhash_capped_matches_uncapped(spark, sketch_corpus):

@@ -59,6 +59,34 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
     assert s2["pairs_scored"] == 0
 
 
+def test_incremental_work_stays_flat_as_store_grows(spark, tmp_path):
+    """Round-3 contract: per-batch candidate work must NOT grow with
+    the store.  The pair join's input is new keys + stored keys of
+    TOUCHED blocks only (broadcast semi-join pruning), so equal-size
+    batches of disjoint entities keep both the key rows entering the
+    join and the scored pairs ~flat — and the accumulated result still
+    equals the full batch run."""
+    docs = _docs(spark).localCheckpoint(eager=True)
+    ek = F.substring("doc_id", 2, 9).cast("long")
+    store = str(tmp_path / "store")
+    stats = []
+    for b in range(4):
+        batch = docs.where(ek % 4 == b)
+        stats.append(incremental_linkage_batch(spark, batch, store))
+
+    key_rows = [s["candidate_key_rows"] for s in stats]
+    pairs = [s["pairs_scored"] for s in stats]
+    # batches 2..4 run against an ever-larger store; work per batch
+    # must stay within a constant factor of the second batch's (the
+    # first has no store side at all)
+    assert key_rows[3] <= 2 * key_rows[1], key_rows
+    assert pairs[3] <= 2 * pairs[1], pairs
+
+    full = LinkagePipeline(spark, LinkageConfig()).run(docs)
+    got = _cluster_set(spark.read.parquet(f"{store}/clusters"))
+    assert got == _cluster_set(full.clusters)
+
+
 def test_streaming_wrapper_available_now(spark, tmp_path):
     docs = _docs(spark).localCheckpoint(eager=True)
     src = str(tmp_path / "src")
