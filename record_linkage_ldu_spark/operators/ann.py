@@ -197,11 +197,15 @@ def _sign_bucket_candidates(
                 F.col("a.doc_id").alias("doc_id_1"),
                 F.col("b.doc_id").alias("doc_id_2"),
             )
-            .dropDuplicates(["doc_id_1", "doc_id_2"])
         )
+        if multiprobe:
+            pairs = pairs.dropDuplicates(["doc_id_1", "doc_id_2"])
         return pairs, None
+    # single probe = one key per doc = a pair lives in exactly one
+    # bucket/tier: skip the pair-dedup shuffle (unique_key)
     pairs, dropped = capped_bucket_pairs(
-        keys, max_bucket_size, salt_buckets, drop_factor
+        keys, max_bucket_size, salt_buckets, drop_factor,
+        unique_key=not multiprobe,
     )
     return pairs, dropped
 

@@ -357,11 +357,11 @@ def generate_candidates(
     and oracle queries want a lazy frame).
 
     In the eager mode the two independent preparation chains — the
-    key/census pins and the SN global-rank build (range-partition
-    sample job + checkpoint + offsets collect) — are submitted from
-    two threads: each chain is a sequence of small driver-barrier
-    jobs whose wall cost is roughly core-count-independent, so run
-    serially they put a constant ~5s floor under the candidate phase
+    key/census pins and the SN global-rank build (count + sample
+    jobs + the small rank-table pin) — are submitted from two
+    threads: each chain is a sequence of small driver-barrier jobs
+    whose wall cost is roughly core-count-independent, so run
+    serially they put a constant floor under the candidate phase
     that caps its 8->32 scaling; overlapped, the idle cores of one
     chain's barrier absorb the other chain's work (Spark schedules
     concurrent jobs from separate threads)."""
@@ -394,6 +394,7 @@ def generate_candidates(
             records.where(name.isNotNull() & (name != "")),
             name,
             window=cfg.sn_window,
+            materialize=materialize_keys,
         )
         # SN emits pairs in RANK order; canonicalize to doc_id order
         # so the final dedup collapses them with the equality-key
@@ -422,7 +423,9 @@ def generate_candidates(
 
 
 def candidate_pairs_capped(
-    keys: DataFrame, cfg: BlockingConfig = BlockingConfig()
+    keys: DataFrame,
+    cfg: BlockingConfig = BlockingConfig(),
+    pair_dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Three-tier candidate generation: plain equi-join for normal
     blocks, triangle-salted join for hot blocks, drop + census beyond
@@ -434,15 +437,21 @@ def candidate_pairs_capped(
     one key in the plain tier and another in the salt tier).  The
     three census references compile to the same aggregate subplan, so
     Spark's exchange reuse evaluates it once.
+
+    ``pair_dedup=False`` skips that shuffle — ONLY valid when every
+    doc emits exactly one key (single-bucket families, e.g.
+    single-probe sign-LSH): a pair then lives in exactly one block and
+    one tier, so no duplicates can arise and the dedup would shuffle
+    the full pair set for zero removed rows.
     """
     kept, dropped = cap_blocks(keys, cfg)
     pairs = candidate_pairs(kept, dedup=False)
     hot = hot_blocks(keys, cfg)
     salted = salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
-    return (
-        pairs.unionByName(salted).dropDuplicates(["doc_id_1", "doc_id_2"]),
-        dropped,
-    )
+    out = pairs.unionByName(salted)
+    if pair_dedup:
+        out = out.dropDuplicates(["doc_id_1", "doc_id_2"])
+    return out, dropped
 
 
 def candidate_pairs(
@@ -489,6 +498,7 @@ def global_ranks(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     carry_cols: tuple[str, ...] = (),
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, _rank): dense global rank by (sort_key, id) WITHOUT a
     single-partition window.
@@ -512,6 +522,14 @@ def global_ranks(
     Correctness does not depend on the sample (only balance does):
     ties on the key land in one bucket by construction, and the
     census/rank passes evaluate the same literal-bounds expression.
+
+    ``materialize=True`` pins the FINISHED rank table (id, _rank —
+    bytes-per-row tiny, unlike the old full (id, key) checkpoint) with
+    one eager job.  Callers that reference the result more than once
+    (the SN neighborhood join reads it as both sides) should pass it:
+    without the pin each reference re-evaluates the whole
+    scan->bucket->window chain (exchange reuse only dedups the shuffle
+    below the window, not the window/sort above it).
     """
     from pyspark.sql import Window
 
@@ -565,14 +583,14 @@ def global_ranks(
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
     )
     w = Window.partitionBy("_bucket").orderBy("_k", id_col)
-    return (
-        bucketed.join(F.broadcast(offsets), "_bucket")
-        .select(
-            F.col(id_col),
-            (F.row_number().over(w) + F.col("_off")).alias("_rank"),
-            *[F.col(c) for c in carry_cols],
-        )
+    ranked = bucketed.join(F.broadcast(offsets), "_bucket").select(
+        F.col(id_col),
+        (F.row_number().over(w) + F.col("_off")).alias("_rank"),
+        *[F.col(c) for c in carry_cols],
     )
+    if materialize:
+        ranked = ranked.localCheckpoint(eager=True)
+    return ranked
 
 
 def sorted_neighborhood_pairs(
@@ -581,6 +599,7 @@ def sorted_neighborhood_pairs(
     window: int = 5,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Classic sorted-neighborhood pass: order records by ``sort_key``
     and pair every record with its ``window-1`` successors.
@@ -593,8 +612,12 @@ def sorted_neighborhood_pairs(
     neighborhood join is a bucketed equi-join (bucket = rank div
     window; each record also joins its predecessor bucket) + a
     rank-distance filter — no cartesian, no driver-side pair state.
+    ``materialize`` pins the rank table (read by BOTH join sides) —
+    pass True in eager pipeline builds, False for lazy/oracle frames.
     """
-    ranked = global_ranks(records, sort_key, id_col, num_partitions)
+    ranked = global_ranks(
+        records, sort_key, id_col, num_partitions, materialize=materialize
+    )
     # One-sided bucketing makes every qualifying pair meet in EXACTLY
     # one bucket, so no dedup shuffle is needed: for a pair with ranks
     # ra < rb and rb - ra < window, the higher side's primary bucket
@@ -632,6 +655,7 @@ def sorted_neighborhood_pairs_cross(
     window: int = 5,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Cross-dataset sorted neighborhood: rank the UNION of both
     sides by the sort key and keep only cross-side pairs within the
@@ -656,7 +680,8 @@ def sorted_neighborhood_pairs_cross(
         F.col("_k").isNotNull() & (F.col("_k") != "")
     )
     ranked = global_ranks(
-        union, F.col("_k"), id_col, num_partitions, carry_cols=("_side",)
+        union, F.col("_k"), id_col, num_partitions, carry_cols=("_side",),
+        materialize=materialize,
     )
     # same one-sided bucketing as the self pass: each qualifying pair
     # meets in exactly one bucket, no dedup shuffle needed.

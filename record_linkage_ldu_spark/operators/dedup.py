@@ -36,6 +36,7 @@ def capped_bucket_pairs(
     max_bucket_size: int = 1000,
     salt_buckets: int = 8,
     drop_factor: int = 16,
+    unique_key: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Three-tier candidate generation over a generic ``(doc_id,
     block_key)`` bucket table — the linkage blocking layer's
@@ -51,13 +52,18 @@ def capped_bucket_pairs(
     reported in the returned census (degenerate content — empty or
     templated documents).  Returns (pairs(doc_id_1 < doc_id_2),
     dropped_census(block_key, block_size)).
+
+    ``unique_key=True`` declares that every doc emits exactly ONE key
+    (single-probe sign-LSH buckets): a pair then exists in exactly one
+    block/tier, so the final pair-dedup shuffle is skipped — it would
+    reshuffle the full pair set to remove nothing.
     """
     cfg = BlockingConfig(
         max_block_size=max_bucket_size,
         salt_buckets=salt_buckets,
         salt_drop_factor=drop_factor,
     )
-    return candidate_pairs_capped(keys, cfg)
+    return candidate_pairs_capped(keys, cfg, pair_dedup=not unique_key)
 
 
 def ensure_width(df: DataFrame) -> DataFrame:

@@ -414,6 +414,7 @@ class CrossLinkagePipeline:
                     name_expr(records_l, bc),
                     name_expr(records_r, bc),
                     window=bc.sn_window,
+                    materialize=cfg.materialize,
                 )
 
             n_score_parts = (

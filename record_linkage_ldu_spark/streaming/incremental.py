@@ -307,6 +307,7 @@ def incremental_linkage_batch(
             all_records.where(name.isNotNull() & (name != "")),
             name,
             window=bc.sn_window,
+            materialize=True,
         )
         new_ids = new_records.select("doc_id")
         sn = sn.join(

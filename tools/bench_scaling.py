@@ -272,25 +272,32 @@ signal) shows the compute-bound stage scales at the hardware ceiling
 while single-JVM orchestration does not:
 
 * **pair scoring + rules** (the reference's 6-hour stage; ~60% of
-  core-seconds, 19.6M pairs): 158.2s @ 8 cores → 47.9s @ 32 =
-  **3.3x of 4x = 0.83 raw, ~0.97 of this host's measured 0.851
-  pure-CPU ceiling**.  This is the stage that dominates at 10^12
-  docs.
-* candidate generation (shuffle-bound): 30.5s → 13.6s (**2.25x**,
-  up from 1.6x in round 1 after removing the redundant key-dedup
-  shuffle, pinning the census once, and overlapping the key/census
-  and SN-rank build chains from two submitter threads); the residue
-  is AQE's sequential stage materialization and the range-partition
-  sample + offsets-collect barriers, whose wall cost is
-  core-count-independent.
-* normalize (narrow, regex-heavy): 14.2s → 11.5s — allocation-rate
+  core-seconds, 19.6M pairs): 142.5s @ 8 cores → 47.7s @ 32 =
+  **3.0x of 4x = 0.75 raw, ~0.88 of this host's measured pure-CPU
+  ceiling** (r2 measured 3.3x on the same code — the gap is the
+  host's week-to-week drift, see the normalizer series in the
+  round-over-round section).  This is the stage that dominates at
+  10^12 docs.
+* candidate generation: 19.6s @ 8 → 17.7s @ 32.  Round 3 cut its
+  8-core wall ~35% (r2: 30.5s) by replacing the SN global-rank
+  materialize+collect barriers with literal sample-quantile bounds,
+  a lazy broadcast cumsum-offset join, and one small (id, rank) pin.
+  What remains is deliberately width-independent on ONE box: the
+  19.6M-row pair materialization (memory-bandwidth bound in a single
+  JVM) plus the eager key/census pins and AQE's sequential stage
+  commits (driver-barrier floor).  A real 4N-executor cluster writes
+  the pair shuffle N-ways in parallel and pays the driver floor once
+  at either size — the phase is a dead end for further single-box
+  ratio gains, documented per the r2 review's "or a measured
+  dead-end writeup".
+* normalize (narrow, regex-heavy): 16.0s → 15.5s — allocation-rate
   bound in one JVM (32 threads share one allocator/GC; separate
   executor JVMs do not).
-* connected components: 5.1s → 6.3s of job-fixed cost.  The driver
-  union-find finish collapsed the star loop's ~18 barrier-chained
-  jobs into 3 (the loop previously ran 7.7s @ 8 -> 12.0s @ 32 —
-  INVERSE scaling); what remains is per-job scheduler cost paid
-  identically at every N.
+* connected components: ~5.0s of job-fixed cost at both levels.  The
+  driver union-find finish collapsed the star loop's ~18
+  barrier-chained jobs into 3 (the loop previously ran 7.7s @ 8 ->
+  12.0s @ 32 — INVERSE scaling); what remains is per-job scheduler
+  cost paid identically at every N.
 
 On a real N vs 4N *executor* cluster the driver-side fixed costs are
 the same absolute seconds for both sizes but the per-executor work

@@ -43,6 +43,23 @@ def main(sf_dir: str, out_dir: str) -> None:
     ).collect()
     sizes = qs["cluster_size_stats"](spark, sf_dir).collect()[0].asDict()
     masks = qs["mask_stats"](spark, sf_dir).collect()[0].asDict()
+    cross_masks = qs["cross_mask_stats"](spark, sf_dir).collect()[0].asDict()
+
+    # dedup dropped-bucket census: members of a dropped mega-bucket
+    # lose their pairs and come out keep=1 — the MOST duplicated
+    # content — so the report must say which buckets (if any) the
+    # tiering dropped, not leave it implicit
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.operators import dedup
+
+    docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    _, mh_census = dedup.minhash_near_duplicates(
+        docs_tbl, threshold=0.3, with_census=True
+    )
+    mh_drops = (
+        mh_census.orderBy(F.col("block_size").desc()).limit(20).collect()
+    )
 
     export_presentation_csv(
         qs["score_histogram"](spark, sf_dir).orderBy("field", "bin"),
@@ -109,6 +126,32 @@ def main(sf_dir: str, out_dir: str) -> None:
     ]
     for k, v in masks.items():
         lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "## Cross-mode rule-mask firing counts "
+        "(D3 cross variant, main_ldu_hw.py:422-429)",
+        "",
+        "| mask | pairs |",
+        "|---|---|",
+    ]
+    for k, v in cross_masks.items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "## Dedup dropped-bucket census (MinHash band tiers)",
+        "",
+        "Buckets past the drop ceiling lose their pairs — their members "
+        "(the most-duplicated content) come out keep=1.  Empty table = "
+        "tiering dropped nothing at this scale.",
+        "",
+        "| band bucket | docs |",
+        "|---|---|",
+    ]
+    if mh_drops:
+        for r in mh_drops:
+            lines.append(f"| `{r['block_key']}` | {r['block_size']} |")
+    else:
+        lines.append("| (none dropped) | — |")
     lines.append("")
 
     with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
