@@ -583,6 +583,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n=1,
         threshold=0.5,
     )
+    # winnowing (rolling-hash) fingerprints + containment-style
+    # near-dups by shared-fingerprint count (dedup.py; SIGMOD'03)
+    q["winnow_fingerprints"] = lambda s, d: dedup.winnow_fingerprint_table(
+        _t(s, d, "documents")
+    )
+    q["winnow_near_dups"] = lambda s, d: dedup.winnow_near_duplicates(
+        _t(s, d, "documents"), min_shared=2
+    )
     q["token_count"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
@@ -1197,6 +1205,13 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY a
     """
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
+    sql["winnow_fingerprints"] = f"""
+        WITH {T.sql_winnow_fingerprint_cte("documents")}
+        SELECT doc_id, fingerprint FROM fp
+    """
+    sql["winnow_near_dups"] = dedup.sql_winnow_near_duplicates(
+        "documents", min_shared=2
+    )
     sql["token_count"] = f"""
         SELECT doc_id, {T.sql_token_count("text")} AS n_tokens FROM documents
     """

@@ -187,3 +187,88 @@ def doc_fingerprint(c: Column) -> Column:
 
 def sql_doc_fingerprint(expr: str) -> str:
     return f"md5(array_to_string({sql_tokens(expr)}, ' '))"
+
+
+def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints [Schleimer/Wilkerson/Aiken, SIGMOD'03]:
+    hash every word k-gram, slide a window of ``w`` hashes, keep each
+    window's minimum — a deterministic ~1/w sample of the k-gram set
+    that GUARANTEES any shared run of >= k+w-1 tokens between two docs
+    contributes at least one shared fingerprint (the rolling-hash
+    near-dup detector the brief names; robust where the whole-doc
+    md5 of ``doc_fingerprint`` breaks on a single edit).
+
+    Returns a distinct array<string> of selected k-gram md5s.  Docs
+    shorter than ``k`` tokens fall back to one whole-doc hash (every
+    non-empty doc fingerprints); fewer than ``w`` k-grams -> the
+    global minimum.  Hashes are md5 over the space-joined k-gram so
+    the DuckDB oracle reproduces the selection bit-for-bit.
+
+    HOT-PATH WARNING: this single-expression form re-derives the gram
+    chain once per window (interpreted HOF lambdas, no CSE) — use
+    ``operators.dedup.winnow_fingerprint_table`` (staged behind
+    Generate barriers; measured ~60x faster) for anything bigger than
+    a few rows.
+    """
+    toks = tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j + 1) for j in range(k)]
+            )
+        ),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - w),
+            lambda j: F.array_min(F.slice(grams, j + 1, w)),
+        )
+    )
+    short_doc = F.when(
+        F.size(toks) > 0, F.array(F.md5(F.array_join(toks, " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        F.when(F.size(toks) < k, short_doc)
+        .when(F.size(grams) < w, F.array(F.array_min(grams)))
+        .otherwise(mins)
+    )
+
+
+def sql_winnow_fingerprint_cte(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of ``winnow_fingerprint_table``, as a CTE chain
+    ending in ``fp(doc_id, fingerprint)``.  Staged for the same reason
+    the Spark side is: inlining the gram comprehension into the
+    window-minimum comprehension recomputes every md5 per window."""
+    toks = sql_tokens(text_col)
+    joined = " || ' ' || ".join(f"(t)[i+{j}]" for j in range(k))
+    return f"""
+    _wtok AS (
+        SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    _wg AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {k}
+                    THEN [ md5({joined})
+                           for i in range(1, len(t) - {k - 2}) ]
+                    WHEN len(t) > 0
+                    THEN [md5(array_to_string(t, ' '))]
+                    ELSE [] END AS g
+        FROM _wtok
+    ),
+    fp AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(g) >= {w}
+                      THEN list_distinct(
+                          [ list_min(g[j:j+{w - 1}])
+                            for j in range(1, len(g) - {w - 2}) ])
+                      WHEN len(g) > 0 THEN [list_min(g)]
+                      ELSE [] END) AS fingerprint
+        FROM _wg
+    )"""

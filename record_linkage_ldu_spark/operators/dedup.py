@@ -26,6 +26,7 @@ from ..functions.text import (
     shingles_of_tokens,
     sql_shingles,
     sql_tokens,
+    sql_winnow_fingerprint_cte,
     tokens,
 )
 from .blocking import BlockingConfig, candidate_pairs_capped
@@ -585,6 +586,170 @@ def ngram_jaccard_pairs(
         )
     )
     return plain.unionByName(hot_pairs).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ------------------------------------------------------------------
+
+
+def winnow_fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint): one row per selected winnowing
+    fingerprint — the staged form of
+    functions.text.winnow_fingerprints (narrow projections + explode,
+    no shuffle).
+
+    The tokenize and k-gram-hash steps each sit behind an
+    ``explode(array(..))`` Generate barrier: the window-minimum lambda
+    references the gram array per WINDOW element, and higher-order
+    lambdas are interpreted (no CSE), so the inlined single-expression
+    form re-derives the whole md5 k-gram chain once per window —
+    measured ~60x slower at sf0.01 than the staged form.
+    """
+    tokenized = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.try_element_at(toks, i + j + 1) for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(
+        # short-doc fallback: one whole-doc hash (empty docs: none)
+        F.when(
+            F.size(toks) > 0, F.array(F.md5(F.array_join(toks, " ")))
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    grammed = tokenized.select(
+        "doc_id", F.explode(F.array(grams)).alias("_grams")
+    )
+    g = F.col("_grams")
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(g) - w),
+            lambda j: F.array_min(F.slice(g, j + 1, w)),
+        )
+    )
+    fps = F.when(F.size(g) >= w, mins).otherwise(
+        F.when(F.size(g) > 0, F.array(F.array_min(g))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return grammed.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    with_census: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Near-duplicate pairs by SHARED winnowing fingerprints:
+    (doc_id_1, doc_id_2, shared_fps) for pairs sharing at least
+    ``min_shared`` selected fingerprints.  Winnowing guarantees any
+    shared token run of length >= k+w-1 yields a shared fingerprint,
+    so overlap count is a plagiarism-style containment signal that
+    MinHash (a resemblance sketch) dilutes on asymmetric containment.
+
+    Scale shape: the fingerprint table is a bucket family like every
+    other — census/cap/salt tiers bound a boilerplate fingerprint's
+    bucket.  The tiers emit each pair once PER SHARED KEY
+    (``dedup=False`` plain equi-join; the triangle-salted join also
+    emits exactly once per shared hot key), so one groupBy both
+    deduplicates and counts — no separate dedup shuffle.  Dropped
+    buckets (census-reported) remove their fingerprint from every
+    doc's overlap count, like a stopword.
+    """
+    keys = winnow_fingerprint_table(df, text_col, id_col, k, w).select(
+        "doc_id", F.col("fingerprint").alias("block_key")
+    )
+    cfg = BlockingConfig(
+        max_block_size=max_bucket_size if max_bucket_size else 1 << 30,
+        salt_buckets=salt_buckets,
+        salt_drop_factor=drop_factor,
+    )
+    if max_bucket_size is None:
+        a = keys.alias("a")
+        b = keys.alias("b")
+        raw = (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+        )
+        dropped = df.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
+    else:
+        from .blocking import (
+            candidate_pairs,
+            cap_blocks,
+            hot_blocks,
+            salted_candidate_pairs,
+        )
+
+        kept, dropped = cap_blocks(keys, cfg)
+        plain = candidate_pairs(kept, dedup=False)
+        hot = hot_blocks(keys, cfg)
+        salted = salted_candidate_pairs(
+            hot, salt=cfg.salt_buckets, dedup=False
+        )
+        raw = plain.unionByName(salted)
+    out = (
+        raw.groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+        )
+    )
+    return (out, dropped) if with_census else out
+
+
+def sql_winnow_near_duplicates(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of winnow_near_duplicates (untiered join — equal to
+    the tiered Spark path while no bucket exceeds the drop ceiling)."""
+    cte = sql_winnow_fingerprint_cte(table, text_col, id_col, k, w)
+    return f"""
+        WITH {cte}
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
 
 
 # ------------------------------------------------------------------

@@ -292,13 +292,20 @@ def incremental_linkage_batch(
     )
     # new x (old ∪ new): old-old pairs cannot appear (left side is
     # always new); new-new pairs appear in both orientations and
-    # collapse in the final dedup
-    pairs = candidate_pairs(kept_new, kept_all, dedup=False)
+    # collapse in the final dedup.  The new side is EXPLICITLY
+    # broadcast: it sits behind a localCheckpoint, whose missing size
+    # stats otherwise force a sort-merge join that shuffles the whole
+    # store-side key table every micro-batch (measured: both sides
+    # exchanged; AQE's runtime SMJ->BHJ conversion still materializes
+    # the store-side shuffle map stage first).  Micro-batches are
+    # driver-broadcastable by contract — a backfill-sized load should
+    # run the batch pipeline instead.
+    pairs = candidate_pairs(F.broadcast(kept_new), kept_all, dedup=False)
     hot_new = new_keys.join(F.broadcast(hot.select("block_key")), "block_key")
     hot_all = all_keys.join(F.broadcast(hot.select("block_key")), "block_key")
     pairs = pairs.unionByName(
         salted_candidate_pairs_cross(
-            hot_new, hot_all, salt=bc.salt_buckets, dedup=False
+            F.broadcast(hot_new), hot_all, salt=bc.salt_buckets, dedup=False
         )
     )
     if bc.sn_window > 0:

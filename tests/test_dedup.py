@@ -214,6 +214,53 @@ def test_minhash_xxhash_knob_equivalent_recall(spark):
     assert len(md5_pairs) >= 8 * 7 // 2 + 6 * 5 // 2
 
 
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """Winnowing guarantee [SIGMOD'03]: two docs sharing a token run
+    of length >= k + w - 1 share at least one selected fingerprint —
+    regardless of what surrounds the run."""
+    k, w = 5, 4
+    shared = " ".join(f"run{i}" for i in range(k + w - 1))  # exactly k+w-1
+    docs = spark.createDataFrame(
+        [
+            ("a", f"left padding words {shared} and then a tail"),
+            ("b", f"{shared} totally different trailing content here"),
+            ("c", "no overlap with anything else at all in this one"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = dedup.winnow_near_duplicates(docs, k=k, w=w, min_shared=1)
+    got = _pairs_set(pairs)
+    assert ("a", "b") in got
+    assert not any("c" in p for p in got)
+
+
+def test_winnow_capped_matches_plain_with_counts(spark):
+    """The tier path must preserve per-pair shared-fingerprint COUNTS
+    (each tier emits a pair exactly once per shared key), not just the
+    pair set."""
+    docs = _docs(spark, [("alpha", 25), ("beta", 4)], filler=10)
+    plain = dedup.winnow_near_duplicates(
+        docs, k=3, w=2, min_shared=1, max_bucket_size=None
+    )
+    capped = dedup.winnow_near_duplicates(
+        docs, k=3, w=2, min_shared=1, max_bucket_size=5, salt_buckets=3
+    )
+    pv = {tuple(r) for r in plain.collect()}
+    cv = {tuple(r) for r in capped.collect()}
+    assert pv == cv
+    assert len(pv) >= 25 * 24 // 2  # alpha near-dups all found
+
+
+def test_winnow_drop_tier_census(spark):
+    docs = _docs(spark, [("alpha", 30)], filler=5)
+    pairs, dropped = dedup.winnow_near_duplicates(
+        docs, k=3, w=2, min_shared=1, max_bucket_size=2,
+        salt_buckets=2, drop_factor=3, with_census=True,
+    )
+    assert dropped.count() > 0
+    assert all(r["block_size"] > 6 for r in dropped.collect())
+
+
 def test_simhash_capped_matches_uncapped(spark, sketch_corpus):
     plain = dedup.simhash_near_duplicates(
         sketch_corpus, max_hamming=6, n_bands=4, max_bucket_size=None

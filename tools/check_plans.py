@@ -128,6 +128,45 @@ def main(sf_dir: str) -> int:
     )
     check("census cap join broadcasts", "BroadcastHashJoin" in full)
 
+    # 6. incremental micro-batch: the new-keys side of the pair join is
+    # broadcast, so the stored key table is never shuffled per batch
+    # (a localCheckpointed new side has no size stats — without the
+    # explicit hint Spark plans a sort-merge join that exchanges BOTH
+    # sides, including the whole store).
+    import tempfile as _tf
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        incremental_linkage_batch,
+    )
+    from record_linkage_ldu_spark.operators.blocking import (
+        block_keys, candidate_pairs,
+    )
+
+    with _tf.TemporaryDirectory() as td:
+        store = f"{td}/store"
+        incremental_linkage_batch(
+            spark, docs.where(F.substring("doc_id", 1, 1) == "a"), store
+        )
+        stored = spark.read.parquet(f"{store}/keys")
+        new_keys = block_keys(
+            records_view(
+                docs.where(F.substring("doc_id", 1, 1) == "b"), cfg
+            ),
+            cfg.blocking,
+        ).localCheckpoint(eager=True)
+        inc_plan = executed_plan(
+            candidate_pairs(F.broadcast(new_keys), stored, dedup=False)
+        )
+        check(
+            "incremental pair join broadcasts the new side",
+            "BroadcastHashJoin" in inc_plan
+            and "SortMergeJoin" not in inc_plan,
+        )
+        check(
+            "incremental store-side keys not shuffled",
+            "Exchange hashpartitioning" not in inc_plan,
+        )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
