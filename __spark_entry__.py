@@ -81,6 +81,9 @@ from record_linkage_ldu_spark.streaming.incremental import (
 )
 
 MAX_BLOCK = 1000
+# deterministic random hyperplanes for the rh-LSH entries (testdata
+# embeddings are 64-dim); literal-injected into Spark AND DuckDB
+_RH_PLANES = ann.random_hyperplanes(nbits=8, dim=64)
 _PAIR_FIELDS = (
     "name", "phone", "email", "group", "address", "city", "state", "zip",
     "country",
@@ -612,6 +615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["lsh_ann_topk"] = lambda s, d: ann.lsh_topk(
         _t(s, d, "embeddings"), k=3, nbits=8
+    )
+    # full random-hyperplane family (Charikar STOC'02): md5-seeded
+    # deterministic planes injected as literals into BOTH engines, so
+    # even sign-boundary bits agree — decorrelated bucket bits where
+    # the axis-sign variant wastes bits on correlated dims
+    q["rh_lsh_ann_topk"] = lambda s, d: ann.lsh_topk(
+        _t(s, d, "embeddings"), k=3, planes=_RH_PLANES
     )
     # IVF ANN (KMeans coarse quantizer, pyspark.ml) — no DuckDB twin
     # for the quantizer, so rows-only here; exactness at full probe and
@@ -1228,6 +1238,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings", "vec_id % 50 = 0", k=5
     )
     sql["lsh_ann_topk"] = ann.sql_lsh_topk("embeddings", k=3, nbits=8)
+    sql["rh_lsh_ann_topk"] = ann.sql_lsh_topk(
+        "embeddings", k=3, planes=_RH_PLANES
+    )
     sql["simhash_near_dups"] = dedup.sql_simhash_near_duplicates(
         "documents", max_hamming=3, n_bands=4
     )

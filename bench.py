@@ -109,6 +109,7 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
             )
 
     timed("minhash_dedup", lambda: _force(qs["minhash_near_dups"](spark, sf_dir)))
+    timed("winnow_dedup", lambda: _force(qs["winnow_near_dups"](spark, sf_dir)))
     timed("ngram_jaccard", lambda: _force(qs["ngram_jaccard_dedup"](spark, sf_dir)))
     timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
     timed("cosine_topk", lambda: _force(qs["cosine_topk"](spark, sf_dir)))

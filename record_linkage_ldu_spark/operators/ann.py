@@ -121,6 +121,69 @@ def sign_bucket(vec: Column, nbits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def random_hyperplanes(
+    nbits: int, dim: int, seed: str = "rh"
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5 draw mapped to [-1, 1).  No RNG state — the same (nbits, dim,
+    seed) always yields the same planes, and they are injected as
+    LITERALS into both the Spark plan and the DuckDB oracle, so the
+    two engines agree bit-for-bit (including at sign boundaries).
+
+    This is the full random-hyperplane family [Charikar, STOC'02]; the
+    axis-sign ``sign_bucket`` is its degenerate axis-aligned member.
+    Random planes decorrelate the bucket bits when embedding
+    dimensions are correlated (axis signs then waste bits on
+    near-constant dimensions)."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:4], "big"
+            )
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket under explicit hyperplanes: bit p = sign of
+    dot(vec, planes[p]).  The dot is an explicit left-associated term
+    sum (not a fold/lambda) so DuckDB's identically-ordered `+` chain
+    reproduces the exact double result."""
+    bits = []
+    for plane in planes:
+        terms = [
+            F.try_element_at(vec, F.lit(d + 1)) * F.lit(c)
+            for d, c in enumerate(plane)
+        ]
+        dot_expr = terms[0]
+        for t in terms[1:]:
+            dot_expr = dot_expr + t
+        bits.append(
+            F.when(dot_expr >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def sql_hyperplane_bucket(
+    vec_expr: str, planes: list[list[float]]
+) -> str:
+    """DuckDB twin of ``hyperplane_bucket`` (same literals, same
+    left-associated sum order)."""
+    bits = []
+    for plane in planes:
+        dot = " + ".join(
+            f"({vec_expr})[{d + 1}] * {c!r}" for d, c in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
 def auto_nbits(n_vectors: int, target_bucket: int = 500) -> int:
     """Scale-aware bucket width: enough sign bits that the MEAN bucket
     holds ~``target_bucket`` vectors (occupancy is skewed on correlated
@@ -143,6 +206,7 @@ def _sign_bucket_candidates(
     max_bucket_size: int | None,
     salt_buckets: int,
     drop_factor: int,
+    planes: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Shared candidate stage for the sign-LSH family: (doc_id, bucket)
     keys routed through the census/cap/salt tiers of
@@ -166,9 +230,16 @@ def _sign_bucket_candidates(
     """
     from .dedup import capped_bucket_pairs
 
+    if planes is not None:
+        nbits = len(planes)
+    vec = F.col(vec_col).cast("array<double>")
+    bucket = (
+        hyperplane_bucket(vec, planes)
+        if planes is not None
+        else sign_bucket(vec, nbits)
+    )
     base = ensure_width(corpus).select(
-        F.col(id_col).alias("doc_id"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), nbits).alias("bucket"),
+        F.col(id_col).alias("doc_id"), bucket.alias("bucket")
     )
     if multiprobe:
         flips = [
@@ -220,9 +291,13 @@ def lsh_topk(
     max_bucket_size: int | None = 1000,
     salt_buckets: int = 8,
     drop_factor: int = 16,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: cosine ranking restricted to
-    same-sign-bucket candidates.
+    same-sign-bucket candidates.  ``planes`` switches the bucket from
+    axis signs to explicit random hyperplanes
+    (``random_hyperplanes``) — decorrelated bits on correlated
+    embedding dims.
 
     Candidates come from ``_sign_bucket_candidates`` — census/cap/salt
     tiers bound the per-key join width (a plain bucket self-join goes
@@ -235,7 +310,7 @@ def lsh_topk(
     """
     pairs, _ = _sign_bucket_candidates(
         corpus, nbits, id_col, vec_col, multiprobe,
-        max_bucket_size, salt_buckets, drop_factor,
+        max_bucket_size, salt_buckets, drop_factor, planes=planes,
     )
     vecs = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
@@ -418,6 +493,7 @@ def embedding_near_duplicates(
     salt_buckets: int = 8,
     drop_factor: int = 16,
     with_census: bool = False,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-duplicate pairs: unordered same-bucket
     pairs with cosine >= threshold (the dedup-flavored sibling of
@@ -440,7 +516,7 @@ def embedding_near_duplicates(
     """
     pairs, dropped = _sign_bucket_candidates(
         corpus, nbits, id_col, vec_col, multiprobe,
-        max_bucket_size, salt_buckets, drop_factor,
+        max_bucket_size, salt_buckets, drop_factor, planes=planes,
     )
     vecs = ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
@@ -498,12 +574,16 @@ def sql_embedding_near_duplicates(
 def sql_lsh_topk(
     table: str, k: int = 5, nbits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> str:
-    bits = " || ".join(
-        f"(CASE WHEN CAST({vec_col} AS DOUBLE[])[{i + 1}] >= 0 "
-        "THEN '1' ELSE '0' END)"
-        for i in range(nbits)
-    )
+    if planes is not None:
+        bits = sql_hyperplane_bucket(f"CAST({vec_col} AS DOUBLE[])", planes)
+    else:
+        bits = " || ".join(
+            f"(CASE WHEN CAST({vec_col} AS DOUBLE[])[{i + 1}] >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for i in range(nbits)
+        )
     return f"""
         WITH base AS (
             SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,

@@ -189,6 +189,36 @@ def test_multiprobe_raises_recall_across_sign_jitter(spark):
     assert single_pairs <= multi_pairs
 
 
+def test_random_hyperplanes_deterministic_and_find_planted(spark, embeddings):
+    """The random-hyperplane family: (1) planes are deterministic in
+    (nbits, dim, seed); (2) scaled copies (same direction) land in the
+    same bucket under ANY plane set and retrieve their original at
+    rank 1 — the same near-duplicate-grade property as axis signs."""
+    from record_linkage_ldu_spark.operators.ann import random_hyperplanes
+
+    p1 = random_hyperplanes(8, 64)
+    p2 = random_hyperplanes(8, 64)
+    assert p1 == p2
+    assert p1 != random_hyperplanes(8, 64, seed="other")
+    assert all(-1.0 <= c < 1.0 for row in p1 for c in row)
+
+    n_planted = 10
+    planted = embeddings.where(F.col("vec_id") < n_planted).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.1)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(planted)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_topk(corpus, k=1, planes=p1).collect()
+        if r["query_id"] >= 100_000
+    }
+    assert len(top1) == n_planted
+    assert all(top1[100_000 + i] == i for i in range(n_planted)), top1
+
+
 def test_auto_nbits_scales_with_corpus():
     assert auto_nbits(100) == 8
     assert auto_nbits(500_000) == 10
