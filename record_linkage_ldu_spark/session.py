@@ -68,6 +68,14 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Broadcast the small lookup/dimension sides aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spill-aware input sizing: 128MB scan splits x the ~2-4x
+        # decode/normalize expansion of the span payload stay well
+        # inside a multi-GB executor heap at any SF (pinned explicitly
+        # so a deploy-side conf can't silently produce 1GB+ splits);
+        # shuffle-side sizing is AQE's advisory target, and the
+        # CPU-heavy pair stage overrides byte sizing with explicit
+        # widths (LinkageConfig.score_partitions_per_core).
+        .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
