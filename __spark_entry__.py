@@ -41,7 +41,7 @@ from record_linkage_ldu_spark.config import (
 from record_linkage_ldu_spark.functions import normalizers as N
 from record_linkage_ldu_spark.functions import text as T
 from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
-from record_linkage_ldu_spark.operators import ann, dedup, rules
+from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules
 from record_linkage_ldu_spark.operators.evaluate import (
     cluster_diff,
     presentation_view,
@@ -602,6 +602,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+    # ---------- corpus pipeline (operators/corpus.py) ----------
+    # composed C4-style cleaning with an observable reject reason
+    q["corpus_filter"] = lambda s, d: corpus.corpus_filter_flags(
+        _t(s, d, "documents"), min_tokens=20, min_quality=0.3
+    )
+    # deterministic per-stratum hash sampling (corpus mixing)
+    q["stratified_sample"] = lambda s, d: corpus.stratified_sample(
+        _t(s, d, "documents"),
+        strata_col="lang",
+        rates={"en": 0.5, "fr": 0.8},
+        default_rate=0.25,
+    )
+    # token-budgeted output sharding (two-pass distributed cumsum)
+    q["token_budget_shards"] = lambda s, d: corpus.token_budget_shards(
+        _t(s, d, "documents"), budget=5000
+    )
+    # benchmark decontamination: winnowing-fingerprint overlap between
+    # the corpus and a predicate-held-out "eval set"
+    q["decontaminate"] = lambda s, d: corpus.decontaminate(
+        _t(s, d, "documents").where(F.col("doc_id") % 37 != 0),
+        _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
+        min_shared=2,
     )
 
     # ---------- ANN over embeddings ----------
@@ -1231,6 +1255,21 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_score"] = f"""
         SELECT doc_id, {T.sql_quality_score("text")} AS quality FROM documents
     """
+    sql["corpus_filter"] = corpus.sql_corpus_filter_flags(
+        "documents", min_tokens=20, min_quality=0.3
+    )
+    sql["stratified_sample"] = corpus.sql_stratified_sample(
+        "documents",
+        strata_col="lang",
+        rates={"en": 0.5, "fr": 0.8},
+        default_rate=0.25,
+    )
+    sql["token_budget_shards"] = corpus.sql_token_budget_shards(
+        "documents", budget=5000
+    )
+    sql["decontaminate"] = corpus.sql_decontaminate(
+        "documents", "doc_id % 37 = 0", min_shared=2
+    )
     sql["embedding_near_dups"] = ann.sql_embedding_near_duplicates(
         "embeddings", threshold=0.2, nbits=8
     )

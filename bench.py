@@ -141,6 +141,13 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         .join(qs["quality_score"](spark, sf_dir), "doc_id")
         .join(qs["token_count"](spark, sf_dir), "doc_id")
     ))
+    # corpus pipeline: composed cleaning + decontamination + sharding
+    # (one number for the operators/corpus.py family)
+    timed("corpus_pipeline", lambda: _force(
+        qs["corpus_filter"](spark, sf_dir)
+        .join(qs["token_budget_shards"](spark, sf_dir), "doc_id")
+        .join(qs["decontaminate"](spark, sf_dir), "doc_id", "left")
+    ))
     timed("tpch_q1", lambda: _force(qs["agg_pushdown_q1"](spark, sf_dir)))
     timed("windowed_events", lambda: _force(
         windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))

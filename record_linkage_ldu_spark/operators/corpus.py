@@ -1,0 +1,442 @@
+"""Corpus-level training-data pipeline operators.
+
+The dedup/ANN families (operators/dedup.py, operators/ann.py) decide
+WHICH documents are redundant; these operators are the surrounding
+pipeline steps a large-scale training-data build needs around them:
+
+  * ``corpus_filter_flags`` — one composed C4-style cleaning pass
+    (dedup + language + length + quality) with an observable
+    reject-reason per document, not a silent filter;
+  * ``stratified_sample`` — deterministic per-stratum hash sampling
+    (reproducible corpus mixing: re-running the job re-selects the
+    exact same documents, no RNG state);
+  * ``token_budget_shards`` — pack documents, in a stable global
+    order, into output shards holding ~``budget`` tokens each
+    (training shards are token-budgeted, not row-counted);
+  * ``decontaminate`` — flag corpus documents sharing winnowing
+    fingerprints with a benchmark/eval set (train-test contamination
+    is an n-gram-overlap property, the same rolling-hash machinery as
+    winnow near-dup detection).
+
+All four are pure DataFrame compositions (no Python in the row path)
+with exact DuckDB twins.  Scale notes sit on each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    sql_doc_fingerprint,
+    sql_lang_id,
+    sql_quality_score,
+    sql_token_count,
+    sql_winnow_fingerprint_cte,
+    token_count,
+)
+from .dedup import ensure_width, winnow_fingerprint_table
+
+# ------------------------------------------------------------------
+# Composed cleaning filter (C4-style: dedup + lang + length + quality)
+# ------------------------------------------------------------------
+
+# Rejection precedence (first failing rule names the reason). Fixed
+# and documented so the reject histogram is comparable across runs.
+REJECT_ORDER = ("duplicate", "wrong_lang", "too_short", "too_long", "low_quality")
+
+
+def corpus_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """One pass of composed corpus cleaning: every document gets its
+    diagnostic columns plus the FIRST failing rule as ``reject_reason``
+    (NULL = kept).  Emitting flags instead of filtering keeps the
+    decision observable — the reject histogram is the cleaning report,
+    and the actual filter is one ``WHERE keep = 1`` downstream.
+
+    Scale shape: the lang/quality/token columns are one narrow
+    projection over the scan (native expressions, no shuffle).  The
+    duplicate flag is the exact-dedup groupBy restated as a canonical
+    join: fingerprint -> min(doc_id) is one hash aggregate, joined
+    back on fingerprint (both sides partition by the same key — AQE
+    plans one shuffle each side, no skew: a fingerprint group is a
+    duplicate family, bounded in practice, and the join carries only
+    (fingerprint, canonical)).
+    """
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        doc_fingerprint(F.col(text_col)).alias("_fp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    canon = base.groupBy("_fp").agg(F.min("doc_id").alias("_canonical"))
+    flagged = base.join(canon, "_fp").select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        "quality",
+        (F.col("doc_id") != F.col("_canonical")).alias("_dup"),
+    )
+    reason = (
+        F.when(F.col("_dup"), F.lit("duplicate"))
+        .when(F.col("lang_pred") != lang, F.lit("wrong_lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+    )
+    return flagged.select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        "quality",
+        reason.alias("reject_reason"),
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+def sql_corpus_filter_flags(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.3,
+) -> str:
+    """DuckDB twin of ``corpus_filter_flags``."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_doc_fingerprint(text_col)} AS _fp,
+                   {sql_token_count(text_col)} AS n_tokens,
+                   {sql_lang_id(text_col)} AS lang_pred,
+                   {sql_quality_score(text_col)} AS quality
+            FROM {table}
+        ),
+        canon AS (
+            SELECT _fp, min(doc_id) AS _canonical FROM base GROUP BY _fp
+        ),
+        flagged AS (
+            SELECT b.doc_id, b.n_tokens, b.lang_pred, b.quality,
+                   CASE WHEN b.doc_id <> c._canonical THEN 'duplicate'
+                        WHEN b.lang_pred <> '{lang}' THEN 'wrong_lang'
+                        WHEN b.n_tokens < {min_tokens} THEN 'too_short'
+                        WHEN b.n_tokens > {max_tokens} THEN 'too_long'
+                        WHEN b.quality < {min_quality} THEN 'low_quality'
+                        END AS reject_reason
+            FROM base b JOIN canon c USING (_fp)
+        )
+        SELECT doc_id, n_tokens, lang_pred, quality, reject_reason,
+               CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END
+                    AS INT) AS keep
+        FROM flagged
+    """
+
+
+# ------------------------------------------------------------------
+# Deterministic stratified sampling
+# ------------------------------------------------------------------
+
+
+def _uniform_draw(id_col: Column, seed: str) -> Column:
+    """Deterministic uniform draw in [0, 1): the first 8 md5 hex chars
+    of ``seed:id`` as a 32-bit integer over 2^32.  k/2^32 with k < 2^32
+    is an EXACT double in any IEEE engine, so Spark and DuckDB agree
+    bit-for-bit (same trick as the minhash md5 draws, dedup.py)."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+
+
+def _sql_uniform_draw(id_expr: str, seed: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 8))"
+        "::UBIGINT / 4294967296.0)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    seed: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    hash draw (a pure function of ``seed`` and the id) falls under its
+    stratum's rate.  Corpus-mixing ratios (e.g. up-sample low-resource
+    languages) as one narrow filter: reproducible across runs, cluster
+    sizes, and engines — no RNG state, no ``sample()``
+    partition-dependence.
+
+    Scale shape: a scan-level projection + filter (no shuffle, no
+    driver state).  ``rates`` are literal-injected (a handful of
+    strata is a CASE expression, not a join); an unbounded stratum
+    domain would instead broadcast-join a rates table — same plan
+    shape, one tiny build side.
+    """
+    rates = rates or {}
+    rate: Column = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    draw = _uniform_draw(F.col(id_col), seed)
+    return (
+        df.withColumn("_draw", draw)
+        .where(F.col("_draw") < rate)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            F.round(F.col("_draw"), 6).alias("draw"),
+        )
+    )
+
+
+def sql_stratified_sample(
+    table: str,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    seed: str = "strat",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``stratified_sample`` (same literal rates, same
+    md5 draw)."""
+    rates = rates or {}
+    rate = str(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = (
+            f"CASE WHEN {strata_col} = '{key}' THEN {float(r)} ELSE {rate} END"
+        )
+    draw = _sql_uniform_draw(id_col, seed)
+    return f"""
+        SELECT {id_col} AS doc_id, {strata_col} AS stratum,
+               round({draw}, 6) AS draw
+        FROM {table}
+        WHERE {draw} < ({rate})
+    """
+
+
+# ------------------------------------------------------------------
+# Token-budget sharding
+# ------------------------------------------------------------------
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents (whole, in stable ``id`` order) to output
+    shards of ~``budget`` tokens: shard = floor(start_offset / budget)
+    where start_offset is the exclusive running token total.  Training
+    shards are token-budgeted, not row-counted — a shard list with a
+    known token count per file is what a data-loader contract wants.
+
+    Scale shape: the global running sum NEVER uses a single-partition
+    window (the naive ``Window.orderBy(id)`` serializes the corpus
+    through one task).  Same two-pass recipe as
+    ``blocking.global_ranks``: one tiny seeded sample turns into
+    LITERAL range bounds -> bucket assignment is a native expression;
+    within-bucket running sums are a partitioned window; bucket
+    offsets are a cumsum over the <= n_part-row census, broadcast
+    back.  Correctness does not depend on the sample (ties can't
+    split: buckets cut on the id itself); only balance does.
+    """
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    spark = df.sparkSession
+    n_part = num_partitions or max(
+        8, min(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 64)
+    )
+    n = base.count()
+    n_part = max(1, min(n_part, n or 1))
+    bounds: list = []
+    if n_part > 1:
+        frac = min(1.0, (n_part * 20.0) / max(n, 1))
+        sample = sorted(
+            r["doc_id"]
+            for r in base.select("doc_id").sample(False, frac, seed=42).collect()
+            if r["doc_id"] is not None
+        )
+        if sample:
+            step = len(sample) / n_part
+            bounds = sorted({sample[int(step * i)] for i in range(1, n_part)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("doc_id") >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = base.withColumn("_bucket", bucket)
+    census = bucketed.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = census.select(
+        "_bucket",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                + F.col("_off")
+            ).alias("start_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / budget).alias("shard_id"),
+        )
+    )
+
+
+def sql_token_budget_shards(
+    table: str,
+    budget: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``token_budget_shards`` (one global window — the
+    oracle runs at test scale, where that's fine)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_token_count(text_col)} AS n_tokens
+            FROM {table}
+        )
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {budget}) AS BIGINT) AS shard_id
+        FROM base
+    """
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination (train/test overlap via winnowing)
+# ------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per corpus document: how many of its winnowing fingerprints
+    also occur anywhere in the benchmark set.  Winnowing guarantees a
+    shared token run >= k+w-1 contributes a shared fingerprint, so
+    ``n_shared >= min_shared`` is the standard n-gram-overlap
+    contamination flag (the eval-leak check a training-data build runs
+    before export), with ``contamination_ratio`` for threshold tuning.
+
+    Scale shape: the benchmark fingerprint set is eval-suite sized —
+    broadcast it (default) and the corpus side never shuffles for the
+    membership mark; the only shuffle is the per-doc count groupBy.
+    A boilerplate fingerprint shared by millions of corpus docs is NOT
+    a skew hazard here (broadcast hash lookup, no join-key explosion).
+    Set ``broadcast_benchmark=False`` for a benchmark too large to
+    broadcast: same plan with a shuffled left join on fingerprint.
+    """
+    cfp = winnow_fingerprint_table(corpus, text_col, id_col, k, w)
+    bfp = (
+        winnow_fingerprint_table(benchmark, text_col, id_col, k, w)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bfp = F.broadcast(bfp)
+    marked = cfp.join(bfp, "fingerprint", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fps"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_fps"), 6).alias(
+                "contamination_ratio"
+            ),
+            F.when(F.col("n_shared") >= min_shared, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(
+    table: str,
+    benchmark_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of ``decontaminate`` where benchmark and corpus are
+    predicate-split from ONE table (fingerprints are per-doc, so
+    computing them before the split is equivalent)."""
+    cte = sql_winnow_fingerprint_cte(table, text_col, id_col, k, w)
+    return f"""
+        WITH {cte},
+        bench AS (
+            SELECT DISTINCT fingerprint FROM fp
+            WHERE {benchmark_pred}
+        ),
+        corpus AS (
+            SELECT doc_id, fingerprint FROM fp
+            WHERE NOT ({benchmark_pred})
+        )
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(count(b.fingerprint) AS BIGINT) AS n_shared,
+               round(CAST(count(b.fingerprint) AS DOUBLE) / count(*), 6)
+                   AS contamination_ratio,
+               CAST(CASE WHEN count(b.fingerprint) >= {min_shared}
+                    THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM corpus c LEFT JOIN bench b USING (fingerprint)
+        GROUP BY c.doc_id
+    """

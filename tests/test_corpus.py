@@ -1,0 +1,177 @@
+"""Corpus-pipeline operators (operators/corpus.py): composed cleaning
+filter, deterministic stratified sampling, token-budget sharding,
+benchmark decontamination.
+
+The oracle twins are hash-gated by the driver; these tests pin the
+SEMANTIC invariants the hashes can't see (precedence, determinism,
+budget bounds, contamination guarantees, scale-path equivalences).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from record_linkage_ldu_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 20 English docs long enough to pass every gate
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "dog was very happy with all of the other animals in town "
+    )
+    for i in range(20):
+        rows.append((i, base + f"unique tail number {i} " * 3, "en", "s0"))
+    # a verbatim duplicate of doc 3 (higher id loses)
+    rows.append((100, rows[3][1], "en", "s0"))
+    # short doc (still English-identifiable: markers present)
+    rows.append((101, "the dog is here", "en", "s0"))
+    # non-english (french markers)
+    rows.append(
+        (102, "le chat et le chien sont dans la maison avec les enfants "
+         "et ils sont tous dans le jardin pour la joie de tous les amis",
+         "fr", "s1")
+    )
+    # junk: English-identified (one marker) but fails every quality
+    # band — >20k chars, ~0 alpha ratio, mean token length > 12,
+    # stopword ratio ~0
+    rows.append((103, "the " + "0123456789012345 " * 1200, "xx", "s1"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+def test_corpus_filter_precedence_and_keep(docs):
+    out = corpus.corpus_filter_flags(
+        docs, min_tokens=20, min_quality=0.3
+    ).toPandas().set_index("doc_id")
+    # duplicate beats every other reason; the LOWER id is canonical
+    assert out.loc[100, "reject_reason"] == "duplicate"
+    assert out.loc[3, "reject_reason"] is None and out.loc[3, "keep"] == 1
+    assert out.loc[101, "reject_reason"] == "too_short"
+    assert out.loc[102, "reject_reason"] == "wrong_lang"
+    assert out.loc[103, "reject_reason"] == "low_quality"
+    # keep flag is exactly reason-is-null
+    assert ((out["reject_reason"].isnull()) == (out["keep"] == 1)).all()
+    # every input row flagged exactly once
+    assert len(out) == docs.count()
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    a = corpus.stratified_sample(df, rates={"en": 0.5, "fr": 0.1})
+    b = corpus.stratified_sample(df, rates={"en": 0.5, "fr": 0.1})
+    pa = a.orderBy("doc_id").toPandas()
+    # same seed -> identical selection (no RNG state anywhere)
+    assert pa.equals(b.orderBy("doc_id").toPandas())
+    got_en = (pa["stratum"] == "en").sum() / (n / 2)
+    got_fr = (pa["stratum"] == "fr").sum() / (n / 2)
+    assert abs(got_en - 0.5) < 0.05
+    assert abs(got_fr - 0.1) < 0.03
+    # a different seed reselects
+    c = corpus.stratified_sample(df, rates={"en": 0.5, "fr": 0.1}, seed="x")
+    assert not pa.equals(c.orderBy("doc_id").toPandas())
+
+
+def test_token_budget_shards_contiguous_and_bounded(spark):
+    # deterministic variable-length docs
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 37 + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = (
+        corpus.token_budget_shards(df, budget=100)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # start_offset is the exact exclusive cumsum in doc_id order
+    assert (out["start_offset"] == out["n_tokens"].cumsum().shift(fill_value=0)).all()
+    assert (out["shard_id"] == out["start_offset"] // 100).all()
+    # docs are whole, assigned to the shard of their START offset, so
+    # every shard's token total (except the last) is within one
+    # max-doc-length of the budget on either side
+    sizes = out.groupby("shard_id")["n_tokens"].sum()
+    max_doc = out["n_tokens"].max()
+    assert (sizes.iloc[:-1] > 100 - max_doc).all()
+    assert (sizes.iloc[:-1] < 100 + max_doc).all()
+    # shard ids are contiguous from 0
+    assert sorted(sizes.index) == list(range(len(sizes)))
+
+
+def test_token_budget_shards_matches_single_window(spark):
+    # the distributed two-pass cumsum == the naive global window
+    from pyspark.sql.window import Window
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("t"), (F.col("id") % 11 + 1).cast("int"))
+        ).alias("text"),
+    )
+    fast = corpus.token_budget_shards(df, budget=64, num_partitions=16)
+    from record_linkage_ldu_spark.functions.text import token_count
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        df.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+        )
+        .select(
+            "doc_id", "n_tokens", "start_offset",
+            F.floor(F.col("start_offset") / 64).alias("shard_id"),
+        )
+    )
+    assert fast.orderBy("doc_id").toPandas().equals(
+        naive.orderBy("doc_id").toPandas()
+    )
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # benchmark doc whose text is verbatim inside corpus doc 1 (and
+    # nowhere else); winnowing guarantees shared fingerprints for a
+    # shared run >= k+w-1 = 8 tokens
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus_rows = [
+        (1, "intro words here " + leak + " trailing content words"),
+        (2, "completely different text with many many other words in it "
+            "nothing shared at all beyond stopwords maybe"),
+    ]
+    bench_rows = [(900, leak)]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    out = (
+        corpus.decontaminate(cdf, bdf, min_shared=1)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_shared"] >= 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_shared"] == 0
+    assert 0.0 <= out.loc[1, "contamination_ratio"] <= 1.0
+    # shuffled-join variant (benchmark too big to broadcast) agrees
+    out2 = (
+        corpus.decontaminate(cdf, bdf, min_shared=1, broadcast_benchmark=False)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.sort_index().equals(out2)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
+    out = corpus.decontaminate(
+        docs.where(F.col("doc_id") < 50), docs.where(F.col("doc_id") >= 50)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
