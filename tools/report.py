@@ -154,6 +154,36 @@ def main(sf_dir: str, out_dir: str) -> None:
         lines.append("| (none dropped) | — |")
     lines.append("")
 
+    # corpus cleaning report: the reject-reason histogram IS the
+    # observable output of corpus_filter_flags (operators/corpus.py) —
+    # a cleaning pass whose drops aren't reported is a silent filter
+    flags = qs["corpus_filter"](spark, sf_dir)
+    reasons = (
+        flags.groupBy("reject_reason").count().orderBy("reject_reason").collect()
+    )
+    total_docs = sum(r["count"] for r in reasons) or 1
+    decon = qs["decontaminate"](spark, sf_dir)
+    n_contaminated = decon.where(F.col("contaminated") == 1).count()
+    lines += [
+        "## Corpus cleaning (reject-reason histogram)",
+        "",
+        "| reason | docs | share |",
+        "|---|---|---|",
+    ]
+    for r in reasons:
+        name = r["reject_reason"] or "(kept)"
+        lines.append(
+            f"| {name} | {r['count']} | {r['count'] / total_docs:.1%} |"
+        )
+    lines += [
+        "",
+        "## Benchmark decontamination",
+        "",
+        f"corpus docs sharing >= 2 winnowing fingerprints with the "
+        f"held-out benchmark split: **{n_contaminated}**",
+        "",
+    ]
+
     with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_dir}/REPORT.md (+3 CSV tables)")
