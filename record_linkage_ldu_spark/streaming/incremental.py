@@ -6,6 +6,9 @@ adds the streaming pieces a production deployment bolts on:
 
   * ``windowed_event_counts`` — watermarked tumbling-window aggregation
     over an event stream (late data dropped past the watermark).
+  * ``exact_dedup_stream`` — ingest-time exact dedup with BOUNDED
+    state (dropDuplicatesWithinWatermark; fingerprint state evicted
+    past the watermark horizon).
   * ``sessionize`` — gap-based session ids (batch window-function form;
     the streaming form would use applyInPandasWithState keyed by user).
   * ``incremental_linkage`` — foreachBatch micro-batch linkage: each
@@ -46,6 +49,46 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def exact_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first document per content
+    fingerprint, dropping re-arrivals within the watermark horizon —
+    the streaming sibling of ``operators.dedup.exact_duplicates``.
+
+    State is BOUNDED by construction: ``dropDuplicatesWithinWatermark``
+    evicts a fingerprint once the watermark passes its event time, so
+    the dedup map never grows with the full corpus (a bare streaming
+    ``dropDuplicates`` keeps every key forever — the unbounded-state
+    anti-pattern this exists to avoid).  The documented trade: a
+    duplicate arriving AFTER its original's state was evicted is
+    re-admitted.  Corpus-wide retro dedup is the batch family's job
+    (exact/minhash/winnow keep lists); this operator is the ingest-
+    time guard in front of it.
+
+    Batch mode (``streaming=False``) degrades to keep-min-``ts`` per
+    fingerprint for test comparison.
+    """
+    from ..functions.text import doc_fingerprint
+
+    fp = docs.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    if streaming:
+        return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    w = Window.partitionBy("fingerprint").orderBy(ts_col, id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -249,6 +249,74 @@ def test_sessionize_stream_multi_chunk_key(spark, tmp_path):
     assert got == expected
 
 
+def test_exact_dedup_stream_bounded_state(spark, tmp_path):
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: a
+    duplicate arriving within the watermark horizon is dropped; after
+    its original's state is evicted it is re-admitted (the documented
+    bounded-state trade)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        exact_dedup_stream,
+    )
+
+    def doc(did, hour, minute, text):
+        return (did, text, dt.datetime(2024, 1, 1, hour, minute))
+
+    schema = "doc_id bigint, text string, ts timestamp"
+    batches = [
+        # originals
+        [doc(1, 10, 0, "alpha text"), doc(2, 10, 5, "beta text")],
+        # duplicate of doc 1 inside the 1h horizon -> dropped
+        [doc(3, 10, 10, "alpha text")],
+        # advances the watermark far past 11:00 -> alpha state evicted
+        [doc(4, 20, 0, "gamma text")],
+        # spacer: eviction applies at the end of the first batch that
+        # sees the advanced watermark
+        [doc(6, 20, 15, "delta text")],
+        # duplicate of doc 1 AFTER eviction -> re-admitted
+        [doc(5, 20, 30, "alpha text")],
+    ]
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"dstage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = stream_dir / f"b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        exact_dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.table("dedup_stream_out").collect()}
+    assert got == {1, 2, 4, 5, 6}
+
+    # batch mode keeps exactly the min-ts row per fingerprint
+    all_rows = [r for b in batches for r in b]
+    batch = exact_dedup_stream(
+        spark.createDataFrame(all_rows, schema), streaming=False
+    )
+    assert {r["doc_id"] for r in batch.collect()} == {1, 2, 4, 6}
+
+
 def test_windowed_events_watermark_drops_late_data(spark, tmp_path):
     """Streaming mode of windowed_event_counts: an event arriving
     after the watermark has passed its window is DROPPED; the window's
