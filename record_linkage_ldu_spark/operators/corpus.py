@@ -150,11 +150,25 @@ def sql_corpus_filter_flags(
 # ------------------------------------------------------------------
 
 
-def _uniform_draw(id_col: Column, seed: str) -> Column:
-    """Deterministic uniform draw in [0, 1): the first 8 md5 hex chars
-    of ``seed:id`` as a 32-bit integer over 2^32.  k/2^32 with k < 2^32
-    is an EXACT double in any IEEE engine, so Spark and DuckDB agree
-    bit-for-bit (same trick as the minhash md5 draws, dedup.py)."""
+def _uniform_draw(id_col: Column, seed: str, hash_fn: str = "md5") -> Column:
+    """Deterministic uniform draw in [0, 1): a 32-bit hash of
+    ``seed:id`` over 2^32.  k/2^32 with k < 2^32 is an EXACT double in
+    any IEEE engine, so Spark and DuckDB agree bit-for-bit (same trick
+    as the minhash md5 draws, dedup.py).
+
+    ``hash_fn``: ``"md5"`` (default) has the DuckDB twin —
+    oracle-checked; ``"xxhash64"`` is the production knob (one JVM
+    64-bit hash vs an md5 digest per row — same knob and rationale as
+    ``minhash_signatures``), identically distributed but with no
+    DuckDB twin."""
+    if hash_fn == "xxhash64":
+        return (
+            F.pmod(F.xxhash64(F.lit(seed), id_col.cast("string")), F.lit(1 << 32))
+            .cast("double")
+            / F.lit(4294967296.0)
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     h = F.md5(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
         4294967296.0
@@ -175,6 +189,7 @@ def stratified_sample(
     default_rate: float = 0.25,
     seed: str = "strat",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Deterministic per-stratum Bernoulli sample: keep a row iff its
     hash draw (a pure function of ``seed`` and the id) falls under its
@@ -193,7 +208,7 @@ def stratified_sample(
     rate: Column = F.lit(float(default_rate))
     for key, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
-    draw = _uniform_draw(F.col(id_col), seed)
+    draw = _uniform_draw(F.col(id_col), seed, hash_fn)
     return (
         df.withColumn("_draw", draw)
         .where(F.col("_draw") < rate)

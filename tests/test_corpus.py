@@ -78,6 +78,17 @@ def test_stratified_sample_deterministic_and_rate(spark):
     # a different seed reselects
     c = corpus.stratified_sample(df, rates={"en": 0.5, "fr": 0.1}, seed="x")
     assert not pa.equals(c.orderBy("doc_id").toPandas())
+    # the xxhash64 production knob: same rates within tolerance, still
+    # deterministic (equal to itself on a rerun)
+    x1 = corpus.stratified_sample(
+        df, rates={"en": 0.5, "fr": 0.1}, hash_fn="xxhash64"
+    ).orderBy("doc_id").toPandas()
+    x2 = corpus.stratified_sample(
+        df, rates={"en": 0.5, "fr": 0.1}, hash_fn="xxhash64"
+    ).orderBy("doc_id").toPandas()
+    assert x1.equals(x2)
+    assert abs((x1["stratum"] == "en").sum() / (n / 2) - 0.5) < 0.05
+    assert abs((x1["stratum"] == "fr").sum() / (n / 2) - 0.1) < 0.03
 
 
 def test_token_budget_shards_contiguous_and_bounded(spark):
