@@ -18,13 +18,15 @@ from record_linkage_ldu_spark.operators import corpus
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = []
-    # 20 English docs long enough to pass every gate
-    base = (
-        "the quick brown fox jumps over the lazy dog and then the "
-        "dog was very happy with all of the other animals in town "
-    )
+    # 20 English docs long enough to pass every gate; texts mostly
+    # UNIQUE per doc (shared tokens = the stopword prefix only) so the
+    # near-dup stage doesn't merge the whole fixture into one family
     for i in range(20):
-        rows.append((i, base + f"unique tail number {i} " * 3, "en", "s0"))
+        uniq = " ".join(f"w{i}x{j}" for j in range(15))
+        rows.append((i, f"the and of to is it was {uniq}", "en", "s0"))
+    # planted near-dup pair: doc 15 = doc 14 plus one token (high
+    # Jaccard, not byte-equal — the MinHash stage's job, not exact's)
+    rows[15] = (15, rows[14][1] + " extra", "en", "s0")
     # a verbatim duplicate of doc 3 (higher id loses)
     rows.append((100, rows[3][1], "en", "s0"))
     # short doc (still English-identifiable: markers present)
@@ -178,6 +180,82 @@ def test_decontaminate_flags_planted_overlap(spark):
         .sort_index()
     )
     assert out.sort_index().equals(out2)
+
+
+def test_corpus_pipeline_end_to_end_and_resume(spark, docs, tmp_path):
+    """CorpusPipeline: clean -> keep -> decontaminate -> sample ->
+    shard under StageStore; a second run resumes every stage with
+    identical outputs; swapping the benchmark re-runs decon (and
+    downstream) while the benchmark-independent stages still resume."""
+    from record_linkage_ldu_spark.plans.corpus import (
+        CorpusConfig,
+        CorpusPipeline,
+    )
+    from record_linkage_ldu_spark.sources.io import StageStore
+
+    bench = spark.createDataFrame(
+        [(900, docs.where(F.col("doc_id") == 7).collect()[0]["text"])],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(
+        min_tokens=20,
+        min_quality=0.3,
+        decon_min_shared=1,
+        sample_default_rate=0.8,
+        shard_budget=64,
+    )
+
+    store = StageStore(spark, str(tmp_path / "corpus_store"))
+    res1 = CorpusPipeline(spark, cfg, store).run(docs, bench)
+    assert all(not v["resumed"] for v in res1.stage_info.values())
+    # doc 7's text is verbatim in the benchmark -> decontaminated out
+    decon = res1.decon.toPandas().set_index("doc_id")
+    assert decon.loc[7, "contaminated"] == 1
+    # the planted near-dup (15 ~ 14) is canonicalized away by the
+    # keep stage before sampling
+    keep = res1.keep.toPandas().set_index("doc_id")
+    assert keep.loc[15, "keep"] == 0 and keep.loc[15, "canonical_id"] == 14
+    sampled_ids = {r["doc_id"] for r in res1.sampled.collect()}
+    assert 15 not in sampled_ids
+    assert 7 not in sampled_ids
+    # rejected docs never reach sampling; shards cover exactly the
+    # sampled ids
+    assert 101 not in sampled_ids and 102 not in sampled_ids
+    shard_ids = {r["doc_id"] for r in res1.shards.collect()}
+    assert shard_ids == sampled_ids
+
+    res2 = CorpusPipeline(spark, cfg, store).run(docs, bench)
+    assert all(v["resumed"] for v in res2.stage_info.values())
+    assert sorted(res2.shards.collect()) == sorted(res1.shards.collect())
+
+    # swap the benchmark: upstream cleaning stages resume, decon and
+    # everything downstream recompute
+    bench2 = spark.createDataFrame(
+        [(901, docs.where(F.col("doc_id") == 8).collect()[0]["text"])],
+        "doc_id long, text string",
+    )
+    res3 = CorpusPipeline(spark, cfg, store).run(docs, bench2)
+    assert res3.stage_info["flags"]["resumed"]
+    assert res3.stage_info["keep"]["resumed"]
+    assert not res3.stage_info["decon"]["resumed"]
+    assert not res3.stage_info["shards"]["resumed"]
+    assert 8 not in {r["doc_id"] for r in res3.sampled.collect()}
+    assert 7 in {r["doc_id"] for r in res3.sampled.collect()}
+
+
+def test_corpus_pipeline_no_store(spark, docs):
+    from record_linkage_ldu_spark.plans.corpus import (
+        CorpusConfig,
+        CorpusPipeline,
+    )
+
+    res = CorpusPipeline(
+        spark, CorpusConfig(min_tokens=20, sample_default_rate=1.0)
+    ).run(docs)
+    assert res.decon is None
+    # with rate 1.0 every clean+kept doc is sampled and sharded
+    kept = {r["doc_id"] for r in res.keep.where(F.col("keep") == 1).collect()}
+    assert {r["doc_id"] for r in res.shards.collect()} == kept
 
 
 def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
