@@ -616,6 +616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
     )
+    # per-stratum mixing evidence (requested vs realized rates)
+    q["mixture_stats"] = lambda s, d: corpus.mixture_stats(
+        _t(s, d, "documents"),
+        strata_col="lang",
+        rates={"en": 0.5, "fr": 0.8},
+        default_rate=0.25,
+    )
     # token-budgeted output sharding (two-pass distributed cumsum)
     q["token_budget_shards"] = lambda s, d: corpus.token_budget_shards(
         _t(s, d, "documents"), budget=5000
@@ -1259,6 +1266,12 @@ def oracle_sql() -> dict[str, str]:
         "documents", min_tokens=20, min_quality=0.3
     )
     sql["stratified_sample"] = corpus.sql_stratified_sample(
+        "documents",
+        strata_col="lang",
+        rates={"en": 0.5, "fr": 0.8},
+        default_rate=0.25,
+    )
+    sql["mixture_stats"] = corpus.sql_mixture_stats(
         "documents",
         strata_col="lang",
         rates={"en": 0.5, "fr": 0.8},

@@ -245,6 +245,79 @@ def sql_stratified_sample(
     """
 
 
+def mixture_stats(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    seed: str = "strat",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-stratum mixing report for a ``stratified_sample`` config:
+    input docs/tokens, sampled docs/tokens, and the realized rate —
+    the evidence table a corpus-mixing decision is reviewed against
+    (requested rates are targets; realized rates ARE the mixture).
+
+    Scale shape: the sampled flag is the SAME deterministic draw
+    predicate recomputed inline (pure function of seed+id), so there
+    is no join against the sample output — one narrow projection and
+    one groupBy on a low-cardinality stratum key (partial aggregation
+    does almost all the work map-side)."""
+    rates = rates or {}
+    rate: Column = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    picked = _uniform_draw(F.col(id_col), seed, hash_fn) < rate
+    base = ensure_width(df).select(
+        F.col(strata_col).alias("stratum"),
+        token_count(F.col(text_col)).alias("_nt"),
+        picked.cast("long").alias("_s"),
+    )
+    return base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_s").cast("long").alias("sampled_docs"),
+        F.sum(F.col("_s") * F.col("_nt")).cast("long").alias("sampled_tokens"),
+        F.round(F.sum("_s") / F.count("*"), 6).alias("realized_rate"),
+    )
+
+
+def sql_mixture_stats(
+    table: str,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    seed: str = "strat",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``mixture_stats``."""
+    rates = rates or {}
+    rate = str(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = (
+            f"CASE WHEN {strata_col} = '{key}' THEN {float(r)} ELSE {rate} END"
+        )
+    draw = _sql_uniform_draw(id_col, seed)
+    return f"""
+        WITH base AS (
+            SELECT {strata_col} AS stratum,
+                   {sql_token_count(text_col)} AS _nt,
+                   CASE WHEN {draw} < ({rate}) THEN 1 ELSE 0 END AS _s
+            FROM {table}
+        )
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_nt) AS BIGINT) AS n_tokens,
+               CAST(sum(_s) AS BIGINT) AS sampled_docs,
+               CAST(sum(_s * _nt) AS BIGINT) AS sampled_tokens,
+               round(CAST(sum(_s) AS DOUBLE) / count(*), 6) AS realized_rate
+        FROM base GROUP BY stratum
+    """
+
+
 # ------------------------------------------------------------------
 # Token-budget sharding
 # ------------------------------------------------------------------

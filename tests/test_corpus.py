@@ -93,6 +93,37 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert abs((x1["stratum"] == "fr").sum() / (n / 2) - 0.1) < 0.03
 
 
+def test_mixture_stats_consistent_with_sample(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 7 + 1).cast("int"))
+        ).alias("text"),
+    )
+    rates = {"en": 0.5, "fr": 0.1}
+    stats = (
+        corpus.mixture_stats(df, rates=rates, default_rate=0.25)
+        .toPandas()
+        .set_index("stratum")
+    )
+    sampled = corpus.stratified_sample(df, rates=rates).toPandas()
+    # the inline-recomputed draw agrees with the sample output exactly
+    for lang in ("en", "fr"):
+        assert stats.loc[lang, "sampled_docs"] == (
+            (sampled["stratum"] == lang).sum()
+        )
+        assert stats.loc[lang, "n_docs"] == n / 2
+        assert (
+            abs(
+                stats.loc[lang, "realized_rate"]
+                - stats.loc[lang, "sampled_docs"] / (n / 2)
+            )
+            < 1e-6
+        )
+
+
 def test_token_budget_shards_contiguous_and_bounded(spark):
     # deterministic variable-length docs
     df = spark.range(300).select(

@@ -167,6 +167,32 @@ def main(sf_dir: str) -> int:
             "Exchange hashpartitioning" not in inc_plan,
         )
 
+    # 7. corpus family: the stratified-sample filter is scan-level (no
+    # exchange — the draw is a pure per-row expression), and the
+    # decontaminate benchmark side broadcasts (the corpus fp table
+    # must never shuffle for the membership mark)
+    from record_linkage_ldu_spark.operators import corpus as corpus_ops
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp_plan = executed_plan(
+        corpus_ops.stratified_sample(docs_tbl, rates={"en": 0.5})
+    )
+    check(
+        "stratified sample is one scan-level filter (no exchange)",
+        "Exchange" not in samp_plan and "FileScan parquet" in samp_plan,
+    )
+    decon_plan = executed_plan(
+        corpus_ops.decontaminate(
+            docs_tbl.where(F.col("doc_id") % 37 != 0),
+            docs_tbl.where(F.col("doc_id") % 37 == 0),
+        )
+    )
+    check(
+        "decontaminate broadcasts the benchmark fingerprints",
+        "BroadcastHashJoin" in decon_plan
+        and "SortMergeJoin" not in decon_plan,
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
