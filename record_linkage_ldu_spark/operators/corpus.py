@@ -74,12 +74,17 @@ def corpus_filter_flags(
     duplicate family, bounded in practice, and the join carries only
     (fingerprint, canonical)).
     """
+    # NULL text coalesces to '' so the row still flows: a null
+    # fingerprint would silently drop the row at the canonical join
+    # (null join keys never match) and null diagnostics would null
+    # the reject_reason into keep=1
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = ensure_width(df).select(
         F.col(id_col).alias("doc_id"),
-        doc_fingerprint(F.col(text_col)).alias("_fp"),
-        token_count(F.col(text_col)).alias("n_tokens"),
-        lang_id(F.col(text_col)).alias("lang_pred"),
-        quality_score(F.col(text_col)).alias("quality"),
+        doc_fingerprint(txt).alias("_fp"),
+        token_count(txt).alias("n_tokens"),
+        lang_id(txt).alias("lang_pred"),
+        quality_score(txt).alias("quality"),
     )
     canon = base.groupBy("_fp").agg(F.min("doc_id").alias("_canonical"))
     flagged = base.join(canon, "_fp").select(
@@ -116,13 +121,14 @@ def sql_corpus_filter_flags(
     min_quality: float = 0.3,
 ) -> str:
     """DuckDB twin of ``corpus_filter_flags``."""
+    txt = f"coalesce({text_col}, '')"
     return f"""
         WITH base AS (
             SELECT {id_col} AS doc_id,
-                   {sql_doc_fingerprint(text_col)} AS _fp,
-                   {sql_token_count(text_col)} AS n_tokens,
-                   {sql_lang_id(text_col)} AS lang_pred,
-                   {sql_quality_score(text_col)} AS quality
+                   {sql_doc_fingerprint(txt)} AS _fp,
+                   {sql_token_count(txt)} AS n_tokens,
+                   {sql_lang_id(txt)} AS lang_pred,
+                   {sql_quality_score(txt)} AS quality
             FROM {table}
         ),
         canon AS (

@@ -62,6 +62,21 @@ def test_corpus_filter_precedence_and_keep(docs):
     assert len(out) == docs.count()
 
 
+def test_corpus_filter_null_text_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat and the dog sat with all of the animals "
+          "and they were very happy together in the big warm house today")],
+        "doc_id long, text string",
+    )
+    out = corpus.corpus_filter_flags(df, min_tokens=5).toPandas().set_index(
+        "doc_id"
+    )
+    # the null-text row flows through with keep=0 (not silently lost)
+    assert len(out) == 2
+    assert out.loc[1, "keep"] == 0 and out.loc[1, "reject_reason"] is not None
+    assert out.loc[2, "keep"] == 1
+
+
 def test_stratified_sample_deterministic_and_rate(spark):
     n = 4000
     df = spark.range(n).select(
