@@ -73,11 +73,45 @@ def _docs(spark, sf_dir: str, mult: int):
         if i == 0:
             return docs
         consonants = "bcdfgjklmnpqrstvxz"
-        # single distinct consonant per copy: Soundex collapses
-        # repeated/same-class letters, so doubled tags ('bb') would
-        # alias copy 1 — cap the scheme at 18 tagged copies.
-        assert i <= len(consonants), "scale mult > 19 needs a wider tag scheme"
-        tag = consonants[i - 1]
+        if mult <= len(consonants) + 1:
+            # single distinct consonant per copy (the scheme the 16x
+            # BENCH.md series ran): Soundex collapses repeated/
+            # same-class letters, so doubled tags ('bb') would alias
+            # copy 1.
+            tag = consonants[i - 1]
+        else:
+            # wider multipliers: two-consonant tags, UNIFORM for all
+            # copies (mixing single and double tags can re-merge
+            # blocks: soundex('b'+name) == soundex('bc'+name) when
+            # name starts with a class-2 letter).  Two tags share a
+            # soundex prefix iff (first letter, class of second)
+            # match, so enumerate distinct (letter, class) pairs —
+            # 18 letters x 5 other classes = 90 disjoint tags.
+            # MEASURED CAVEAT (BENCH.md "scale sensitivity"): the
+            # second tag consonant consumes one of Soundex's 3 code
+            # digits, so name keys are COARSER than the <=18-copy
+            # scheme — per-copy block density roughly doubles (64x ran
+            # 9.3x the pairs of 16x for 4x the docs, with matches
+            # still exactly linear).  Cross-copy disjointness holds;
+            # per-doc walls are NOT comparable with the 16x series.
+            klass = {
+                c: d
+                for d, letters in {
+                    "1": "bfpv", "2": "cgjkqsxz", "3": "dt",
+                    "4": "l", "5": "mn", "6": "r",
+                }.items()
+                for c in letters
+            }
+            tags: list[str] = []
+            seen: set[tuple[str, str]] = set()
+            for a in consonants:
+                for b in consonants:
+                    if klass[b] == klass[a] or (a, klass[b]) in seen:
+                        continue
+                    seen.add((a, klass[b]))
+                    tags.append(a + b)
+            assert i <= len(tags), f"scale mult > {len(tags) + 1} unsupported"
+            tag = tags[i - 1]
 
         def retag(s):
             keep = lambda text: F.struct(  # noqa: E731
