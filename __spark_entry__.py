@@ -623,6 +623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
     )
+    # per-stratum token-length percentiles (length-gate tuning view)
+    q["token_percentiles"] = lambda s, d: corpus.token_percentiles(
+        _t(s, d, "documents")
+    )
     # token-budgeted output sharding (two-pass distributed cumsum)
     q["token_budget_shards"] = lambda s, d: corpus.token_budget_shards(
         _t(s, d, "documents"), budget=5000
@@ -1277,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
     )
+    sql["token_percentiles"] = corpus.sql_token_percentiles("documents")
     sql["token_budget_shards"] = corpus.sql_token_budget_shards(
         "documents", budget=5000
     )

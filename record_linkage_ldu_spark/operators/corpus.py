@@ -290,6 +290,63 @@ def mixture_stats(
     )
 
 
+def token_percentiles(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-stratum token-length distribution stats (exact linear-
+    interpolation percentiles) — the length profile a shard budget or
+    a max_tokens gate is tuned against.
+
+    Scale shape: one groupBy on the low-cardinality stratum key.
+    Exact percentiles buffer each group's values on one reducer — fine
+    for per-language groups at any corpus size IF the group count is
+    small and values are ints; swap ``F.percentile`` for
+    ``F.percentile_approx`` at extreme group sizes (approximate,
+    mergeable sketch — no buffering), losing the DuckDB hash twin."""
+    base = ensure_width(df).select(
+        F.col(strata_col).alias("stratum"),
+        token_count(F.col(text_col)).alias("_nt"),
+    )
+    pct = F.percentile("_nt", F.lit(list(percentiles)))
+    return base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.round(F.try_element_at(pct, F.lit(i + 1)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for i, p in enumerate(percentiles)
+        ],
+    )
+
+
+def sql_token_percentiles(
+    table: str,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of ``token_percentiles`` (quantile_cont and Spark's
+    percentile both linear-interpolate, per the SQL standard)."""
+    cols = ",\n               ".join(
+        f"round(quantile_cont(_nt, {p}), 6) AS p{int(p * 100)}"
+        for p in percentiles
+    )
+    return f"""
+        WITH base AS (
+            SELECT {strata_col} AS stratum,
+                   {sql_token_count(text_col)} AS _nt
+            FROM {table}
+        )
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {cols}
+        FROM base GROUP BY stratum
+    """
+
+
 def sql_mixture_stats(
     table: str,
     strata_col: str = "lang",

@@ -139,6 +139,24 @@ def test_mixture_stats_consistent_with_sample(spark):
         )
 
 
+def test_token_percentiles_exact(spark):
+    import numpy as np
+
+    df = spark.range(101).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("t"), (F.col("id") + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = corpus.token_percentiles(df).toPandas().set_index("stratum")
+    # token counts are exactly 1..101 -> linear-interpolated percentiles
+    vals = np.arange(1, 102)
+    assert out.loc["en", "n_docs"] == 101
+    for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert abs(out.loc["en", col] - np.quantile(vals, p)) < 1e-6
+
+
 def test_token_budget_shards_contiguous_and_bounded(spark):
     # deterministic variable-length docs
     df = spark.range(300).select(
