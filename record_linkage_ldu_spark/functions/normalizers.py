@@ -235,3 +235,63 @@ SQL_NORMALIZERS = {
     "state_then_address": lambda e: sql_normalize_address(sql_fix_state(e)),
     "country_then_address": lambda e: sql_normalize_address(sql_fix_country(e)),
 }
+
+
+# ------------------------------------------------------------------
+# Soundex DuckDB twin (DuckDB has no soundex builtin)
+# ------------------------------------------------------------------
+
+# American Soundex letter classes as Spark implements them
+# (org.apache.spark.unsafe.types.UTF8String.soundex): 1-6 consonant
+# classes, 0 = vowels + y (separators: reset the last code), 7 = h/w
+# (skipped: the last code is preserved, so equal codes across h/w
+# still collapse).  Non-letters mid-string act as separators; a
+# non-letter FIRST char returns the input unchanged.  All pinned
+# against F.soundex in tests/test_normalizers.py.
+_SOUNDEX_GROUPS = (
+    ("1", "bfpv"), ("2", "cgjkqsxz"), ("3", "dt"), ("4", "l"),
+    ("5", "mn"), ("6", "r"), ("0", "aeiouy"), ("7", "hw"),
+)
+
+
+# translate() maps, derived from _SOUNDEX_GROUPS: the head keeps h/w
+# as their own class '7' (never collapses with 1-6); in the tail h/w
+# are REMOVED first (that IS the skip rule: equal codes across h/w
+# become adjacent and collapse), non-letters become '!' -> class '0'
+# (same reset-the-run behavior as vowels, exactly Spark's automaton).
+_SX_HEAD_IN, _SX_HEAD_OUT = (
+    "abcdefghijklmnopqrstuvwxyz", "01230127022455012623017202"
+)
+_SX_TAIL_IN, _SX_TAIL_OUT = (
+    "abcdefgijklmnopqrstuvxyz!", "0123012022455012623012020"
+)
+
+
+def sql_soundex(expr: str) -> str:
+    """DuckDB twin of Spark's ``F.soundex``, lambda-free (DuckDB 1.0
+    mis-evaluates lambdas nested inside other lambda-bearing
+    expressions — values bleed across vector rows), as the classic
+    translate/collapse recipe: drop h/w from the tail, code letters,
+    collapse runs of equal codes (one regexp per code digit — RE2 has
+    no backrefs), drop the head's own leading code, strip the '0'
+    separators, pad to 3 digits."""
+    s = f"(lower({expr}))"
+    tail = f"substr({s}, 2)"
+    t1 = f"regexp_replace({tail}, '[^a-z]', '!', 'g')"
+    t2 = f"regexp_replace({t1}, '[hw]', '', 'g')"
+    t3 = f"translate({t2}, '{_SX_TAIL_IN}', '{_SX_TAIL_OUT}')"
+    coded = (
+        f"translate(substr({s}, 1, 1), '{_SX_HEAD_IN}', '{_SX_HEAD_OUT}')"
+        f" || {t3}"
+    )
+    for d in "01234567":
+        coded = f"regexp_replace({coded}, '{d}{{2,}}', '{d}', 'g')"
+    digits = f"replace(substr({coded}, 2), '0', '')"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN ({expr}) = '' THEN '' "
+        f"WHEN NOT regexp_matches(substr(({expr}), 1, 1), '[A-Za-z]') "
+        f"THEN ({expr}) "
+        f"ELSE upper(substr({s}, 1, 1)) || substr(rpad({digits}, 3, '0'), 1, 3) "
+        f"END)"
+    )

@@ -105,3 +105,33 @@ def test_fix_country(spark):
         "united states", "united states", "united states",
         "united states", "germany", "xq",
     ]
+
+
+def test_sql_soundex_matches_spark(spark):
+    """Pin the DuckDB soundex twin against Spark's F.soundex on the
+    edge cases that define the automaton: h/w skip preserving the
+    last code, vowel/non-letter separators, non-letter first char
+    pass-through, truncation and padding."""
+    import duckdb
+
+    from record_linkage_ldu_spark.functions.normalizers import sql_soundex
+
+    vals = [
+        "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+        "honeyman", "", "x", "aeiou", "hhhh", "wwww", "bob", "o brien",
+        "obrien", "llc", "smith", "smyth", "czarkowska", "a", "ab",
+        "bcdlmn", "yx", "hx", "wx", "abb", "ab b", "ab1b", "1abc", "9",
+        "a1", "bhb", "bwb", "byb", "b b", "robert123x", "ab-b",
+        "christopher", "caldwell", "norwood",
+    ]
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = {
+        r["s"]: r["sx"]
+        for r in sdf.select("s", F.soundex("s").alias("sx")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        got_duck = con.execute(f"select {sql_soundex(repr(v))}").fetchone()[0]
+        assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
