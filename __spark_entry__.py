@@ -59,6 +59,7 @@ from record_linkage_ldu_spark.operators.blocking import (
 from record_linkage_ldu_spark.operators.cc import connected_components
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
+    media_dedup,
     media_table,
     resize_media,
     sample_frames,
@@ -73,6 +74,7 @@ from record_linkage_ldu_spark.plans.linkage import (
 from record_linkage_ldu_spark.sources.synth import (
     sql_media_pick,
     synth_documents,
+    synth_records,
     synth_sql_cte,
 )
 from record_linkage_ldu_spark.streaming.incremental import (
@@ -638,6 +640,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
         min_shared=2,
     )
+    # Gopher-style repetition quality signals (row-local, no shuffle)
+    q["repetition_signals"] = lambda s, d: corpus.repetition_signals(
+        _t(s, d, "documents")
+    )
+    # overlapping token-window chunking (corpus docs -> training rows)
+    q["chunk_documents"] = lambda s, d: corpus.chunk_documents(
+        _t(s, d, "documents"), chunk=32, overlap=8
+    )
+    # deterministic sharded training-order shuffle
+    q["corpus_shuffle"] = lambda s, d: corpus.corpus_shuffle(
+        _t(s, d, "documents"), n_shards=16, seed="r3"
+    )
+    # PII redaction over record free text (emails/phones live in the
+    # synthetic records; counts are per-stage so they equal the number
+    # of replacements made)
+    q["pii_scrub"] = lambda s, d: (
+        synth_records(_t(s, d, "customer"))
+        .select(
+            "doc_id",
+            T.pii_scrub(
+                F.concat_ws(" ", "name", "phone", "email", "address")
+            ).alias("p"),
+        )
+        .select("doc_id", "p.text", "p.n_emails", "p.n_ips", "p.n_phones")
+    )
 
     # ---------- ANN over embeddings ----------
     q["embedding_near_dups"] = lambda s, d: ann.embedding_near_duplicates(
@@ -702,11 +729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    # ---------- rows-only (no SQL twin: RO/JW/Soundex) + simhash ----------
+    # composite soundex keys — hash-green since r3: sql_soundex
+    # replicates Spark's soundex automaton in DuckDB (list_reduce)
     q["soundex_keys"] = lambda s, d: block_keys(
         _records(s, d), BlockingConfig(use_sorted_neighborhood=False,
                                        contact_fields=())
     )
+    # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
     # hash-green since round 3: the md5-based sketch + band/hamming
     # stages have an exact DuckDB twin (sql_simhash_near_duplicates).
@@ -750,6 +779,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         "doc_id", "media_ref", "media_type",
         "frame_idx", "ts_ms", "frame_ref",
+    )
+    # exact media-content dedup: the payload stands in for fetched
+    # object-store bytes — the digit core of the ref, shared by the
+    # a/b/c copies of one entity (the same image uploaded under
+    # different refs), so real cross-source duplicates exist
+    q["media_dedup"] = lambda s, d: media_dedup(
+        media_table(synth_documents(_t(s, d, "customer"))).withColumn(
+            "payload",
+            F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8"),
+        )
     )
     q["span_invariant_check"] = lambda s, d: _span_invariant(s, d)
     return q
@@ -1288,6 +1327,37 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = corpus.sql_decontaminate(
         "documents", "doc_id % 37 = 0", min_shared=2
     )
+    sql["soundex_keys"] = f"""
+        {_sql_chain("norm")},
+    toks AS (
+        SELECT doc_id,
+               string_split(name, ' ')[1] AS first_tok,
+               coalesce(string_split(name, ' ')[2], '') AS second_tok
+        FROM norm
+    )
+        SELECT doc_id,
+               'sx:' || {N.sql_soundex("first_tok")} || '-' ||
+               {N.sql_soundex("second_tok")} AS block_key
+        FROM toks
+        WHERE first_tok IS NOT NULL AND first_tok <> ''
+    """
+    sql["repetition_signals"] = corpus.sql_repetition_signals("documents")
+    sql["chunk_documents"] = corpus.sql_chunk_documents(
+        "documents", chunk=32, overlap=8
+    )
+    sql["corpus_shuffle"] = corpus.sql_corpus_shuffle(
+        "documents", n_shards=16, seed="r3"
+    )
+    _pii = T.sql_pii_scrub_cols("concat_ws(' ', name, phone, email, address)")
+    sql["pii_scrub"] = f"""
+        WITH {synth_sql_cte()}
+        SELECT doc_id,
+               {_pii["text"]} AS text,
+               {_pii["n_emails"]} AS n_emails,
+               {_pii["n_ips"]} AS n_ips,
+               {_pii["n_phones"]} AS n_phones
+        FROM synth
+    """
     sql["embedding_near_dups"] = ann.sql_embedding_near_duplicates(
         "embeddings", threshold=0.2, nbits=8
     )
@@ -1397,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, media_ref, 'image' AS media_type,
                CAST(0 AS INT) AS frame_idx, CAST(0 AS INT) AS ts_ms,
                media_ref || '#0' AS frame_ref
+        FROM media
+    """
+    sql["media_dedup"] = f"""
+        WITH {synth_sql_cte()},
+    media AS (
+        SELECT doc_id, 'img://' || doc_id AS media_ref,
+               regexp_replace('img://' || doc_id, '[^0-9]', '', 'g')
+                   AS payload
+        FROM synth WHERE {sql_media_pick("doc_id")}
+    )
+        SELECT doc_id, media_ref, md5(payload) AS content_hash,
+               CAST(count(*) OVER (PARTITION BY md5(payload)) AS BIGINT)
+                   AS n_copies,
+               CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY md5(payload)
+                        ORDER BY doc_id, media_ref) = 1
+                    THEN 1 ELSE 0 END AS INT) AS keep
         FROM media
     """
     return sql

@@ -148,6 +148,17 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         .join(qs["token_budget_shards"](spark, sf_dir), "doc_id")
         .join(qs["decontaminate"](spark, sf_dir), "doc_id", "left")
     ))
+    # training-example prep: repetition signals + chunking + shuffle
+    # over documents, PII scrub over the synthesized record text
+    def _prep():
+        _force(
+            qs["repetition_signals"](spark, sf_dir)
+            .join(qs["chunk_documents"](spark, sf_dir), "doc_id")
+            .join(qs["corpus_shuffle"](spark, sf_dir), "doc_id")
+        )
+        _force(qs["pii_scrub"](spark, sf_dir))
+
+    timed("prep_ops", _prep)
     timed("tpch_q1", lambda: _force(qs["agg_pushdown_q1"](spark, sf_dir)))
     timed("windowed_events", lambda: _force(
         windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -179,6 +179,125 @@ def sql_quality_score(expr: str) -> str:
     )
 
 
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """All (overlapping, order-preserving) word n-grams of a token
+    array — NOT distinct, unlike ``shingles_of_tokens``: repetition
+    statistics need the multiset.  Docs shorter than ``n`` tokens
+    yield an empty array.
+
+    Pass an *attribute* (materialized column) in hot paths — ``toks``
+    is referenced inside a per-element lambda (see
+    ``shingles_of_tokens``)."""
+    if n <= 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_ngrams(toks_expr: str, n: int) -> str:
+    if n <= 1:
+        return toks_expr
+    joined = " || ' ' || ".join(f"({toks_expr})[i+{j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({toks_expr}) >= {n} "
+        f"THEN [ {joined} for i in range(1, len({toks_expr}) - {n - 2}) ] "
+        f"ELSE [] END)"
+    )
+
+
+def max_run_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in a string array, computed
+    row-locally in O(n log n): sort, then one linear fold counting the
+    longest equal run (struct-state ``aggregate`` — whole-stage
+    codegen, no shuffle, no O(n^2) per-element rescan)."""
+    srt = F.array_sort(arr)
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        merge,
+        lambda acc: acc["best"],
+    )
+
+
+def sql_max_run_count(arr_expr: str) -> str:
+    """DuckDB twin of ``max_run_count``.  The oracle runs at test
+    scale, so the O(n^2) distinct-rescan comprehension is fine."""
+    return (
+        f"(CASE WHEN len({arr_expr}) = 0 THEN 0 ELSE "
+        f"list_max(list_transform(list_distinct({arr_expr}), "
+        f"x -> len(list_filter({arr_expr}, y -> y = x)))) END)"
+    )
+
+
+# PII patterns: character classes + bounded quantifiers only — no
+# lookaround/backrefs, so Java regex (Spark) and RE2 (DuckDB) agree.
+# Scrub order matters: emails first (their local parts contain digit
+# runs), then IPs (dotted digit runs would otherwise be eaten by the
+# looser phone pattern), then phones.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE_RE = "[+(]?\\d[\\d().\\s-]{6,}\\d"
+
+
+def pii_scrub(c: Column) -> Column:
+    """Mask PII spans in free text with typed placeholders — the
+    redaction pass a training-data build runs before export.  Native
+    ``regexp_replace`` chain (whole-stage codegen, no UDF).  Returns
+    struct(text, n_emails, n_ips, n_phones); counts are per-stage so
+    they equal the number of replacements made."""
+    t0 = c
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IP_RE))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return F.struct(
+        t3.alias("text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+def sql_pii_scrub_cols(expr: str) -> dict[str, str]:
+    """DuckDB twin of ``pii_scrub`` as named column expressions
+    (RE2 needs the 'g' flag for replace-all; counts via
+    regexp_extract_all)."""
+    e, i, p = PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    t1 = f"regexp_replace({expr}, '{e}', '<EMAIL>', 'g')"
+    t2 = f"regexp_replace({t1}, '{i}', '<IP>', 'g')"
+    t3 = f"regexp_replace({t2}, '{p}', '<PHONE>', 'g')"
+    return {
+        "text": t3,
+        "n_emails": f"CAST(len(regexp_extract_all({expr}, '{e}')) AS INT)",
+        "n_ips": f"CAST(len(regexp_extract_all({t1}, '{i}')) AS INT)",
+        "n_phones": f"CAST(len(regexp_extract_all({t2}, '{p}')) AS INT)",
+    }
+
+
 def doc_fingerprint(c: Column) -> Column:
     """Deterministic content fingerprint: md5 of the normalized token
     stream (case/punctuation-insensitive) — the exact-dedup key."""

@@ -31,13 +31,19 @@ from pyspark.sql.window import Window
 from ..functions.text import (
     doc_fingerprint,
     lang_id,
+    max_run_count,
+    ngrams_of_tokens,
     quality_score,
     sql_doc_fingerprint,
     sql_lang_id,
+    sql_max_run_count,
+    sql_ngrams,
     sql_quality_score,
     sql_token_count,
+    sql_tokens,
     sql_winnow_fingerprint_cte,
     token_count,
+    tokens,
 )
 from .dedup import ensure_width, winnow_fingerprint_table
 
@@ -148,6 +154,262 @@ def sql_corpus_filter_flags(
                CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END
                     AS INT) AS keep
         FROM flagged
+    """
+
+
+# ------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style)
+# ------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition statistics — the Gopher-rules family of
+    quality signals that catch boilerplate/templated text the
+    length/stopword heuristics of ``quality_score`` miss:
+
+      * ``dup_token_frac``  — 1 - distinct/total tokens;
+      * ``top_bigram_frac`` — occurrences of the single most frequent
+        word bigram over all bigram slots;
+      * ``dup_trigram_frac``— fraction of trigram slots that are
+        redundant re-occurrences of an earlier trigram
+        (1 - distinct/total).
+
+    Scale shape: entirely row-local — tokens are staged once as an
+    attribute (the HOF lambdas index it, never re-derive it), the
+    most-frequent-bigram count is a sort + one linear struct-state
+    fold (``max_run_count``), so the whole operator is one narrow
+    projection: no shuffle, no UDF, embarrassingly parallel at any
+    corpus size.
+    """
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    n = F.size("_t")
+    nd = n.cast("double")
+    bi = ngrams_of_tokens(F.col("_t"), 2)
+    tri = ngrams_of_tokens(F.col("_t"), 3)
+    dup_tok = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct("_t")) / nd
+    ).otherwise(F.lit(0.0))
+    top_bi = F.when(
+        n >= 2, max_run_count(bi).cast("double") / (nd - 1)
+    ).otherwise(F.lit(0.0))
+    dup_tri = F.when(
+        n >= 3, F.lit(1.0) - F.size(F.array_distinct(tri)) / (nd - 2)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(top_bi, 6).alias("top_bigram_frac"),
+        F.round(dup_tri, 6).alias("dup_trigram_frac"),
+    )
+
+
+def sql_repetition_signals(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``repetition_signals``."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_tokens(f"coalesce({text_col}, '')")} AS t
+            FROM {table}
+        ),
+        g AS (
+            SELECT doc_id, t,
+                   {sql_ngrams("t", 2)} AS bg,
+                   {sql_ngrams("t", 3)} AS tg
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               round(CASE WHEN len(t) > 0
+                     THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                     ELSE 0.0 END, 6) AS dup_token_frac,
+               round(CASE WHEN len(t) >= 2
+                     THEN CAST({sql_max_run_count("bg")} AS DOUBLE) / (len(t) - 1)
+                     ELSE 0.0 END, 6) AS top_bigram_frac,
+               round(CASE WHEN len(t) >= 3
+                     THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / (len(t) - 2)
+                     ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM g
+    """
+
+
+# ------------------------------------------------------------------
+# Token-window chunking (training-example preparation)
+# ------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-window chunking step that turns corpus documents into
+    training examples.  Chunk ``i`` covers token positions
+    ``[i*stride, i*stride + chunk)`` with ``stride = chunk - overlap``;
+    the chunk count ``max(1, 1 + ceil((n - chunk) / stride))`` covers
+    every token, the final chunk may be short.  Empty docs emit no
+    chunks.
+
+    Scale shape: tokens staged once as an attribute, then one
+    ``explode`` over the per-doc chunk-index sequence — a narrow
+    Generate (fan-out proportional to output size), no shuffle, no
+    UDF.  At 100TB the output is written partitioned by a hash of
+    doc_id so one giant doc's chunks still spread over tasks via
+    AQE's post-Generate coalescing.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+    base = (
+        ensure_width(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+        )
+        .withColumn("_n", F.size("_t"))
+        .where(F.col("_n") > 0)
+    )
+    n_chunks = F.when(F.col("_n") <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((F.col("_n") - chunk + stride - 1) / stride)
+    )
+    start = F.col("chunk_id") * stride
+    return (
+        base.select(
+            "doc_id",
+            "_t",
+            "_n",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk), F.col("_n") - start)
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.array_join(F.slice("_t", start + 1, F.lit(chunk)), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def sql_chunk_documents(
+    table: str,
+    chunk: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (list slices are 1-based,
+    end-inclusive in DuckDB — ``t[s+1 : s+chunk]`` ==
+    ``slice(t, s+1, chunk)``)."""
+    stride = chunk - overlap
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_tokens(f"coalesce({text_col}, '')")} AS t
+            FROM {table}
+        ),
+        sized AS (
+            SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0
+        ),
+        ch AS (
+            SELECT doc_id, t, n,
+                   unnest(range(0, CASE WHEN n <= {chunk} THEN 1
+                          ELSE 1 + (n - {chunk} + {stride} - 1) // {stride}
+                          END)) AS chunk_id
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(least({chunk}, n - chunk_id * {stride}) AS BIGINT)
+                   AS chunk_tokens,
+               array_to_string(
+                   t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk}],
+                   ' ') AS chunk_text
+        FROM ch
+    """
+
+
+# ------------------------------------------------------------------
+# Deterministic corpus shuffle (training-order assignment)
+# ------------------------------------------------------------------
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a deterministic global training order:
+    shard = hash(seed:id) mod n_shards, position = rank of the hash
+    within the shard.  Reading shards in id order yields the same
+    shuffled stream on every run, engine, and cluster size — the
+    reproducible-shuffle contract a training-data loader wants (no RNG
+    state, re-runs and backfills land identically).
+
+    Scale shape: one shuffle on the shard key + a per-shard window
+    rank.  Size ``n_shards`` so a shard is one task's worth of rows
+    (e.g. corpus_rows / 4M): the rank window is per-shard, so
+    parallelism == n_shards.  For a global (non-sharded) order at
+    extreme scale, compose the ``global_ranks`` two-pass recipe
+    (blocking.py) over the hash instead.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"), key.alias("_key")
+    )
+    shard = (
+        F.conv(F.substring("_key", 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_key", "doc_id")
+    return (
+        base.withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def sql_corpus_shuffle(
+    table: str,
+    n_shards: int = 16,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``corpus_shuffle``."""
+    key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+    shard = (
+        f"CAST(('0x' || substr({key}, 1, 8))::UBIGINT % {n_shards} AS INT)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {key} AS k, {shard} AS shard
+            FROM {table}
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                    PARTITION BY shard ORDER BY k, doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM base
     """
 
 

@@ -207,3 +207,39 @@ def sample_frames(
             yield pd.DataFrame(out, columns=list(cols))
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact content dedup over the media table: md5 of the payload
+    bytes, canonical = lexicographically-least (doc_id, media_ref)
+    holder of each hash, ``keep=0`` for the other copies — the
+    binary-column analogue of ``dedup.exact_duplicates`` (the same
+    image uploaded under many refs collapses to one stored copy; the
+    span keeps its media_ref, the store keeps one object).
+
+    Scale shape: one hash-groupBy on the content hash + a join back on
+    the same key (both sides partition identically — one shuffle
+    each).  A hash group is a duplicate family (bounded); the join
+    carries only (hash, canonical).  At 100TB the hash is computed
+    where the bytes already are (scan-side projection), so full
+    payloads never shuffle — only (id, ref, 32-byte hash).
+    """
+    base = media.select(
+        "doc_id", "media_ref", F.md5("payload").alias("content_hash")
+    )
+    canon = base.groupBy("content_hash").agg(
+        F.min(F.struct("doc_id", "media_ref")).alias("_c"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return base.join(canon, "content_hash").select(
+        "doc_id",
+        "media_ref",
+        "content_hash",
+        "n_copies",
+        (
+            (F.col("doc_id") == F.col("_c.doc_id"))
+            & (F.col("media_ref") == F.col("_c.media_ref"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )

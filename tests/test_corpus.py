@@ -328,3 +328,113 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, "a b" bigram occurs 3 of 5 slots; 4 trigram
+            # slots hold only 2 distinct trigrams -> 2 redundant
+            (1, "a b a b a b"),
+            # all tokens distinct -> zero repetition everywhere
+            (2, "one two three four five"),
+            # single token: no bigrams/trigrams, dup fracs 0
+            (3, "solo"),
+            # empty + null: zero rows of signal, not a crash
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.repetition_signals(df).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["dup_token_frac"] == pytest.approx(1 - 2 / 6)
+    assert r1["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert r1["dup_trigram_frac"] == pytest.approx(1 - 2 / 4)
+    r2 = out[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 4)
+    assert r2["dup_trigram_frac"] == 0.0
+    for i in (3, 4, 5):
+        r = out[i]
+        assert (r["top_bigram_frac"], r["dup_trigram_frac"]) == (0.0, 0.0)
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    toks = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = corpus.chunk_documents(df, chunk=32, overlap=8).toPandas()
+    # empty doc emits nothing; short doc emits exactly one whole chunk
+    assert set(out["doc_id"]) == {1, 2}
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "a b c"
+    # 100 tokens, stride 24: chunks at 0,24,48,72 -> 4 chunks
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    # every token position is covered, consecutive chunks overlap by 8
+    cover = []
+    for _, r in d1.iterrows():
+        ts = r["chunk_text"].split(" ")
+        assert len(ts) == r["chunk_tokens"]
+        cover.append(ts)
+    for a, b in zip(cover, cover[1:]):
+        assert a[-8:] == b[:8]
+    flat = [t for c in cover for t in c]
+    assert set(flat) == {f"t{i}" for i in range(100)}
+    # last chunk is the tail (72..100 = 28 tokens)
+    assert cover[-1][-1] == "t99" and len(cover[-1]) == 28
+
+
+def test_corpus_shuffle_deterministic_partition(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = corpus.corpus_shuffle(df, n_shards=8, seed="s").toPandas()
+    b = corpus.corpus_shuffle(df, n_shards=8, seed="s").toPandas()
+    # deterministic across runs
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    # every doc exactly once; positions are a dense 0..k-1 per shard
+    assert len(a) == 200 and a["doc_id"].is_unique
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # a different seed reorders (not a fixed identity mapping)
+    c = corpus.corpus_shuffle(df, n_shards=8, seed="other").toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (
+        (merged["shard_a"] != merged["shard_c"])
+        | (merged["pos_a"] != merged["pos_c"])
+    ).any()
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from record_linkage_ldu_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org or call (310) 555-0199"),
+            (2, "server at 10.0.12.7 port 8080"),
+            (3, "zip 90210 is not pii, neither is order 1234"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", pii_scrub(F.col("text")).alias("p")
+        ).select("doc_id", "p.*").collect()
+    }
+    assert out[1]["text"] == "mail <EMAIL> or call <PHONE>"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["text"] == "server at <IP> port 8080"
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 0
+    # short digit runs (zip, order ids) are not phone-masked
+    assert out[3]["text"] == "zip 90210 is not pii, neither is order 1234"
+    assert out[4]["text"] is None

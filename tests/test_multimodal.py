@@ -108,3 +108,25 @@ def test_features_deterministic_and_flagged(spark):
         )
     assert len(by_ref["img://a"]) == 1  # identical payload -> identical feature
     assert by_ref["img://a"] != by_ref["img://b"]
+
+
+def test_media_dedup_collapses_equal_payloads(spark):
+    from record_linkage_ldu_spark.operators.multimodal import media_dedup
+
+    rows = [
+        ("a1", "img://a1", b"SAME"),
+        ("b1", "img://b1", b"SAME"),
+        ("c9", "img://c9", b"SAME"),
+        ("d1", "img://d1", b"other"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    out = media_dedup(df).toPandas().set_index("doc_id")
+    # least (doc_id, media_ref) holder keeps; others dropped
+    assert out.loc["a1", "keep"] == 1 and out.loc["a1", "n_copies"] == 3
+    assert out.loc["b1", "keep"] == 0 and out.loc["c9", "keep"] == 0
+    assert out.loc["d1", "keep"] == 1 and out.loc["d1", "n_copies"] == 1
+    # hashes partition the set: equal payloads share one hash
+    assert out.loc["a1", "content_hash"] == out.loc["b1", "content_hash"]
+    assert out.loc["a1", "content_hash"] != out.loc["d1", "content_hash"]
