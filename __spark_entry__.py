@@ -640,6 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
         min_shared=2,
     )
+    # feature-hashed linear quality model (classifier-filter hook)
+    q["hashed_bow_score"] = lambda s, d: corpus.hashed_bow_score(
+        _t(s, d, "documents")
+    )
     # Gopher-style repetition quality signals (row-local, no shuffle)
     q["repetition_signals"] = lambda s, d: corpus.repetition_signals(
         _t(s, d, "documents")
@@ -737,6 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
+    # Jaro-Winkler alone IS oracle-able (r3): both kernels floor the
+    # transposition halving per Winkler's strcmp95, bit-equal to
+    # DuckDB's jaro_winkler_similarity (20k-pair sweep + pytest);
+    # sample drawn with the md5 hash-mod (xxhash64 has no DuckDB twin)
+    q["jw_pair_scores"] = lambda s, d: _jw_scores(s, d)
     # hash-green since round 3: the md5-based sketch + band/hamming
     # stages have an exact DuckDB twin (sql_simhash_near_duplicates).
     # max_hamming=3 matches the n_bands=4 pigeonhole guarantee
@@ -911,6 +920,29 @@ def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ro_sim_col(F.col("a_address"), F.col("b_address")), 6).alias(
             "ro_address"
         ),
+    )
+
+
+def _md5_mod_pick(c1: str, c2: str, mod: int):
+    """Deterministic ~1/mod pair pick with a DuckDB twin (md5 draw —
+    same recipe as corpus._uniform_draw)."""
+    h = F.md5(F.concat_ws(":", F.col(c1), F.col(c2)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod) == 0
+
+
+def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_linkage_ldu_spark.functions.similarity import jw_sim_col
+
+    records = _records(spark, sf_dir)
+    pairs = candidate_pairs(_capped_keys(records)).where(
+        _md5_mod_pick("doc_id_1", "doc_id_2", 43)
+    )
+    wide = attach_pair_sides(pairs, records, ("name", "city"))
+    return wide.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
+        F.round(jw_sim_col(F.col("a_city"), F.col("b_city")), 6).alias("jw_city"),
     )
 
 
@@ -1327,6 +1359,27 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = corpus.sql_decontaminate(
         "documents", "doc_id % 37 = 0", min_shared=2
     )
+    # jw twin: the missing->0 and identical->1 rules are the kernel's
+    # (jw_sim_col); duckdb's builtin returns 0.0 for ''='' so the
+    # equality CASE restores the kernel semantics
+    def _sql_jw(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0.0 "
+            f"WHEN {a} = {b} THEN 1.0 "
+            f"ELSE jaro_winkler_similarity({a}, {b}) END)"
+        )
+
+    sql["jw_pair_scores"] = f"""
+        {_sql_chain("pairs")}
+        SELECT p.doc_id_1, p.doc_id_2,
+               round({_sql_jw("n1.name", "n2.name")}, 6) AS jw_name,
+               round({_sql_jw("n1.city", "n2.city")}, 6) AS jw_city
+        FROM pairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+        WHERE ('0x' || substr(md5(p.doc_id_1 || ':' || p.doc_id_2), 1, 8))
+              ::UBIGINT % 43 = 0
+    """
     sql["soundex_keys"] = f"""
         {_sql_chain("norm")},
     toks AS (
@@ -1341,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         FROM toks
         WHERE first_tok IS NOT NULL AND first_tok <> ''
     """
+    sql["hashed_bow_score"] = corpus.sql_hashed_bow_score("documents")
     sql["repetition_signals"] = corpus.sql_repetition_signals("documents")
     sql["chunk_documents"] = corpus.sql_chunk_documents(
         "documents", chunk=32, overlap=8

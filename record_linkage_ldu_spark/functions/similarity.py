@@ -114,7 +114,11 @@ def jaro(a: str, b: str) -> float:
             if a[i] != b[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # Winkler's original strcmp95 halves the out-of-order count with
+    # INTEGER division (as do Apache Commons Text and DuckDB's
+    # builtin) — floor, not exact halves, so odd counts agree with
+    # the DuckDB oracle bit-for-bit
+    t = transpositions // 2
     return (matches / la + matches / lb + (matches - t) / matches) / 3.0
 
 

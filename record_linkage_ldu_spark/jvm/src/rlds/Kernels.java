@@ -106,7 +106,9 @@ public final class Kernels {
                 j++;
             }
         }
-        double t = transpositions / 2.0;
+        // integer halving per Winkler's strcmp95 (and DuckDB's
+        // builtin) — keeps the JVM kernel bit-equal to the oracle
+        double t = transpositions / 2;
         double m = matches;
         return (m / la + m / lb + (m - t) / m) / 3.0;
     }

@@ -414,6 +414,107 @@ def sql_corpus_shuffle(
 
 
 # ------------------------------------------------------------------
+# Feature-hashing linear quality model (classifier-filter plumbing)
+# ------------------------------------------------------------------
+
+
+def hashed_bow_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "bow",
+    weight_range: int = 1000,
+) -> DataFrame:
+    """Model-based quality scoring hook: a feature-hashed linear
+    bag-of-words scorer (the fasttext-style classifier-filter shape —
+    hash token -> weight, sum, threshold).  The stand-in "model" maps
+    each token to a deterministic integer weight in
+    ``[-weight_range, weight_range]`` derived from md5(seed:token); a
+    real deployment swaps that for a broadcast learned-weights lookup
+    (token/bucket -> weight) with the identical plan shape.
+
+    INTEGER weights on purpose: the per-doc logit is an exact integer
+    sum, so it is order-independent (float accumulation order differs
+    between engines and even between runs) and the DuckDB twin hashes
+    bit-equal.  ``score`` = logit / (n_tokens * weight_range) in
+    [-1, 1]; the sigmoid/threshold belongs to the consumer.
+
+    Scale shape: entirely row-local — one staged token attribute, one
+    ``aggregate`` fold per row (whole-stage codegen, no shuffle, no
+    UDF, no weights broadcast needed for the hash stand-in).
+    """
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    mod = 2 * weight_range + 1
+
+    def wt(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), t)), 1, 8), 16, 10
+        ).cast("long")
+        return h % mod - weight_range
+
+    logit = F.aggregate(
+        F.transform(F.col("_t"), wt),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("_t").cast("long")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        logit.alias("bow_logit"),
+        F.round(
+            F.when(n > 0, logit / (n * float(weight_range))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("bow_score"),
+    )
+
+
+def sql_hashed_bow_score(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "bow",
+    weight_range: int = 1000,
+) -> str:
+    """DuckDB twin of ``hashed_bow_score``.  Uses unnest + an integer
+    SUM (order-free, exact) instead of a list fold: DuckDB 1.0
+    mis-evaluates lambdas whose input expression itself carries
+    lambdas (see sql_soundex), so the token list is flattened OUTSIDE
+    any lambda; empty docs rejoin with logit 0."""
+    mod = 2 * weight_range + 1
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_tokens(f"coalesce({text_col}, '')")} AS t
+            FROM {table}
+        ),
+        flat AS (
+            SELECT doc_id, unnest(t) AS tok FROM base
+        ),
+        sums AS (
+            SELECT doc_id,
+                   SUM(CAST(('0x' || substr(md5('{seed}:' || tok), 1, 8))
+                            ::UBIGINT % {mod} AS BIGINT) - {weight_range})
+                       AS logit
+            FROM flat GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.logit, 0) AS BIGINT) AS bow_logit,
+               round(CASE WHEN len(b.t) > 0
+                     THEN CAST(coalesce(s.logit, 0) AS DOUBLE)
+                          / (len(b.t) * {float(weight_range)})
+                     ELSE 0.0 END, 6) AS bow_score
+        FROM base b LEFT JOIN sums s USING (doc_id)
+    """
+
+
+# ------------------------------------------------------------------
 # Deterministic stratified sampling
 # ------------------------------------------------------------------
 

@@ -438,3 +438,22 @@ def test_pii_scrub_masks_and_counts(spark):
     # short digit runs (zip, order ids) are not phone-masked
     assert out[3]["text"] == "zip 90210 is not pii, neither is order 1234"
     assert out[4]["text"] is None
+
+
+def test_hashed_bow_score_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta"),
+         (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    a = corpus.hashed_bow_score(df).toPandas().set_index("doc_id")
+    b = corpus.hashed_bow_score(df).toPandas().set_index("doc_id")
+    # pure function of the text: identical across runs and docs
+    assert a.equals(b)
+    assert a.loc[1, "bow_logit"] == a.loc[2, "bow_logit"]
+    # score normalized to [-1, 1]; empty/null docs score 0
+    assert (a["bow_score"].abs() <= 1.0).all()
+    assert a.loc[4, "bow_logit"] == 0 and a.loc[5, "bow_score"] == 0.0
+    # a different seed is a different model
+    c = corpus.hashed_bow_score(df, seed="other").toPandas().set_index("doc_id")
+    assert c.loc[1, "bow_logit"] != a.loc[1, "bow_logit"]

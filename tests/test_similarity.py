@@ -65,6 +65,10 @@ def test_jw_matches_duckdb():
     cases = [
         ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
         ("abc", "abc"), ("a", "b"), ("trace", "crate"), ("arnab", "raanb"),
+        # ODD out-of-order counts: pins the strcmp95 integer halving
+        # (t = count // 2) — exact halves would diverge from DuckDB here
+        ("christopher", "smith"), ("caldwell", "dwayne"),
+        ("christopher", "chiostpher"), ("christopher", "hrcstopheer"),
     ]
     for a, b in cases:
         duck = con.execute(
