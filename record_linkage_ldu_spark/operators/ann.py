@@ -228,7 +228,7 @@ def _sign_bucket_candidates(
 
     Returns (pairs(vid_1 < vid_2), dropped_census | None).
     """
-    from .dedup import capped_bucket_pairs
+    from .dedup import _pin, capped_bucket_pairs
 
     if planes is not None:
         nbits = len(planes)
@@ -238,8 +238,15 @@ def _sign_bucket_candidates(
         if planes is not None
         else sign_bucket(vec, nbits)
     )
-    base = ensure_width(corpus).select(
-        F.col(id_col).alias("doc_id"), bucket.alias("bucket")
+    # pin the key table: the bucket expression is nbits dot products
+    # per vector, re-executed by every tier/census reference otherwise
+    # (same rationale as dedup._pin; this table is the persistable
+    # LSH index at production scale)
+    base = _pin(
+        ensure_width(corpus).select(
+            F.col(id_col).alias("doc_id"), bucket.alias("bucket")
+        ),
+        True,
     )
     if multiprobe:
         flips = [

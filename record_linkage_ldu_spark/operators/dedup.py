@@ -67,6 +67,20 @@ def capped_bucket_pairs(
     return candidate_pairs_capped(keys, cfg, pair_dedup=not unique_key)
 
 
+def _pin(df: DataFrame, enabled: bool) -> DataFrame:
+    """Materialize a small derived table (sketch / signature / gram
+    index) ONCE.  Every downstream reference — census, plain and salt
+    join tiers, both verify sides — otherwise re-executes the deriving
+    subplan: exchange reuse only dedups shuffle subtrees, and these
+    are unshuffled scan+project chains, so the Arrow/md5 sketch UDFs
+    measured up to ~7 executions per query.  At production scale this
+    table IS the persisted index (write it to Parquet/Iceberg and read
+    it back — same contract as save_ivf_index); on one box
+    ``localCheckpoint`` is the analogue.  Pass ``pin=False`` from
+    pipelines that persist the table themselves."""
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
 def ensure_width(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions
     than cores.
@@ -256,6 +270,7 @@ def minhash_near_duplicates(
     drop_factor: int = 16,
     hash_fn: str = "md5",
     with_census: bool = False,
+    pin: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH candidates (band-key join) verified by exact shingle-set
     Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard).
@@ -278,11 +293,14 @@ def minhash_near_duplicates(
         df, text_col, id_col, num_hashes, band_size, shingle_size,
         hash_fn=hash_fn,
     )
-    keys = bands.select(
-        "doc_id",
-        F.concat_ws(":", F.col("band_idx").cast("string"), "band_key").alias(
-            "block_key"
+    keys = _pin(
+        bands.select(
+            "doc_id",
+            F.concat_ws(
+                ":", F.col("band_idx").cast("string"), "band_key"
+            ).alias("block_key"),
         ),
+        pin,
     )
     if max_bucket_size is None:
         a = keys.alias("a")
@@ -303,7 +321,9 @@ def minhash_near_duplicates(
         cand, dropped = capped_bucket_pairs(
             keys, max_bucket_size, salt_buckets, drop_factor
         )
-    toks_tbl = _shingled(df, text_col, id_col, shingle_size, out_col="toks")
+    toks_tbl = _pin(
+        _shingled(df, text_col, id_col, shingle_size, out_col="toks"), pin
+    )
     out = (
         cand.join(
             toks_tbl.select(
@@ -461,6 +481,7 @@ def ngram_jaccard_pairs(
     max_block_size: int | None = 1000,
     salt_buckets: int = 8,
     drop_factor: int = 16,
+    pin: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard over within-block pairs (block on cheap
     metadata, e.g. language + length bucket).
@@ -500,10 +521,13 @@ def ngram_jaccard_pairs(
     # self-join keeps `grams` as an unevaluated projection, and the
     # tokenize+distinct chain re-runs once per MATCHED PAIR instead of
     # once per doc (measured ~12s -> ~2s on 450k within-block pairs).
-    base = tokenized.select(
-        "doc_id",
-        *[F.col(c) for c in block_cols],
-        F.explode(F.array(grams)).alias("grams"),
+    base = _pin(
+        tokenized.select(
+            "doc_id",
+            *[F.col(c) for c in block_cols],
+            F.explode(F.array(grams)).alias("grams"),
+        ),
+        pin,
     )
     jac = lambda: F.round(  # noqa: E731
         jaccard_col(F.col("a.grams"), F.col("b.grams")), 6
@@ -663,6 +687,7 @@ def winnow_near_duplicates(
     salt_buckets: int = 8,
     drop_factor: int = 16,
     with_census: bool = False,
+    pin: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-duplicate pairs by SHARED winnowing fingerprints:
     (doc_id_1, doc_id_2, shared_fps) for pairs sharing at least
@@ -680,8 +705,11 @@ def winnow_near_duplicates(
     buckets (census-reported) remove their fingerprint from every
     doc's overlap count, like a stopword.
     """
-    keys = winnow_fingerprint_table(df, text_col, id_col, k, w).select(
-        "doc_id", F.col("fingerprint").alias("block_key")
+    keys = _pin(
+        winnow_fingerprint_table(df, text_col, id_col, k, w).select(
+            "doc_id", F.col("fingerprint").alias("block_key")
+        ),
+        pin,
     )
     cfg = BlockingConfig(
         max_block_size=max_bucket_size if max_bucket_size else 1 << 30,
@@ -827,6 +855,7 @@ def simhash_near_duplicates(
     salt_buckets: int = 8,
     drop_factor: int = 16,
     with_census: bool = False,
+    pin: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dups by hamming distance <= max_hamming via multi-probe
     band tables: the 64-bit sketch is split into ``n_bands`` disjoint
@@ -847,7 +876,7 @@ def simhash_near_duplicates(
     report it, don't silently keep it (see minhash_near_duplicates).
     """
     width = 64 // n_bands
-    sk = ensure_width(sketches).select("doc_id", "simhash")
+    sk = _pin(ensure_width(sketches).select("doc_id", "simhash"), pin)
     band_keys = F.array(
         *[
             F.concat_ws(
