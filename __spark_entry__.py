@@ -689,6 +689,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rh_lsh_ann_topk"] = lambda s, d: ann.lsh_topk(
         _t(s, d, "embeddings"), k=3, planes=_RH_PLANES
     )
+    # IVF probe path with a DETERMINISTIC quantizer (fixed_ivf_index)
+    # so the probe-and-rank plan is hash-gated; the KMeans build stays
+    # pytest-gated (ivf_ann_topk rows-only)
+    q["ivf_probe_topk"] = lambda s, d: ann.ivf_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").where(F.col("vec_id") % 50 == 0),
+        k=5,
+        nprobe=4,
+        index=ann.fixed_ivf_index(_t(s, d, "embeddings"), modulus=64),
+    )
     # IVF ANN (KMeans coarse quantizer, pyspark.ml) — no DuckDB twin
     # for the quantizer, so rows-only here; exactness at full probe and
     # recall at partial probe are gated by tests/test_ann.py
@@ -1421,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
     sql["lsh_ann_topk"] = ann.sql_lsh_topk("embeddings", k=3, nbits=8)
     sql["rh_lsh_ann_topk"] = ann.sql_lsh_topk(
         "embeddings", k=3, planes=_RH_PLANES
+    )
+    sql["ivf_probe_topk"] = ann.sql_ivf_probe_topk(
+        "embeddings", "vec_id % 50 = 0", k=5, nprobe=4, modulus=64
     )
     sql["simhash_near_dups"] = dedup.sql_simhash_near_duplicates(
         "documents", max_hamming=3, n_bands=4

@@ -398,6 +398,106 @@ def ivf_index(
     return centroids, assigned
 
 
+def fixed_ivf_index(
+    corpus: DataFrame,
+    modulus: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer: centroids are the corpus
+    vectors whose id is divisible by ``modulus`` (centroid_id = that
+    id), assignment = argmax cosine (rounded to 6, centroid_id
+    tiebreak).  KMeans (``ivf_index``) is the production quantizer but
+    is not SQL-expressible — this one is, end to end, so the IVF
+    PROBE path gets a DuckDB hash gate (driver entry
+    ``ivf_probe_topk``) instead of a rows-only check.  Same
+    (centroids, assigned) contract as ``ivf_index``.
+    """
+    base = ensure_width(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    centroids = base.where(F.col("vid") % modulus == 0).select(
+        F.col("vid").cast("int").alias("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("_cs").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .select(
+            "vid", "v", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("_cs"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vid", "v", "centroid_id")
+    )
+    return centroids, assigned
+
+
+def sql_ivf_probe_topk(
+    table: str,
+    query_pred: str,
+    k: int = 5,
+    nprobe: int = 4,
+    modulus: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk`` over a ``fixed_ivf_index``: the
+    same probe-and-rank plan as SQL (centroids from the table itself —
+    no literal injection needed)."""
+    cos = "list_cosine_similarity"
+    return f"""
+        WITH cent AS (
+            SELECT CAST({id_col} AS INT) AS centroid_id,
+                   CAST({vec_col} AS DOUBLE[]) AS cv
+            FROM {table} WHERE {id_col} % {modulus} = 0
+        ),
+        assigned AS (
+            SELECT vid, v, centroid_id FROM (
+                SELECT e.{id_col} AS vid,
+                       CAST(e.{vec_col} AS DOUBLE[]) AS v,
+                       c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY round({cos}(
+                               CAST(e.{vec_col} AS DOUBLE[]), c.cv), 6) DESC,
+                               c.centroid_id ASC) AS _r
+                FROM {table} e, cent c
+            ) WHERE _r = 1
+        ),
+        probes AS (
+            SELECT query_id, qv, centroid_id FROM (
+                SELECT q.{id_col} AS query_id,
+                       CAST(q.{vec_col} AS DOUBLE[]) AS qv,
+                       c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.{id_col}
+                           ORDER BY round({cos}(
+                               CAST(q.{vec_col} AS DOUBLE[]), c.cv), 6) DESC,
+                               c.centroid_id ASC) AS _pr
+                FROM {table} q, cent c
+                WHERE {query_pred.replace(id_col, "q." + id_col)}
+            ) WHERE _pr <= {nprobe}
+        ),
+        sims AS (
+            SELECT p.query_id, a.vid AS neighbor_id,
+                   round({cos}(p.qv, a.v), 6) AS cosine_sim
+            FROM probes p JOIN assigned a USING (centroid_id)
+            WHERE p.query_id <> a.vid
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+            FROM sims
+        ) WHERE rank <= {k}
+    """
+
+
 def save_ivf_index(
     centroids: DataFrame, assigned: DataFrame, path: str
 ) -> None:
@@ -464,7 +564,11 @@ def ivf_topk(
         .crossJoin(F.broadcast(centroids))
         .select(
             "query_id", "qv", "centroid_id",
-            cosine(F.col("qv"), F.col("cv")).alias("centroid_sim"),
+            # rounded before ranking (like every sim ordering here) so
+            # probe selection is stable across engines/architectures
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias(
+                "centroid_sim"
+            ),
         )
         .withColumn("_pr", F.row_number().over(wc))
         .where(F.col("_pr") <= nprobe)

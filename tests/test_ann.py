@@ -248,3 +248,25 @@ def test_lsh_topk_finds_planted_near_duplicates(spark, embeddings):
     }
     assert len(top1) == n_planted
     assert all(top1[100_000 + i] == i for i in range(n_planted)), top1
+
+
+def test_fixed_ivf_full_probe_is_exact(spark, embeddings):
+    """fixed_ivf_index + full probe == brute force (same anchor as the
+    KMeans path), and the deterministic assignment covers every
+    vector exactly once."""
+    from record_linkage_ldu_spark.operators import ann
+
+    emb = embeddings
+    index = ann.fixed_ivf_index(emb, modulus=16)
+    centroids, assigned = index
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vid").distinct().count() == n
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    full = ann.ivf_topk(
+        emb, queries, k=3, nprobe=centroids.count(), index=index
+    )
+    brute = ann.cosine_topk(emb, queries, k=3)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in brute.collect()}
+    assert a == b
