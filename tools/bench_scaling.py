@@ -343,9 +343,19 @@ Reproduce: `python tools/bench_scaling.py` (end-to-end) and
 `python tools/profile_phases.py <cpus> <mult>` (phase decomposition).
 (env: `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_SCALE_MULT`,
 `SPARK_GRAFT_SCALE_LEVELS`, `SPARK_GRAFT_SCALE_REPS`).
+
+<!-- MANUAL SECTIONS BELOW — bench_scaling.py preserves everything
+     after this marker when it rewrites the sections above. -->
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH.md")
+    marker = "<!-- MANUAL SECTIONS BELOW"
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            manual = old.split(marker, 1)[1].split("-->", 1)[1]
+    with open(path, "w") as f:
+        f.write(md + manual)
     print(f"wrote BENCH.md (efficiency {s['value']})")
 
 
