@@ -656,6 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_shuffle"] = lambda s, d: corpus.corpus_shuffle(
         _t(s, d, "documents"), n_shards=16, seed="r3"
     )
+    # global (non-sharded) order via the two-pass global_ranks recipe
+    q["corpus_shuffle_global"] = lambda s, d: corpus.corpus_shuffle_global(
+        _t(s, d, "documents"), seed="r3"
+    )
     # PII redaction over record free text (emails/phones live in the
     # synthetic records; counts are per-stage so they equal the number
     # of replacements made)
@@ -751,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
+    # blocking recall vs planted labels + candidate selectivity
+    q["blocking_recall"] = lambda s, d: _blocking_recall(s, d)
     # Jaro-Winkler alone IS oracle-able (r3): both kernels floor the
     # transposition halving per Winkler's strcmp95, bit-equal to
     # DuckDB's jaro_winkler_similarity (20k-pair sweep + pytest);
@@ -929,6 +935,32 @@ def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
         F.round(ro_sim_col(F.col("a_address"), F.col("b_address")), 6).alias(
             "ro_address"
+        ),
+    )
+
+
+def _blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE blocking-design metric: what fraction of true pairs does
+    the blocking reach (recall — an upper bound on linkage recall, per
+    SURVEY §2.5 J1's never-materialize-the-cartesian design), and how
+    selective is it (pair_efficiency = covered / candidates)."""
+    labels = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    cands = candidate_pairs(_capped_keys(_records(spark, sf_dir)))
+    marked = labels.join(
+        cands.withColumn("_c", F.lit(1)), ["doc_id_1", "doc_id_2"], "left"
+    )
+    truth = marked.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_covered"),
+    )
+    vol = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    return truth.crossJoin(vol).select(
+        "n_true",
+        "n_covered",
+        "n_candidates",
+        F.round(F.col("n_covered") / F.col("n_true"), 6).alias("recall"),
+        F.round(F.col("n_covered") / F.col("n_candidates"), 6).alias(
+            "pair_efficiency"
         ),
     )
 
@@ -1379,6 +1411,27 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE jaro_winkler_similarity({a}, {b}) END)"
         )
 
+    sql["blocking_recall"] = f"""
+        {_sql_chain("pairs")},
+    labels AS (
+        SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+        FROM synth s1 JOIN synth s2
+          ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+         AND s1.doc_id < s2.doc_id
+    ),
+    truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(count(p.doc_id_1) AS BIGINT) AS n_covered
+        FROM labels l LEFT JOIN pairs p
+          ON l.doc_id_1 = p.doc_id_1 AND l.doc_id_2 = p.doc_id_2
+    ),
+    vol AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs)
+        SELECT n_true, n_covered, n_candidates,
+               round(CAST(n_covered AS DOUBLE) / n_true, 6) AS recall,
+               round(CAST(n_covered AS DOUBLE) / n_candidates, 6)
+                   AS pair_efficiency
+        FROM truth, vol
+    """
     sql["jw_pair_scores"] = f"""
         {_sql_chain("pairs")}
         SELECT p.doc_id_1, p.doc_id_2,
@@ -1411,6 +1464,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["corpus_shuffle"] = corpus.sql_corpus_shuffle(
         "documents", n_shards=16, seed="r3"
+    )
+    sql["corpus_shuffle_global"] = corpus.sql_corpus_shuffle_global(
+        "documents", seed="r3"
     )
     _pii = T.sql_pii_scrub_cols("concat_ws(' ', name, phone, email, address)")
     sql["pii_scrub"] = f"""

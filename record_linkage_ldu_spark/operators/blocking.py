@@ -564,12 +564,16 @@ def global_ranks(
             # fewer (still correct) buckets
             bounds = sorted({sample[int(step * i)] for i in range(1, n_part)})
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.aggregate(
-            barr,
+        # plain when-sum chain, NOT a HOF fold: a lambda here trips a
+        # Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the bucket
+        # expression collapses into the census window chain over
+        # in-memory relations, and the chain whole-stage-codegens
+        bucket = sum(
+            (
+                F.when(F.col("_k") >= F.lit(b), F.lit(1)).otherwise(F.lit(0))
+                for b in bounds
+            ),
             F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("_k") >= b, F.lit(1)).otherwise(F.lit(0)),
         )
     else:
         bucket = F.lit(0)

@@ -389,6 +389,58 @@ def corpus_shuffle(
     )
 
 
+def corpus_shuffle_global(
+    df: DataFrame,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global (non-sharded) deterministic shuffle order: ``pos`` =
+    rank of md5(seed:id) across the WHOLE corpus — for consumers that
+    want one totally-ordered stream rather than per-shard positions
+    (``corpus_shuffle``).
+
+    Scale shape: the rank never uses a single-partition window — it
+    composes the ``global_ranks`` two-pass recipe (sample-quantile
+    literal bounds -> per-bucket window + broadcast census-offset
+    join), so the sort parallelism is ``num_partitions``, not 1.
+    """
+    from .blocking import global_ranks
+
+    # the key is staged as a real column first: handing global_ranks
+    # the derived md5 expression directly trips a Catalyst internal
+    # error (ATTRIBUTE_NOT_FOUND) when the HOF bucket lambda collapses
+    # into the census window chain
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("_sk"),
+    )
+    ranked = global_ranks(
+        base, F.col("_sk"), id_col="doc_id", num_partitions=num_partitions
+    )
+    return ranked.select(
+        "doc_id", (F.col("_rank") - 1).cast("long").alias("pos")
+    )
+
+
+def sql_corpus_shuffle_global(
+    table: str,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``corpus_shuffle_global`` (one global window —
+    fine at oracle scale)."""
+    key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+        SELECT {id_col} AS doc_id,
+               CAST(row_number() OVER (ORDER BY {key}, {id_col}) - 1
+                    AS BIGINT) AS pos
+        FROM {table}
+    """
+
+
 def sql_corpus_shuffle(
     table: str,
     n_shards: int = 16,
@@ -794,12 +846,16 @@ def token_budget_shards(
             step = len(sample) / n_part
             bounds = sorted({sample[int(step * i)] for i in range(1, n_part)})
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.aggregate(
-            barr,
+        # when-sum chain, not a HOF fold — see blocking.global_ranks
+        # (Catalyst internal error + codegen)
+        bucket = sum(
+            (
+                F.when(F.col("doc_id") >= F.lit(b), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+                for b in bounds
+            ),
             F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("doc_id") >= b, F.lit(1)).otherwise(F.lit(0)),
         )
     else:
         bucket = F.lit(0)

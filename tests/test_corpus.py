@@ -457,3 +457,23 @@ def test_hashed_bow_score_deterministic_and_bounded(spark):
     # a different seed is a different model
     c = corpus.hashed_bow_score(df, seed="other").toPandas().set_index("doc_id")
     assert c.loc[1, "bow_logit"] != a.loc[1, "bow_logit"]
+
+
+def test_corpus_shuffle_global_is_true_rank(spark):
+    """The two-pass distributed rank equals the single-window rank,
+    and sharded + global variants see the same hash order."""
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = corpus.corpus_shuffle_global(df, seed="g").orderBy("pos").toPandas()
+    assert list(out["pos"]) == list(range(500))
+    # independent single-window truth
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window
+
+    key = SF.md5(SF.concat_ws(":", SF.lit("g"), SF.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    truth = (
+        df.select("doc_id", (SF.row_number().over(w) - 1).alias("pos"))
+        .orderBy("pos")
+        .toPandas()
+    )
+    assert list(out["doc_id"]) == list(truth["doc_id"])
