@@ -711,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings").where(F.col("vec_id") % 50 == 0),
         k=5, n_centroids=8, nprobe=4,
     )
+    # SemDeDup (Abbas et al., arXiv:2303.09540): quantizer cells ->
+    # within-cell cosine pairs (tiered) -> CC groups -> keep the
+    # centroid-outlier per group; deterministic quantizer so the
+    # whole decision table is hash-gated
+    q["semdedup"] = lambda s, d: ann.semdedup(
+        _t(s, d, "embeddings"), threshold=0.2, modulus=64
+    )
 
     # ---------- events: windows / sessions ----------
     q["windowed_events"] = lambda s, d: windowed_event_counts(
@@ -1491,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ivf_probe_topk"] = ann.sql_ivf_probe_topk(
         "embeddings", "vec_id % 50 = 0", k=5, nprobe=4, modulus=64
     )
+    sql["semdedup"] = ann.sql_semdedup("embeddings", threshold=0.2, modulus=64)
     sql["simhash_near_dups"] = dedup.sql_simhash_near_duplicates(
         "documents", max_hamming=3, n_bands=4
     )

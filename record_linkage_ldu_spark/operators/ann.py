@@ -713,3 +713,172 @@ def sql_lsh_topk(
             FROM sims
         ) WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al., arXiv:2303.09540)
+# ------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.2,
+    modulus: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
+    max_bucket_size: int = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    with_census: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over
+    an embedding column.  Cluster with a coarse quantizer, call
+    within-cluster pairs with cosine >= threshold semantic duplicates,
+    and per duplicate group KEEP the member with the LOWEST cosine to
+    its cluster centroid (the paper's keep policy: prototypical
+    members drop, the informative outlier stays; ties break on id).
+
+    Returns (vec_id, centroid_id, group_id, centroid_sim, keep) for
+    the WHOLE corpus — singletons are their own group and keep
+    themselves.  Filtering the corpus is one semi-join on keep = 1.
+
+    Scale shape: the quantizer assignment is the index build (one
+    corpus pass; ``fixed_ivf_index`` here for the DuckDB twin,
+    ``ivf_index``'s KMeans in production — same contract).  Cells are
+    the buckets of ``capped_bucket_pairs`` (census/cap/salt tiers), so
+    a degenerate mega-cell is bounded per task, never quadratic in one
+    join key; each vector holds exactly one cell key (unique_key=True
+    skips the no-op pair-dedup shuffle).  Duplicate groups are
+    connected components of the verified pair graph (orders smaller
+    than the corpus); the keep window partitions by group.  Pass
+    ``with_census=True`` to observe dropped mega-cells — dropped
+    members come out keep=1, so pipelines must check the census
+    (same contract as near_duplicate_keep_list).
+    """
+    from .cc import connected_components
+    from .dedup import _pin, capped_bucket_pairs
+
+    if index is None:
+        centroids, assigned = fixed_ivf_index(
+            corpus, modulus=modulus, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids, assigned = index
+    # pinned: census + both join tiers + both verify sides + the
+    # centroid_sim join all reference this table (dedup._pin rationale)
+    assigned = _pin(assigned, True)
+    keys = assigned.select(
+        F.col("vid").alias("doc_id"),
+        F.col("centroid_id").cast("string").alias("block_key"),
+    )
+    cand, dropped = capped_bucket_pairs(
+        keys, max_bucket_size, salt_buckets, drop_factor, unique_key=True
+    )
+    dup_pairs = (
+        cand.join(
+            assigned.select(
+                F.col("vid").alias("doc_id_1"), F.col("v").alias("v1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            assigned.select(
+                F.col("vid").alias("doc_id_2"), F.col("v").alias("v2")
+            ),
+            "doc_id_2",
+        )
+        .where(F.round(cosine(F.col("v1"), F.col("v2")), 6) >= threshold)
+        .select("doc_id_1", "doc_id_2")
+    )
+    groups = connected_components(
+        dup_pairs,
+        vertices=assigned.select(F.col("vid").alias("doc_id")),
+    ).select(
+        F.col("doc_id").alias("vid"), F.col("cluster_id").alias("group_id")
+    )
+    # cosine to the OWN centroid: same round-6 value the assignment
+    # ranked on (fixed_ivf_index), recomputed via one broadcast join
+    sims = assigned.join(F.broadcast(centroids), "centroid_id").select(
+        "vid",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("centroid_sim"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("centroid_sim").asc(), F.col("vid").asc()
+    )
+    out = (
+        sims.join(groups, "vid")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid_id",
+            "group_id",
+            "centroid_sim",
+            (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        )
+    )
+    if with_census:
+        empty = corpus.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
+        return out, (dropped if dropped is not None else empty)
+    return out
+
+
+def sql_semdedup(
+    table: str,
+    threshold: float = 0.2,
+    modulus: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semdedup`` over a ``fixed_ivf_index``
+    quantizer: assignment by argmax round-6 cosine (centroid_id
+    tiebreak), within-cell pairs, recursive-CTE connected components
+    (group = min member id), keep = argmin (centroid_sim, id) per
+    group."""
+    cos = "list_cosine_similarity"
+    return f"""
+        WITH RECURSIVE cent AS (
+            SELECT CAST({id_col} AS INT) AS centroid_id,
+                   CAST({vec_col} AS DOUBLE[]) AS cv
+            FROM {table} WHERE {id_col} % {modulus} = 0
+        ),
+        assigned AS (
+            SELECT vid, v, centroid_id, centroid_sim FROM (
+                SELECT e.{id_col} AS vid,
+                       CAST(e.{vec_col} AS DOUBLE[]) AS v,
+                       c.centroid_id,
+                       round({cos}(
+                           CAST(e.{vec_col} AS DOUBLE[]), c.cv), 6)
+                           AS centroid_sim,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY round({cos}(
+                               CAST(e.{vec_col} AS DOUBLE[]), c.cv), 6) DESC,
+                               c.centroid_id ASC) AS _r
+                FROM {table} e, cent c
+            ) WHERE _r = 1
+        ),
+        dup AS (
+            SELECT a.vid AS s, b.vid AS d
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+            WHERE round({cos}(a.v, b.v), 6) >= {threshold}
+        ),
+        edges AS (
+            SELECT s, d FROM dup UNION SELECT d AS s, s AS d FROM dup
+        ),
+        reach(a, b) AS (
+            SELECT vid, vid FROM assigned
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        ),
+        comp AS (SELECT a AS vid, min(b) AS group_id FROM reach GROUP BY a)
+        SELECT a.vid AS vec_id, a.centroid_id, c.group_id, a.centroid_sim,
+               CAST(CASE WHEN row_number() OVER (
+                   PARTITION BY c.group_id
+                   ORDER BY a.centroid_sim ASC, a.vid ASC
+               ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+        FROM assigned a JOIN comp c ON a.vid = c.vid
+    """

@@ -270,3 +270,66 @@ def test_fixed_ivf_full_probe_is_exact(spark, embeddings):
     a = {tuple(r) for r in full.collect()}
     b = {tuple(r) for r in brute.collect()}
     assert a == b
+
+
+def test_semdedup_planted_groups_keep_centroid_outlier(spark):
+    """SemDeDup fixture with known cells and duplicate groups: vectors
+    point in two well-separated directions (two cells, ids 0 and 10
+    are the quantizer centroids at modulus=10); within cell 0 a
+    planted clone pair must form one group whose keep is the member
+    with the LOWER cosine to the centroid (the paper's keep policy),
+    and singletons keep themselves."""
+    from record_linkage_ldu_spark.operators.ann import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # centroid of cell 0
+        (1, [0.99, 0.14, 0.0, 0.0]),    # clone A (closer to centroid)
+        (2, [0.95, 0.31, 0.0, 0.0]),    # clone B (farther -> keeper)
+        (3, [0.6, -0.8, 0.0, 0.0]),     # cell-0 singleton
+        (10, [0.0, 0.0, 1.0, 0.0]),     # centroid of cell 1
+        (11, [0.0, 0.0, 0.97, 0.24]),   # near-clone of 10
+        (12, [0.0, 0.0, 0.2, 0.97]),    # cell-1 singleton (low cos)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        semdedup(df, threshold=0.9, modulus=10)
+        .orderBy("vec_id")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    # every row present; exactly one keep per group
+    assert len(out) == len(rows)
+    per_group = out.groupby("group_id")["keep"].sum()
+    assert (per_group == 1).all()
+    # planted group {1, 2}: cos(1,2) ~= 0.984 >= 0.9, both below the
+    # threshold vs the centroid itself? cos(0,1) ~= 0.99 >= 0.9 too —
+    # so 0,1,2 chain into ONE group; keeper = lowest centroid_sim = 2
+    g = out.loc[[0, 1, 2], "group_id"]
+    assert g.nunique() == 1
+    assert out.loc[2, "keep"] == 1 and out.loc[0, "keep"] == 0
+    # cell-1 pair {10, 11}: keeper is 11 (centroid_sim < 1.0)
+    assert out.loc[11, "keep"] == 1 and out.loc[10, "keep"] == 0
+    # singletons keep themselves, assigned to the right cells
+    assert out.loc[3, "keep"] == 1 and out.loc[12, "keep"] == 1
+    assert out.loc[3, "centroid_id"] == 0
+    assert out.loc[12, "centroid_id"] == 10
+
+
+def test_semdedup_tiered_equals_plain_cell_join(spark, embeddings):
+    """The census/cap/salt tiers are lossless on real data: semdedup
+    with tiny caps (forcing the salt tier) equals the default run
+    row-for-row, and the dropped census is empty below the ceiling."""
+    from record_linkage_ldu_spark.operators.ann import semdedup
+
+    base = semdedup(embeddings, threshold=0.2, modulus=64).toPandas()
+    salted, census = semdedup(
+        embeddings, threshold=0.2, modulus=64,
+        max_bucket_size=8, drop_factor=10**6, with_census=True,
+    )
+    salted = salted.toPandas()
+    assert census.count() == 0
+    key = ["vec_id", "centroid_id", "group_id", "keep"]
+    a = base[key].sort_values("vec_id").reset_index(drop=True)
+    b = salted[key].sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == embeddings.count()
