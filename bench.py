@@ -136,6 +136,7 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("embedding_near_dups", lambda: _force(
         qs["embedding_near_dups"](spark, sf_dir)
     ))
+    timed("semdedup", lambda: _force(qs["semdedup"](spark, sf_dir)))
     timed("text_analysis", lambda: _force(
         qs["lang_id"](spark, sf_dir)
         .join(qs["quality_score"](spark, sf_dir), "doc_id")
