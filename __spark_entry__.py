@@ -562,6 +562,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_near_duplicates(
         _t(s, d, "documents"), threshold=0.3
     )
+    # cross-corpus variant (incremental-ingest op: new crawl vs the
+    # existing corpus) — even ids as the "new" side, odd as the store
+    q["minhash_cross_near_dups"] = lambda s, d: (
+        dedup.minhash_cross_near_duplicates(
+            _t(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            _t(s, d, "documents").where(F.col("doc_id") % 2 == 1),
+            threshold=0.3,
+        )
+    )
     # the pipeline-level dedup DECISION: connected components over the
     # near-dup pairs, canonical per component, keep-flag for filtering
     q["near_dup_keep_list"] = lambda s, d: dedup.near_duplicate_keep_list(
@@ -1328,6 +1337,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     sql["minhash_bands"] = _sql_minhash_bands()
+    sql["minhash_cross_near_dups"] = dedup.sql_minhash_cross_near_duplicates(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        threshold=0.3,
+    )
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
     )

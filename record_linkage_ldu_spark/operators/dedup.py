@@ -402,6 +402,221 @@ def sql_minhash_near_duplicates(
     """
 
 
+def capped_bucket_pairs_cross(
+    keys_left: DataFrame,
+    keys_right: DataFrame,
+    max_bucket_size: int = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-dataset twin of ``capped_bucket_pairs``: (left_id,
+    right_id) pairs within shared buckets, three-tiered on the
+    COMBINED block census (left + right occupancy — a block's join
+    width is |L_b| x |R_b|, and either side can be the skewed one).
+
+    Blocks up to ``max_bucket_size`` pair through the plain equi-join;
+    hot blocks up to ``drop_factor`` times that go through the
+    lossless replicate-left salted join
+    (``salted_candidate_pairs_cross`` — put the smaller corpus on the
+    left); larger blocks are dropped and reported in the returned
+    census.  One pair-dedup shuffle covers multi-key and cross-tier
+    duplicates.  Returns (pairs(doc_id_1=left, doc_id_2=right),
+    dropped_census)."""
+    from .blocking import block_census, salted_candidate_pairs_cross
+
+    census = _pin(
+        block_census(keys_left.unionByName(keys_right)), True
+    )
+    big = census.where(F.col("block_size") > max_bucket_size)
+    hot = census.where(
+        (F.col("block_size") > max_bucket_size)
+        & (F.col("block_size") <= max_bucket_size * drop_factor)
+    )
+    dropped = census.where(
+        F.col("block_size") > max_bucket_size * drop_factor
+    )
+    kept_l = keys_left.join(
+        F.broadcast(big.select("block_key")), "block_key", "left_anti"
+    )
+    kept_r = keys_right.join(
+        F.broadcast(big.select("block_key")), "block_key", "left_anti"
+    )
+    plain = (
+        kept_l.withColumnRenamed("doc_id", "doc_id_1")
+        .join(
+            kept_r.withColumnRenamed("doc_id", "doc_id_2"), "block_key"
+        )
+        .select("doc_id_1", "doc_id_2")
+    )
+    hot_l = keys_left.join(F.broadcast(hot.select("block_key")), "block_key")
+    hot_r = keys_right.join(F.broadcast(hot.select("block_key")), "block_key")
+    salted = salted_candidate_pairs_cross(
+        hot_l, hot_r, salt=salt_buckets, dedup=False
+    )
+    return (
+        plain.unionByName(salted).dropDuplicates(["doc_id_1", "doc_id_2"]),
+        dropped.select("block_key", "block_size"),
+    )
+
+
+def minhash_cross_near_duplicates(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    hash_fn: str = "md5",
+    with_census: bool = False,
+    pin: bool = True,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Cross-corpus MinHash near-dup join — the incremental-ingest op
+    (dedup a new crawl AGAINST the existing corpus): (left_id,
+    right_id, jaccard) for band-colliding pairs with exact shingle
+    Jaccard >= threshold.  Ids may overlap between corpora (sides are
+    kept distinct throughout — no union of id spaces).
+
+    Same scale shape as the self variant: band signatures are built
+    per side (each persists as that corpus's LSH index at production
+    scale), candidates route through the cross census/cap/salt tiers
+    (``capped_bucket_pairs_cross`` — replicate-left salt; pass the
+    smaller/new corpus as ``left``), and only candidates are verified.
+    The verified cross output equals the self-join output filtered to
+    cross pairs (pytest-gated), so recall properties carry over."""
+    bands_l = minhash_signatures(
+        left, text_col, id_col, num_hashes, band_size, shingle_size,
+        hash_fn=hash_fn,
+    )
+    bands_r = minhash_signatures(
+        right, text_col, id_col, num_hashes, band_size, shingle_size,
+        hash_fn=hash_fn,
+    )
+
+    def _keys(bands):
+        return bands.select(
+            "doc_id",
+            F.concat_ws(
+                ":", F.col("band_idx").cast("string"), "band_key"
+            ).alias("block_key"),
+        )
+
+    keys_l = _pin(_keys(bands_l), pin)
+    keys_r = _pin(_keys(bands_r), pin)
+    if max_bucket_size is None:
+        cand = (
+            keys_l.withColumnRenamed("doc_id", "doc_id_1")
+            .join(
+                keys_r.withColumnRenamed("doc_id", "doc_id_2"), "block_key"
+            )
+            .select("doc_id_1", "doc_id_2")
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+        )
+        dropped = left.sparkSession.createDataFrame(
+            [], "block_key string, block_size long"
+        )
+    else:
+        cand, dropped = capped_bucket_pairs_cross(
+            keys_l, keys_r, max_bucket_size, salt_buckets, drop_factor
+        )
+    toks_l = _pin(
+        _shingled(left, text_col, id_col, shingle_size, out_col="toks"), pin
+    )
+    toks_r = _pin(
+        _shingled(right, text_col, id_col, shingle_size, out_col="toks"), pin
+    )
+    out = (
+        cand.join(
+            toks_l.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            toks_r.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jaccard_col(F.col("toks_1"), F.col("toks_2")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return (out, dropped) if with_census else out
+
+
+def sql_minhash_cross_near_duplicates(
+    left_table: str,
+    right_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+) -> str:
+    """DuckDB twin of minhash_cross_near_duplicates (same md5 draws;
+    table args may be parenthesized subqueries)."""
+    toks = sql_shingles(text_col, shingle_size)
+    sig = [
+        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        for s in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join([f"'{b}'"] + sig[b * band_size : (b + 1) * band_size])
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+
+    def _bands(side, table):
+        unions = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key "
+            f"FROM sigs_{side}"
+            for b in range(n_bands)
+        )
+        return (
+            f"sigs_{side} AS (SELECT {id_col} AS doc_id, {band_exprs} "
+            f"FROM {table} AS t_{side}), bands_{side} AS ({unions})"
+        )
+
+    return f"""
+        WITH {_bands("l", left_table)},
+        {_bands("r", right_table)},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM bands_l a JOIN bands_r b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        ),
+        tok_l AS (SELECT {id_col} AS doc_id, {toks} AS toks
+                  FROM {left_table} AS tl),
+        tok_r AS (SELECT {id_col} AS doc_id, {toks} AS toks
+                  FROM {right_table} AS tr)
+        SELECT c.doc_id_1, c.doc_id_2,
+               round(
+                 CASE WHEN len(t1.toks) + len(t2.toks)
+                           - len(list_intersect(t1.toks, t2.toks)) > 0
+                      THEN CAST(len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+                           / (len(t1.toks) + len(t2.toks)
+                              - len(list_intersect(t1.toks, t2.toks)))
+                      ELSE 1.0 END, 6) AS jaccard
+        FROM cand c
+        JOIN tok_l t1 ON c.doc_id_1 = t1.doc_id
+        JOIN tok_r t2 ON c.doc_id_2 = t2.doc_id
+        WHERE jaccard >= {threshold}
+    """
+
+
 def keep_list_from_pairs(
     pairs: DataFrame,
     ids: DataFrame,

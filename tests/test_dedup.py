@@ -270,3 +270,48 @@ def test_simhash_capped_matches_uncapped(spark, sketch_corpus):
         salt_buckets=3,
     )
     assert _pairs_set(plain) == _pairs_set(capped)
+
+
+def test_minhash_cross_equals_self_restricted_to_cross_pairs(spark):
+    """The cross-corpus join is the self join filtered to cross pairs:
+    same bands, same verify — splitting a corpus in two and running
+    the cross variant must find exactly the self variant's
+    opposite-side pairs (as unordered pairs), with no duplicates."""
+    df = _docs(spark, [("alpha", 6), ("beta", 4)], filler=10)
+    left = df.where(F.substring("doc_id", -1, 1).isin("0", "2", "4", "6", "8"))
+    right = df.join(left, "doc_id", "left_anti")
+    self_pairs = dedup.minhash_near_duplicates(df, threshold=0.5)
+    cross = dedup.minhash_cross_near_duplicates(left, right, threshold=0.5)
+    left_ids = {r["doc_id"] for r in left.select("doc_id").collect()}
+    want = {
+        tuple(sorted(p))
+        for p in _pairs_set(self_pairs)
+        if (p[0] in left_ids) != (p[1] in left_ids)
+    }
+    got_rows = cross.collect()
+    got = {tuple(sorted((r["doc_id_1"], r["doc_id_2"]))) for r in got_rows}
+    assert got == want and len(want) > 0
+    # exactly-once emission (no cross-tier/multi-band duplicates)
+    assert len(got_rows) == len(got)
+    # sides are oriented: doc_id_1 always from left, doc_id_2 from right
+    assert all(r["doc_id_1"] in left_ids for r in got_rows)
+    assert all(r["doc_id_2"] not in left_ids for r in got_rows)
+
+
+def test_minhash_cross_salt_tier_is_lossless(spark):
+    """Tiny caps force every shared band through the replicate-left
+    salted cross join; output must equal the untiered plain join
+    row-for-row, and nothing reaches the drop census."""
+    df = _docs(spark, [("gamma", 8)], filler=6)
+    left = df.where(F.substring("doc_id", -1, 1).isin("0", "2", "4", "6", "8"))
+    right = df.join(left, "doc_id", "left_anti")
+    plain = dedup.minhash_cross_near_duplicates(
+        left, right, threshold=0.5, max_bucket_size=None
+    )
+    salted, census = dedup.minhash_cross_near_duplicates(
+        left, right, threshold=0.5,
+        max_bucket_size=2, drop_factor=10**6, with_census=True,
+    )
+    assert census.count() == 0
+    assert _pairs_set(salted) == _pairs_set(plain)
+    assert salted.count() == plain.count()
