@@ -20,6 +20,9 @@ adds the streaming pieces a production deployment bolts on:
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -188,6 +191,120 @@ def sessionize_stream(
     )
 
 
+BATCH_MANIFEST = "_batch_manifest.json"
+_STORE_APPEND_TABLES = ("records", "keys", "edges")
+
+
+def _data_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(os.listdir(path))
+
+
+def _write_batch_manifest(store_dir: str, payload: dict) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = os.path.join(store_dir, BATCH_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, os.path.join(store_dir, BATCH_MANIFEST))
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write-to-temp + atomic rename, the StageStore commit pattern
+    (sources/io.py): a kill mid-write leaves the OLD table intact.  On
+    a real deployment this is an Iceberg snapshot commit; the local
+    parquet layout gets the same all-or-nothing property from the
+    filesystem rename."""
+    import shutil
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+def recover_store(spark, store_dir: str, cfg=None) -> bool:
+    """Roll back a half-committed micro-batch (ADVICE r3: the commit
+    spanned four separate writes, and a crash between the records
+    append and the keys/edges appends left docs permanently
+    unlinkable — present in records, so the idempotent replay anti-join
+    skipped them, but absent from keys/edges).
+
+    The batch commit now writes ``_batch_manifest.json`` (atomic
+    rename) BEFORE touching the store, recording the exact file set of
+    every append table.  If the last manifest is still ``in-progress``
+    here, the previous run died mid-commit: delete every file the dead
+    batch appended (parquet appends only ever ADD uniquely-named part
+    files), then rebuild the two derived overwrite tables — census
+    from the rolled-back keys, clusters from the rolled-back
+    edges/records — so the store is byte-consistent with the last
+    COMPLETE batch.  The replayed batch then re-ingests from scratch.
+    Returns True if a rollback happened."""
+    import shutil
+
+    from ..operators.cc import connected_components
+    from ..plans.linkage import LinkageConfig
+
+    mpath = os.path.join(store_dir, BATCH_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("status") != "in-progress":
+        return False
+
+    pre = manifest.get("pre", {})
+    for name in _STORE_APPEND_TABLES:
+        path = os.path.join(store_dir, name)
+        keep = set(pre.get(name, []))
+        if not os.path.isdir(path):
+            continue
+        if not keep:
+            shutil.rmtree(path)
+            continue
+        for fn in os.listdir(path):
+            if fn not in keep:
+                fp = os.path.join(path, fn)
+                if os.path.isdir(fp):
+                    shutil.rmtree(fp)
+                else:
+                    os.remove(fp)
+
+    cfg = cfg or LinkageConfig()
+    records_path = os.path.join(store_dir, "records")
+    keys_path = os.path.join(store_dir, "keys")
+    edges_path = os.path.join(store_dir, "edges")
+    census_path = os.path.join(store_dir, "census")
+    clusters_path = os.path.join(store_dir, "clusters")
+    if os.path.isdir(keys_path):
+        census = (
+            spark.read.parquet(keys_path)
+            .groupBy("block_key")
+            .agg(F.count("*").alias("block_size"))
+        )
+        _atomic_overwrite(census, census_path)
+    else:
+        shutil.rmtree(census_path, ignore_errors=True)
+    if os.path.isdir(records_path):
+        records = spark.read.parquet(records_path)
+        if os.path.isdir(edges_path):
+            edges = spark.read.parquet(edges_path)
+        else:
+            edges = spark.createDataFrame(
+                [], "doc_id_1 string, doc_id_2 string"
+            )
+        clusters = connected_components(
+            edges, vertices=records.select("doc_id"), method=cfg.cc_method
+        )
+        _atomic_overwrite(clusters, clusters_path)
+    else:
+        shutil.rmtree(clusters_path, ignore_errors=True)
+    manifest["status"] = "rolled-back"
+    _write_batch_manifest(store_dir, manifest)
+    return True
+
+
 def incremental_linkage_batch(
     spark,
     new_documents: DataFrame,
@@ -222,12 +339,35 @@ def incremental_linkage_batch(
          components re-runs over the accumulated edge set (labels are
          min-doc_id, so labels of untouched components are stable);
       5. ``<store>/clusters`` is overwritten (the only non-append
-         store — cluster labels are global).
+         store besides census — cluster labels are global).
+
+    The whole store mutation is ONE atomic batch commit: an
+    ``in-progress`` manifest (recording the pre-batch file set of every
+    append table) is renamed into place first, the appends and the
+    temp-dir+rename overwrites follow, and the manifest flips to
+    ``complete`` last.  A crash anywhere in between is rolled back by
+    ``recover_store`` on the next run, which also rebuilds census and
+    clusters from the rolled-back base tables — so a doc can never be
+    present in ``records`` without its keys/edges (the silent-loss
+    failure ADVICE r3 flagged).
+
+    Tier-drift semantics (documented, deliberate): block tier
+    decisions are made against the census AS OF EACH BATCH.  Edges
+    generated while a block was under the drop ceiling persist in
+    ``<store>/edges`` even if the block later grows past the ceiling,
+    whereas a fresh batch run over the same accumulated corpus drops
+    the whole block — on drop-tier corpora the incremental path keeps
+    strictly MORE recall than the batch path (never less).  Pipelines
+    that need to detect ceiling crossings read ``dropped_blocks`` /
+    ``dropped_block_keys`` in the returned stats (the analogue of
+    generate_candidates' dropped_census reporting) and can trigger a
+    batch rebuild when it goes nonzero.
 
     Returns counters: docs in store, new docs, pairs scored this
     batch, ``candidate_key_rows`` (key rows entering the pair join —
     the per-batch work bound: new keys + stored keys of touched
-    blocks, ~flat as the store grows), total edges, clusters.
+    blocks, ~flat as the store grows), total edges, clusters, and the
+    drop-tier census (``dropped_blocks``, ``dropped_block_keys``).
 
     At cluster scale the keys table would be written bucketed by
     block_key (sources/io.py write_bucketed pattern) so the
@@ -235,8 +375,6 @@ def incremental_linkage_batch(
     the parquet layout here keeps the same join shape minus that
     exchange.
     """
-    import os
-
     from ..config import SELF_COMPARE_FIELDS
     from ..operators import rules
     from ..operators.blocking import (
@@ -256,6 +394,8 @@ def incremental_linkage_batch(
 
     cfg = cfg or LinkageConfig()
     bc = cfg.blocking
+    # roll back any half-committed batch before reading the store
+    recover_store(spark, store_dir, cfg=cfg)
     records_path = os.path.join(store_dir, "records")
     keys_path = os.path.join(store_dir, "keys")
     census_path = os.path.join(store_dir, "census")
@@ -321,9 +461,9 @@ def incremental_linkage_batch(
             F.broadcast(touched), "block_key", "left_semi"
         )
     else:
-        store_keys = spark.createDataFrame(
-            [], "doc_id string, block_key string"
-        )
+        # empty frame from new_keys' OWN schema: a hardcoded DDL string
+        # diverges from later batches when doc ids are non-string
+        store_keys = spark.createDataFrame([], new_keys.schema)
     all_keys = new_keys.unionByName(store_keys).localCheckpoint(eager=True)
     n_key_rows = all_keys.count()
 
@@ -400,24 +540,51 @@ def incremental_linkage_batch(
     clusters = connected_components(
         edges, vertices=all_records.select("doc_id"), method=cfg.cc_method
     )
-    # clusters first: its job scans the OLD records/edges files, which
-    # must still be intact (the appends below add files to the same
-    # directories)
-    clusters.write.mode("overwrite").parquet(clusters_path)
 
     n_new = new_records.count()
+    n_dropped = dropped.count()
     if n_new > 0 or not have_store:
+        # atomic batch commit: manifest(in-progress, pre-batch file
+        # sets) -> clusters overwrite (computed BEFORE the appends so
+        # its scan sees the old files) -> appends -> census overwrite
+        # -> manifest(complete).  recover_store rolls back anything
+        # short of complete.
+        _write_batch_manifest(
+            store_dir,
+            {
+                "status": "in-progress",
+                "new_docs": n_new,
+                "pre": {
+                    t: _data_files(os.path.join(store_dir, t))
+                    for t in _STORE_APPEND_TABLES
+                },
+            },
+        )
+        _atomic_overwrite(clusters, clusters_path)
         new_records.write.mode("append").parquet(records_path)
         new_keys.write.mode("append").parquet(keys_path)
         new_edges.write.mode("append").parquet(edges_path)
-        census.write.mode("overwrite").parquet(census_path)
+        _atomic_overwrite(census, census_path)
+        _write_batch_manifest(
+            store_dir, {"status": "complete", "new_docs": n_new}
+        )
     return {
         "docs": spark.read.parquet(records_path).count(),
         "new_docs": n_new,
         "pairs_scored": n_scored,
         "candidate_key_rows": n_key_rows,
         "edges": spark.read.parquet(edges_path).count(),
-        "clusters": clusters.select("cluster_id").distinct().count(),
+        "clusters": spark.read.parquet(clusters_path)
+        .select("cluster_id")
+        .distinct()
+        .count(),
+        "dropped_blocks": n_dropped,
+        # bounded sample of the dropped census (the count above is the
+        # signal; the keys are for triage)
+        "dropped_block_keys": [
+            r["block_key"]
+            for r in dropped.select("block_key").limit(100).collect()
+        ],
     }
 
 

@@ -397,3 +397,62 @@ def test_windowed_events_watermark_drops_late_data(spark, tmp_path):
     assert (10, 2) in got
     assert (10, 3) not in got
     assert (11, 1) in got
+
+
+def test_crash_mid_commit_rolls_back_and_replays(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a crash between the records append and the
+    keys/edges appends used to leave docs permanently unlinkable.  The
+    batch commit is now manifest-gated: kill the commit right after
+    the records append (before keys/edges), replay the batch, and the
+    final store must equal a clean run — recover_store rolls the
+    half-committed files back so the replay re-ingests everything."""
+    import pyspark.sql.readwriter as rw
+
+    from record_linkage_ldu_spark.streaming import incremental as inc
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    batch1 = docs.where(F.substring("doc_id", 1, 1) != "c")
+    batch2 = docs.where(F.substring("doc_id", 1, 1) == "c")
+    store = str(tmp_path / "store")
+
+    incremental_linkage_batch(spark, batch1, store)
+    records_files_before = set(
+        __import__("os").listdir(f"{store}/records")
+    )
+
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def crashing_parquet(self, path, *a, **kw):
+        if path.rstrip("/").endswith("/keys") and self._df.sparkSession is spark:
+            raise RuntimeError("simulated crash between records and keys append")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", crashing_parquet)
+    try:
+        incremental_linkage_batch(spark, batch2, store)
+        raised = False
+    except RuntimeError:
+        raised = True
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", real_parquet)
+    assert raised
+    # the crash happened AFTER the records append: batch-2 part files
+    # are sitting in records with no matching keys/edges
+    import os as _os
+
+    assert set(_os.listdir(f"{store}/records")) != records_files_before
+    manifest = __import__("json").load(open(f"{store}/{inc.BATCH_MANIFEST}"))
+    assert manifest["status"] == "in-progress"
+
+    # replay: recover_store (called at batch entry) rolls back, then
+    # the batch re-ingests from scratch
+    s2 = incremental_linkage_batch(spark, batch2, store)
+    assert s2["new_docs"] == batch2.count()
+
+    full = LinkagePipeline(spark, LinkageConfig()).run(docs)
+    got = _cluster_set(spark.read.parquet(f"{store}/clusters"))
+    assert got == _cluster_set(full.clusters)
+    # every stored record has its block keys (no silent-loss docs):
+    # the records and keys tables agree on the ingested doc set
+    recs = spark.read.parquet(f"{store}/records").select("doc_id")
+    keyed = spark.read.parquet(f"{store}/keys").select("doc_id").distinct()
+    assert recs.join(keyed, "doc_id", "left_anti").count() == 0
