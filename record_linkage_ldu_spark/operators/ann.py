@@ -417,10 +417,19 @@ def fixed_ivf_index(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # centroid_id stays long: ids >= 2^31 would silently overflow or
+    # collide under an int cast
     centroids = base.where(F.col("vid") % modulus == 0).select(
-        F.col("vid").cast("int").alias("centroid_id"),
+        F.col("vid").cast("long").alias("centroid_id"),
         F.col("v").alias("cv"),
     )
+    if centroids.limit(1).count() == 0:
+        raise ValueError(
+            "fixed_ivf_index: no corpus id is divisible by "
+            f"modulus={modulus}; ivf_topk/semdedup over an empty "
+            "centroid set would silently return no rows — pick a "
+            "modulus that selects at least one centroid"
+        )
     w = Window.partitionBy("vid").orderBy(
         F.col("_cs").desc(), F.col("centroid_id").asc()
     )
@@ -452,7 +461,7 @@ def sql_ivf_probe_topk(
     cos = "list_cosine_similarity"
     return f"""
         WITH cent AS (
-            SELECT CAST({id_col} AS INT) AS centroid_id,
+            SELECT CAST({id_col} AS BIGINT) AS centroid_id,
                    CAST({vec_col} AS DOUBLE[]) AS cv
             FROM {table} WHERE {id_col} % {modulus} = 0
         ),
@@ -840,7 +849,7 @@ def sql_semdedup(
     cos = "list_cosine_similarity"
     return f"""
         WITH RECURSIVE cent AS (
-            SELECT CAST({id_col} AS INT) AS centroid_id,
+            SELECT CAST({id_col} AS BIGINT) AS centroid_id,
                    CAST({vec_col} AS DOUBLE[]) AS cv
             FROM {table} WHERE {id_col} % {modulus} = 0
         ),

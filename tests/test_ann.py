@@ -333,3 +333,30 @@ def test_semdedup_tiered_equals_plain_cell_join(spark, embeddings):
     b = salted[key].sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
     assert len(a) == embeddings.count()
+
+
+def test_fixed_ivf_empty_centroids_raises(spark):
+    """ADVICE r3: an empty centroid set made ivf_topk/semdedup return
+    empty output with no error; it must raise instead."""
+    import pytest as _pytest
+
+    from record_linkage_ldu_spark.operators.ann import fixed_ivf_index
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (3, [0.3, 0.4])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no corpus id is divisible"):
+        fixed_ivf_index(df, modulus=2)
+
+
+def test_fixed_ivf_centroid_id_is_long(spark, embeddings):
+    """centroid_id stays long: ids >= 2^31 must not overflow/collide."""
+    from record_linkage_ldu_spark.operators.ann import fixed_ivf_index
+
+    big = embeddings.select(
+        (F.col("vec_id") + F.lit(2**32)).alias("vec_id"), "embedding"
+    )
+    centroids, assigned = fixed_ivf_index(big, modulus=64)
+    assert dict(centroids.dtypes)["centroid_id"] == "bigint"
+    ids = [r["centroid_id"] for r in centroids.collect()]
+    assert ids and all(i >= 2**32 for i in ids)
