@@ -4,10 +4,16 @@ metadata, decode/feature steps as Arrow-batched mapInPandas.
 The interleaved documents carry media spans (kind='media',
 media_ref=URI).  A 100TB pipeline treats payloads as opaque
 ``binary`` columns with a typed metadata struct; decode / resize /
-frame-sample are per-batch Pandas functions.  The image/audio codec
-libraries are NOT in this container (environment constraint), so the
-decode kernel is a clearly-marked deterministic stub — the Spark-side
-contract (schema, batch shape, partitioning) is real and tested.
+frame-sample are per-batch Pandas functions.
+
+Decode is REAL for image payloads (round 4): PIL when importable,
+else the stdlib-only codec in ``functions/media_codec.py`` (header
+probe for PNG/GIF/BMP/JPEG; full pixel decode + nearest resample +
+re-encode for baseline PNG via ``zlib``).  Non-image payloads — the
+synthetic ref-bytes this repo's testdata carries — keep the
+md5-derived deterministic stub of rounds 1-3, byte-identical, which
+is the path the DuckDB oracle twins; the real path is pytest-gated on
+generated PNG fixtures (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -56,20 +62,52 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _real_feature(decoded, feature_dim: int) -> list[float]:
+    """Deterministic pixel-statistics feature from a decoded image:
+    per-channel means and stds (grayscale replicated across the RGB
+    slots), aspect ratio, and alpha coverage — the classic cheap
+    embedding a dedup/quality pipeline derives before a learned one
+    exists.  All components are in [0, 1]."""
+    import numpy as np
+
+    w, h, ch, px = decoded
+    a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, ch)
+    has_alpha = ch in (2, 4)
+    color = a[:, :-1] if has_alpha else a
+    if color.shape[1] == 1:
+        color = np.repeat(color, 3, axis=1)
+    means = color.mean(axis=0) / 255.0
+    stds = color.std(axis=0) / 255.0
+    alpha = float(a[:, -1].mean()) / 255.0 if has_alpha else 1.0
+    vec = [
+        float(means[0]), float(means[1]), float(means[2]),
+        float(stds[0]), float(stds[1]), float(stds[2]),
+        float(w) / float(w + h),
+        alpha,
+    ]
+    return (vec + [0.0] * feature_dim)[:feature_dim]
+
+
 def extract_media_features(
     media: DataFrame, feature_dim: int = 8, batch_hint: int = 1024
 ) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
-    Real deployments swap ``_decode_batch`` for an image/audio decoder
-    (PIL/torchvision/ffmpeg); this container has none, so the decode
-    step is a STUB producing a deterministic md5-derived feature — the
-    distributed plumbing (mapInPandas, schema, batch shape) is the part
-    under test.
+    Decode is REAL where the payload is a decodable image: PIL when
+    importable, else the stdlib PNG decoder
+    (functions/media_codec.try_decode) — the feature is then actual
+    pixel statistics (_real_feature).  Payloads that are not decodable
+    images (this repo's synthetic ref-bytes payloads, or formats with
+    header-only support) keep the md5-derived STUB feature, byte-
+    identical to rounds 1-3, which is the path the DuckDB oracle
+    twins — so the hash gate still holds while real images get real
+    features (pytest-gated on generated PNG fixtures).
     """
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from ..functions.media_codec import try_decode
 
         for pdf in batches:
             feats = []
@@ -79,9 +117,14 @@ def extract_media_features(
                     feats.append(None)
                     ok.append(False)
                     continue
-                # STUB decode: deterministic pseudo-feature from bytes.
-                # Replace with a real decoder where codecs exist; raise
-                # NotImplementedError for types a deployment refuses.
+                decoded = try_decode(bytes(payload))
+                if decoded is not None:
+                    feats.append(_real_feature(decoded, feature_dim))
+                    ok.append(True)
+                    continue
+                # STUB fallback: deterministic pseudo-feature from the
+                # bytes (non-image payloads / formats without a pixel
+                # decoder here).
                 digest = hashlib.md5(bytes(payload)).digest()
                 feats.append(
                     [
@@ -111,41 +154,71 @@ FRAME_SCHEMA = (
 
 
 def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Aspect-preserving resize plan over the media table
-    (mapInPandas; the Arrow batch is where a real deployment calls
-    PIL/libvips).  Source dimensions come from the decoder — stubbed
-    here as md5-derived 64..1084px sides (no codecs in this
-    container); the TARGET-dimension arithmetic (scale to the longer
-    side, floor, min 1px) is the real, tested logic.  Rows whose
-    payload is null pass through with null dims (decode failure —
-    downstream filters on them)."""
+    """Aspect-preserving resize over the media table (mapInPandas —
+    the Arrow batch is where a production deployment calls
+    PIL/libvips).
+
+    Three tiers, chosen per row by what the payload actually is:
+      * decodable image (PIL, or stdlib-PNG via media_codec): REAL
+        source dims, REAL nearest-neighbor resample, payload replaced
+        with the re-encoded PNG bytes;
+      * recognizable image header without a pixel decoder here
+        (JPEG/GIF/BMP when PIL is absent): REAL dims from the header,
+        target arithmetic applied, payload passed through;
+      * anything else (this repo's synthetic ref-bytes payloads): the
+        md5-derived stub dims of rounds 1-3 — byte-identical, which is
+        the path the DuckDB oracle twins.
+    Rows whose payload is null pass through with null dims (decode
+    failure — downstream filters on them)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from ..functions.media_codec import (
+            encode_png,
+            probe_image,
+            resize_nearest,
+            try_decode,
+        )
+
+        def target(w: int, h: int) -> tuple[int, int]:
+            if max(w, h) <= max_side:
+                return w, h
+            # expression ORDER matters for oracle parity: w*max_side
+            # (exact in double) then /longest — same double ops as the
+            # SQL twin's floor(w * 256.0 / m), so the floor can't flip
+            # on a last-ulp difference
+            m = max(w, h)
+            return max(1, int(w * max_side / m)), max(1, int(h * max_side / m))
+
         for pdf in batches:
-            w_in, h_in, w_out, h_out = [], [], [], []
+            w_in, h_in, w_out, h_out, payloads = [], [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     w_in.append(None)
                     h_in.append(None)
                     w_out.append(None)
                     h_out.append(None)
+                    payloads.append(None)
                     continue
-                d = hashlib.md5(bytes(payload)).digest()
-                # STUB decode dims; replace with the codec's size read
-                w, h = 64 + d[2] * 4, 64 + d[3] * 4
-                if max(w, h) <= max_side:
-                    tw, th = w, h
+                raw = bytes(payload)
+                decoded = try_decode(raw)
+                if decoded is not None:
+                    w, h, ch, px = decoded
+                    tw, th = target(w, h)
+                    if (tw, th) != (w, h):
+                        px = resize_nearest(w, h, ch, px, tw, th)
+                    payloads.append(encode_png(tw, th, ch, bytes(px)))
                 else:
-                    # expression ORDER matters for oracle parity:
-                    # w*max_side (exact in double) then /longest —
-                    # same double ops as the SQL twin's
-                    # floor(w * 256.0 / m), so the floor can't flip
-                    # on a last-ulp difference
-                    m = max(w, h)
-                    tw = max(1, int(w * max_side / m))
-                    th = max(1, int(h * max_side / m))
+                    probed = probe_image(raw)
+                    if probed is not None:
+                        _, w, h = probed
+                    else:
+                        d = hashlib.md5(raw).digest()
+                        # STUB dims (non-image payload)
+                        w, h = 64 + d[2] * 4, 64 + d[3] * 4
+                    tw, th = target(w, h)
+                    payloads.append(raw)
                 w_in.append(w)
                 h_in.append(h)
                 w_out.append(tw)
@@ -155,8 +228,7 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
             out["height"] = pd.array(h_in, dtype="Int64")
             out["out_width"] = pd.array(w_out, dtype="Int64")
             out["out_height"] = pd.array(h_out, dtype="Int64")
-            # STUB: a real kernel writes the re-encoded bytes here
-            out["payload"] = pdf["payload"]
+            out["payload"] = payloads
             yield out
 
     return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
@@ -223,15 +295,30 @@ def media_dedup(media: DataFrame) -> DataFrame:
     carries only (hash, canonical).  At 100TB the hash is computed
     where the bytes already are (scan-side projection), so full
     payloads never shuffle — only (id, ref, 32-byte hash).
+
+    NULL payloads (a fetch that failed, a ref with no stored object)
+    stay in the output as their OWN one-row family: ``content_hash``
+    NULL, ``n_copies=1``, ``keep=1`` — two missing payloads are NOT
+    the same content, and dropping the rows (what a bare inner join on
+    the NULL hash would do) breaks the one-row-per-input contract the
+    exact_duplicates family guarantees.
     """
     base = media.select(
         "doc_id", "media_ref", F.md5("payload").alias("content_hash")
     )
-    canon = base.groupBy("content_hash").agg(
+    hashed = base.where(F.col("content_hash").isNotNull())
+    nulls = base.where(F.col("content_hash").isNull()).select(
+        "doc_id",
+        "media_ref",
+        "content_hash",
+        F.lit(1).cast("long").alias("n_copies"),
+        F.lit(1).cast("int").alias("keep"),
+    )
+    canon = hashed.groupBy("content_hash").agg(
         F.min(F.struct("doc_id", "media_ref")).alias("_c"),
         F.count("*").cast("long").alias("n_copies"),
     )
-    return base.join(canon, "content_hash").select(
+    deduped = hashed.join(canon, "content_hash").select(
         "doc_id",
         "media_ref",
         "content_hash",
@@ -243,3 +330,4 @@ def media_dedup(media: DataFrame) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+    return deduped.unionByName(nulls)

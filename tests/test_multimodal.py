@@ -130,3 +130,160 @@ def test_media_dedup_collapses_equal_payloads(spark):
     # hashes partition the set: equal payloads share one hash
     assert out.loc["a1", "content_hash"] == out.loc["b1", "content_hash"]
     assert out.loc["a1", "content_hash"] != out.loc["d1", "content_hash"]
+
+
+def test_media_dedup_null_payload_passes_through(spark):
+    """NULL payloads must stay in the output as their own one-row
+    family (keep=1, n_copies=1, NULL hash) — md5(NULL) is NULL and a
+    bare inner join on the hash would silently drop the rows."""
+    from record_linkage_ldu_spark.operators.multimodal import media_dedup
+
+    rows = [
+        ("a1", "img://a1", b"SAME"),
+        ("b1", "img://b1", b"SAME"),
+        ("n1", "img://n1", None),
+        ("n2", "img://n2", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    out = media_dedup(df).toPandas().set_index("doc_id")
+    assert len(out) == 4  # one row per input, nulls included
+    for n in ("n1", "n2"):
+        assert out.loc[n, "keep"] == 1
+        assert out.loc[n, "n_copies"] == 1
+        assert out.loc[n, "content_hash"] is None or (
+            out.loc[n, "content_hash"] != out.loc[n, "content_hash"]
+        )
+    assert out.loc["a1", "keep"] == 1 and out.loc["b1", "keep"] == 0
+
+
+# ---------------------------------------------------------------------
+# round 4: REAL decode path (stdlib PNG codec; PIL when importable)
+# ---------------------------------------------------------------------
+
+
+def _make_png(w, h, ch=3):
+    """Deterministic test image: pixel (x, y) channel c =
+    (x * 7 + y * 13 + c * 29) % 256."""
+    from record_linkage_ldu_spark.functions.media_codec import encode_png
+
+    px = bytearray(w * h * ch)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            for c in range(ch):
+                px[i] = (x * 7 + y * 13 + c * 29) % 256
+                i += 1
+    return encode_png(w, h, ch, bytes(px)), bytes(px)
+
+
+def test_png_codec_roundtrip_and_probe():
+    from record_linkage_ldu_spark.functions.media_codec import (
+        decode_png,
+        probe_image,
+    )
+
+    data, px = _make_png(20, 11)
+    assert probe_image(data) == ("png", 20, 11)
+    w, h, ch, out = decode_png(data)
+    assert (w, h, ch) == (20, 11, 3)
+    assert bytes(out) == px
+    # non-image bytes probe as None
+    assert probe_image(b"img://a0000000011") is None
+    # GIF / BMP / JPEG headers probe dims without a pixel decoder
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 33, 44) + b"\x00" * 20
+    assert probe_image(gif) == ("gif", 33, 44)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 55, 66) + b"\x00" * 20
+    assert probe_image(bmp) == ("bmp", 55, 66)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"      # APP0
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 77, 99)                       # h=77, w=99
+        + b"\x03" + b"\x00" * 20
+    )
+    assert probe_image(jpeg) == ("jpeg", 99, 77)
+
+
+def test_media_features_real_pixels(spark):
+    """A real PNG payload must yield pixel-statistics features (channel
+    means/stds), not the md5 stub."""
+    data, px = _make_png(16, 8)
+    df = spark.createDataFrame(
+        [("d0", "img://real", "image", bytearray(data), None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert row["decode_ok"]
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+    want_means = a.mean(axis=0) / 255.0
+    got = row["feature"]
+    for i in range(3):
+        assert abs(got[i] - want_means[i]) < 1e-6
+    # array<float> carries float32: compare with tolerance
+    assert abs(got[6] - 16.0 / 24.0) < 1e-6  # aspect w/(w+h)
+
+
+def test_media_resize_real_pixels_roundtrip(spark):
+    """A big real PNG is actually resampled: output payload is a valid
+    PNG at the target dims whose pixels equal a reference
+    nearest-neighbor resample."""
+    from record_linkage_ldu_spark.functions.media_codec import (
+        decode_png,
+        resize_nearest,
+    )
+
+    data, px = _make_png(512, 256)
+    df = spark.createDataFrame(
+        [("d0", "img://big", "image", bytearray(data), None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = resize_media(df, max_side=256).collect()[0]
+    assert (row["width"], row["height"]) == (512, 256)
+    assert (row["out_width"], row["out_height"]) == (256, 128)
+    w, h, ch, out_px = decode_png(bytes(row["payload"]))
+    assert (w, h, ch) == (256, 128, 3)
+    assert bytes(out_px) == bytes(resize_nearest(512, 256, 3, px, 256, 128))
+
+
+def test_media_resize_header_only_dims(spark):
+    """A GIF payload (no pixel decoder without PIL): REAL header dims,
+    target arithmetic applied, payload passed through unchanged."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 640, 120) + b"\x00" * 30
+    df = spark.createDataFrame(
+        [("d0", "img://gif", "image", bytearray(gif), None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = resize_media(df, max_side=256).collect()[0]
+    assert (row["width"], row["height"]) == (640, 120)
+    assert (row["out_width"], row["out_height"]) == (256, 48)
+    assert bytes(row["payload"]) == gif
+
+
+def test_media_stub_path_unchanged(spark):
+    """Non-image payloads keep the md5 stub behavior byte-identically
+    (the DuckDB oracle twins this path)."""
+    import hashlib
+
+    payload = b"img://a0000000042"
+    d = hashlib.md5(payload).digest()
+    df = spark.createDataFrame(
+        [("d0", "img://a0000000042", "image", bytearray(payload),
+          None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = resize_media(df).collect()[0]
+    assert (row["width"], row["height"]) == (64 + d[2] * 4, 64 + d[3] * 4)
+    frow = extract_media_features(df).collect()[0]
+    assert abs(frow["feature"][0] - float(d[0]) / 255.0) < 1e-6
