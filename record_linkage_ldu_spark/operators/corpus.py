@@ -566,6 +566,150 @@ def sql_hashed_bow_score(
     """
 
 
+def bow_score_weighted(
+    df: DataFrame,
+    weights: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int | None = None,
+) -> DataFrame:
+    """LEARNED-weights quality scorer — the swap-in ``hashed_bow_score``
+    promises: the hash stand-in's ``md5(token) -> weight`` is replaced
+    by an explicit vocabulary lookup, with the IDENTICAL row-local
+    plan shape (one projection, one integer fold; no shuffle, no join,
+    no UDF — pinned by tests/test_corpus.py's no-Exchange assert).
+
+    ``weights`` is a driver-side token->int map injected as a map
+    literal; OOV tokens weigh 0.  A trained linear filter's vocab is
+    bounded (fastText-style quality models carry ~10^5-10^6 token
+    weights ≈ a few MB) so the literal — like any broadcast — ships
+    once per executor; for vocabularies beyond literal-friendly size
+    use ``bow_score_weighted_join`` (explode + broadcast hash join),
+    which trades the row-local fold for one aggregation shuffle.
+
+    ``score`` = logit / (n_tokens * scale) with ``scale`` defaulting
+    to max |weight| — same normalization contract as
+    ``hashed_bow_score``.
+    """
+    if not weights:
+        raise ValueError("bow_score_weighted: empty weights map")
+    scale = scale or max(abs(int(w)) for w in weights.values()) or 1
+    ks = sorted(weights)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in ks]),
+        F.array(*[F.lit(int(weights[k])).cast("long") for k in ks]),
+    )
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    logit = F.aggregate(
+        F.transform(
+            F.col("_t"),
+            lambda t: F.coalesce(
+                F.try_element_at(wmap, t), F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("_t").cast("long")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        logit.alias("bow_logit"),
+        F.round(
+            F.when(n > 0, logit / (n * float(scale))).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bow_score"),
+    )
+
+
+def bow_score_weighted_join(
+    df: DataFrame,
+    weights_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1,
+) -> DataFrame:
+    """Large-vocab sibling of ``bow_score_weighted``: ``weights_df``
+    (token string, weight long) is a TABLE, broadcast-joined against
+    the exploded token attribute, then re-aggregated per doc.  One
+    broadcast hash join + one groupBy shuffle; use when the vocabulary
+    outgrows a map literal.  Equality to the map-literal form is
+    pinned by tests/test_corpus.py."""
+    base = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    flat = base.select(
+        "doc_id", F.size("_t").cast("long").alias("n_tokens"),
+        F.explode_outer("_t").alias("tok"),
+    )
+    joined = flat.join(
+        F.broadcast(weights_df.select(F.col("token").alias("tok"), "weight")),
+        "tok",
+        "left",
+    )
+    sums = joined.groupBy("doc_id", "n_tokens").agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("bow_logit")
+    )
+    n = F.col("n_tokens")
+    return sums.select(
+        "doc_id",
+        "n_tokens",
+        "bow_logit",
+        F.round(
+            F.when(n > 0, F.col("bow_logit") / (n * float(scale))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("bow_score"),
+    )
+
+
+def sql_bow_score_weighted(
+    table: str,
+    weights: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int | None = None,
+) -> str:
+    """DuckDB twin of ``bow_score_weighted`` (unnest + CASE lookup +
+    integer SUM — same no-lambda-nesting workaround as
+    ``sql_hashed_bow_score``)."""
+    scale = scale or max(abs(int(w)) for w in weights.values()) or 1
+    case = (
+        "CASE tok "
+        + " ".join(
+            f"WHEN '{k}' THEN {int(weights[k])}" for k in sorted(weights)
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   {sql_tokens(f"coalesce({text_col}, '')")} AS t
+            FROM {table}
+        ),
+        flat AS (
+            SELECT doc_id, unnest(t) AS tok FROM base
+        ),
+        sums AS (
+            SELECT doc_id, SUM(CAST({case} AS BIGINT)) AS logit
+            FROM flat GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.logit, 0) AS BIGINT) AS bow_logit,
+               round(CASE WHEN len(b.t) > 0
+                     THEN CAST(coalesce(s.logit, 0) AS DOUBLE)
+                          / (len(b.t) * {float(scale)})
+                     ELSE 0.0 END, 6) AS bow_score
+        FROM base b LEFT JOIN sums s USING (doc_id)
+    """
+
+
 # ------------------------------------------------------------------
 # Deterministic stratified sampling
 # ------------------------------------------------------------------

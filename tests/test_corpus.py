@@ -477,3 +477,71 @@ def test_corpus_shuffle_global_is_true_rank(spark):
         .toPandas()
     )
     assert list(out["doc_id"]) == list(truth["doc_id"])
+
+
+# ---------------------------------------------------------------------
+# round 4: learned-weights BoW (the hashed_bow_score swap-in hook)
+# ---------------------------------------------------------------------
+
+
+def test_bow_weighted_map_plan_has_no_exchange(spark):
+    """The map-literal learned-weights scorer must keep the hash
+    stand-in's row-local plan: no shuffle, no join."""
+    from record_linkage_ldu_spark.operators.corpus import bow_score_weighted
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dogs bark"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = bow_score_weighted(docs, {"the": 3, "cat": -2, "mat": 5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bow_weighted_scores_and_oov(spark):
+    from record_linkage_ldu_spark.operators.corpus import bow_score_weighted
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bow_score_weighted(
+            docs, {"the": 3, "cat": -2, "mat": 5}
+        ).collect()
+    }
+    # the(3)+cat(-2)+sat(0)+on(0)+the(3)+mat(5) = 9 over 6 tokens, scale 5
+    assert rows[1]["bow_logit"] == 9
+    assert rows[1]["n_tokens"] == 6
+    assert abs(rows[1]["bow_score"] - 9 / (6 * 5.0)) < 1e-9
+    assert rows[2]["bow_logit"] == 0  # all OOV
+    assert rows[3]["bow_logit"] == 0 and rows[3]["bow_score"] == 0.0
+
+
+def test_bow_weighted_join_equals_map_literal(spark):
+    """The large-vocab broadcast-join sibling must produce the same
+    table as the map-literal form."""
+    from record_linkage_ldu_spark.operators.corpus import (
+        bow_score_weighted,
+        bow_score_weighted_join,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"the": 3, "of": -1, "and": 2, "a": -4, "in": 7}
+    scale = max(abs(w) for w in weights.values())
+    wdf = spark.createDataFrame(
+        list(weights.items()), "token string, weight long"
+    )
+    a = bow_score_weighted(docs, weights).collect()
+    b = bow_score_weighted_join(docs, wdf, scale=scale).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    # and the join side really broadcasts
+    plan = (
+        bow_score_weighted_join(docs, wdf, scale=scale)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
