@@ -93,7 +93,51 @@ _PAIR_FIELDS = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tune(spark: SparkSession) -> None:
+    """Size shuffle width to the session's parallelism once.  The
+    correctness sweep runs 70+ small-SF queries in one session; a
+    200-partition default (Spark's) would pay ~6x the task-scheduling
+    overhead per stage for zero extra parallelism.  No-op when the
+    session is already sized (our own build_session) — and harmless at
+    scale, where 2x-cores is the floor AQE coalesces down to anyway."""
+    try:
+        n = spark.sparkContext.defaultParallelism
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if cur > 4 * n:
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * n, 8)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    except Exception:
+        pass  # conf may be immutable on some deployments — fine
+
+
+# ----------------------------------------------------------------------
+# per-(session, sf_dir) memo of the shared linkage-chain stages
+# ----------------------------------------------------------------------
+# The driver's correctness sweep runs EVERY queries() entry in one
+# session over one sf_dir, and ~25 entries consume the same chain
+# (synth docs -> records_view -> capped keys -> pairs -> scores ->
+# matches -> clusters -> labels).  Each stage is persisted on first
+# use and reused — identical plans and values, computed once instead
+# of once per entry (round-3 verdict: the sweep outran the driver's
+# budget and 20 entries were never recorded).
+
+_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (id(spark), sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = build().persist()
+        _MEMO[k] = df
+    return df
 
 
 # ======================================================================
@@ -102,13 +146,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from record_linkage_ldu_spark.operators.dedup import ensure_width
+    def build():
+        from record_linkage_ldu_spark.operators.dedup import ensure_width
 
-    # customer.parquet is one split; without widening, the broadcast
-    # joins downstream run their quadratic probe work in 1-2 tasks.
-    docs = synth_documents(ensure_width(_t(spark, sf_dir, "customer")))
-    rec = records_view(docs)
-    return rec.withColumnRenamed("grp", "group") if "grp" in rec.columns else rec
+        # customer.parquet is one split; without widening, the
+        # broadcast joins downstream run their quadratic probe work in
+        # 1-2 tasks.
+        docs = synth_documents(ensure_width(_t(spark, sf_dir, "customer")))
+        rec = records_view(docs)
+        return (
+            rec.withColumnRenamed("grp", "group")
+            if "grp" in rec.columns
+            else rec
+        )
+
+    return _memo(spark, sf_dir, "records", build)
 
 
 # pinned: the oracle SQL hardcodes substr(..,1,6) and no soundex —
@@ -116,18 +168,31 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLK = BlockingConfig(use_soundex=False, sn_prefix=6, max_block_size=MAX_BLOCK)
 
 
-def _capped_keys(records: DataFrame) -> DataFrame:
-    kept, _ = cap_blocks(block_keys(records, _BLK), _BLK)
-    return kept
+def _capped_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        kept, _ = cap_blocks(
+            block_keys(_records(spark, sf_dir), _BLK), _BLK
+        )
+        return kept
+
+    return _memo(spark, sf_dir, "capped_keys", build)
 
 
-def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs + per-field normalized-Levenshtein scores +
-    total + combined score (all JVM-native => oracle-checkable)."""
+def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(
+        spark,
+        sf_dir,
+        "candidate_pairs",
+        lambda: candidate_pairs(_capped_keys(spark, sf_dir)),
+    )
+
+
+def _native_scores(records: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-field normalized-Levenshtein scores + total + combined
+    score over an arbitrary pair set (all JVM-native =>
+    oracle-checkable)."""
     from record_linkage_ldu_spark.operators.scoring import _score_barrier
 
-    records = _records(spark, sf_dir)
-    pairs = candidate_pairs(_capped_keys(records))
     wide = attach_pair_sides(pairs, records, _PAIR_FIELDS)
     sims = [
         lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
@@ -149,6 +214,18 @@ def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return scored.withColumn("total", total).withColumn("score", score)
+
+
+def _pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs + native scores (see ``_native_scores``)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "pair_scores",
+        lambda: _native_scores(
+            _records(spark, sf_dir), _cand_pairs(spark, sf_dir)
+        ),
+    )
 
 
 def _self_match_pred():
@@ -176,35 +253,47 @@ def _round_pairs(df: DataFrame) -> DataFrame:
 
 
 def _matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pair_scores(spark, sf_dir).where(_self_match_pred())
+    return _memo(
+        spark,
+        sf_dir,
+        "matches",
+        lambda: _pair_scores(spark, sf_dir).where(_self_match_pred()),
+    )
 
 
 def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    records = _records(spark, sf_dir)
-    m = _matches(spark, sf_dir)
-    return connected_components(
-        m.select("doc_id_1", "doc_id_2"),
-        vertices=records.select("doc_id"),
-        method="alternating-star",
-    )
+    def build():
+        records = _records(spark, sf_dir)
+        m = _matches(spark, sf_dir)
+        return connected_components(
+            m.select("doc_id_1", "doc_id_2"),
+            vertices=records.select("doc_id"),
+            method="alternating-star",
+        )
+
+    return _memo(spark, sf_dir, "clusters", build)
 
 
 def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted ground truth: docs sharing the entity suffix (a/b/c
     copies of one customer) are true matches."""
-    r = _records(spark, sf_dir).select(
-        "doc_id", F.substring(F.col("doc_id"), 2, 9).alias("ek")
-    )
-    a, b = r.alias("a"), r.alias("b")
-    return (
-        a.join(b, "ek")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.lit(True).alias("is_match"),
+
+    def build():
+        r = _records(spark, sf_dir).select(
+            "doc_id", F.substring(F.col("doc_id"), 2, 9).alias("ek")
         )
-    )
+        a, b = r.alias("a"), r.alias("b")
+        return (
+            a.join(b, "ek")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+                F.lit(True).alias("is_match"),
+            )
+        )
+
+    return _memo(spark, sf_dir, "labels", build)
 
 
 def _cross_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,27 +301,30 @@ def _cross_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies (the HW-like source), right = 'b'/'c' copies; the name
     family score is the reference's target-max (best similarity across
     the right-side candidate target columns) via native greatest."""
-    records = _records(spark, sf_dir)
-    pairs = candidate_pairs(_capped_keys(records))
-    cross = pairs.where(
-        (F.substring(F.col("doc_id_1"), 1, 1) == "a")
-        & (F.substring(F.col("doc_id_2"), 1, 1) != "a")
-    )
-    wide = attach_pair_sides(cross, records, _PAIR_FIELDS)
-    fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
-    return wide.select(
-        "doc_id_1",
-        "doc_id_2",
-        F.greatest(
-            lev_sim_col(F.col("a_name"), F.col("b_name")),
-            lev_sim_col(F.col("a_name"), F.col("b_group")),
-        ).alias("name"),
-        F.lit(0.0).alias("company_name"),
-        *[
-            lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
-            for f in fields
-        ],
-    )
+    def build():
+        records = _records(spark, sf_dir)
+        pairs = _cand_pairs(spark, sf_dir)
+        cross = pairs.where(
+            (F.substring(F.col("doc_id_1"), 1, 1) == "a")
+            & (F.substring(F.col("doc_id_2"), 1, 1) != "a")
+        )
+        wide = attach_pair_sides(cross, records, _PAIR_FIELDS)
+        fields = [f for f in _PAIR_FIELDS if f not in ("name", "group")]
+        return wide.select(
+            "doc_id_1",
+            "doc_id_2",
+            F.greatest(
+                lev_sim_col(F.col("a_name"), F.col("b_name")),
+                lev_sim_col(F.col("a_name"), F.col("b_group")),
+            ).alias("name"),
+            F.lit(0.0).alias("company_name"),
+            *[
+                lev_sim_col(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f)
+                for f in fields
+            ],
+        )
+
+    return _memo(spark, sf_dir, "cross_scored", build)
 
 
 def _cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,11 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------- blocking / pairs / scoring / rules / CC (J*/C*/D*/G*) ----------
     q["block_census"] = lambda s, d: block_census(
-        _capped_keys(_records(s, d))
+        _capped_keys(s, d)
     ).select("block_key", F.col("block_size").cast("long").alias("block_size"))
-    q["candidate_pairs"] = lambda s, d: candidate_pairs(
-        _capped_keys(_records(s, d))
-    )
+    q["candidate_pairs"] = lambda s, d: _cand_pairs(s, d)
     q["pair_scores"] = lambda s, d: _round_pairs(_pair_scores(s, d))
     q["match_rules"] = lambda s, d: _round_pairs(_matches(s, d))
     q["mask_stats"] = lambda s, d: _mask_stats_df(_pair_scores(s, d))
@@ -832,7 +922,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["span_invariant_check"] = lambda s, d: _span_invariant(s, d)
-    return q
+
+    # ---------- round-4 additions ----------
+    # one incremental micro-batch as a batch query; oracle = the
+    # recursive-CC twin (merged clusters must equal the batch chain)
+    q["incremental_linkage_step"] = lambda s, d: _incremental_step(s, d)
+    # measured ANN recall vs exact ground truth (deploy-gate metric)
+    q["ann_recall"] = lambda s, d: _ann_recall(s, d)
+    # learned-weights BoW scorer (broadcast vocabulary lookup, same
+    # row-local plan as the hash stand-in)
+    q["hashed_bow_learned"] = lambda s, d: corpus.bow_score_weighted(
+        _t(s, d, "documents"), _BOW_WEIGHTS
+    )
+    return _ordered(q)
+
+
+# Explicit sweep order, NEWEST FIRST: the driver's correctness budget
+# cut round 3's file at the first 50 entries, leaving the newest ops
+# unrecorded — the least-established entries must hit the hard signal
+# first.  _ordered() asserts the list and the dict stay in sync.
+_NEWEST_FIRST = [
+    # round 4
+    "incremental_linkage_step",
+    "ann_recall",
+    "hashed_bow_learned",
+    # round 3 (absent from CORRECTNESS_r03)
+    "media_features",
+    "media_resize",
+    "media_frame_sample",
+    "media_dedup",
+    "span_invariant_check",
+    "simhash_near_dups",
+    "jw_pair_scores",
+    "blocking_recall",
+    "ro_jw_pair_scores",
+    "soundex_keys",
+    "semdedup",
+    "ivf_probe_topk",
+    "ivf_ann_topk",
+    "rh_lsh_ann_topk",
+    "lsh_ann_topk",
+    "cosine_topk",
+    "windowed_events",
+    "sessionize",
+    "agg_pushdown_q1",
+    "broadcast_join_revenue",
+    # rounds 1-3, green in CORRECTNESS_r03
+    "embedding_near_dups",
+    "pii_scrub",
+    "corpus_shuffle_global",
+    "corpus_shuffle",
+    "chunk_documents",
+    "repetition_signals",
+    "hashed_bow_score",
+    "decontaminate",
+    "token_budget_shards",
+    "token_percentiles",
+    "mixture_stats",
+    "stratified_sample",
+    "corpus_filter",
+    "quality_score",
+    "lang_id",
+    "token_count",
+    "winnow_near_dups",
+    "winnow_fingerprints",
+    "ngram_jaccard_dedup",
+    "embedding_keep_list",
+    "near_dup_keep_list",
+    "minhash_cross_near_dups",
+    "minhash_near_dups",
+    "minhash_bands",
+    "exact_dedup",
+    "sorted_neighborhood_cross",
+    "sorted_neighborhood",
+    "cluster_diff",
+    "cluster_presentation",
+    "verified_clusters",
+    "cross_mask_stats",
+    "cross_match_rules",
+    "cluster_size_stats",
+    "score_histogram",
+    "evaluate_prf",
+    "cluster_sizes",
+    "cc_clusters",
+    "mask_stats",
+    "match_rules",
+    "pair_scores",
+    "candidate_pairs",
+    "block_census",
+    "within_record_dedup",
+    "merge_columns",
+    "filter_valid_records",
+    "normalize_website",
+    "fix_country_nation",
+    "fix_state_country",
+    "normalize_address_email_number",
+    "normalize_name",
+]
+
+
+def _ordered(q: dict) -> dict:
+    missing = set(_NEWEST_FIRST) ^ set(q)
+    assert not missing, f"_NEWEST_FIRST out of sync with queries(): {missing}"
+    return {k: q[k] for k in _NEWEST_FIRST}
 
 
 def _span(spark, kind):
@@ -940,7 +1132,7 @@ def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan/order dependent), so the rows-only driver check would pass
     # under kernel drift; the hash-mod pick yields the same row set on
     # every run
-    pairs = candidate_pairs(_capped_keys(records)).where(
+    pairs = _cand_pairs(spark, sf_dir).where(
         F.pmod(F.xxhash64("doc_id_1", "doc_id_2"), F.lit(43)) == 0
     )
     wide = attach_pair_sides(pairs, records, ("name", "address"))
@@ -961,7 +1153,7 @@ def _blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.5 J1's never-materialize-the-cartesian design), and how
     selective is it (pair_efficiency = covered / candidates)."""
     labels = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2")
-    cands = candidate_pairs(_capped_keys(_records(spark, sf_dir)))
+    cands = _cand_pairs(spark, sf_dir)
     marked = labels.join(
         cands.withColumn("_c", F.lit(1)), ["doc_id_1", "doc_id_2"], "left"
     )
@@ -992,7 +1184,7 @@ def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_linkage_ldu_spark.functions.similarity import jw_sim_col
 
     records = _records(spark, sf_dir)
-    pairs = candidate_pairs(_capped_keys(records)).where(
+    pairs = _cand_pairs(spark, sf_dir).where(
         _md5_mod_pick("doc_id_1", "doc_id_2", 43)
     )
     wide = attach_pair_sides(pairs, records, ("name", "city"))
@@ -1002,6 +1194,116 @@ def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
         F.round(jw_sim_col(F.col("a_city"), F.col("b_city")), 6).alias("jw_city"),
     )
+
+
+def _incremental_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One incremental-linkage micro-batch expressed as a BATCH query
+    (streaming/incremental.py incremental_linkage_batch steps 3-4, the
+    op a user hits first when the corpus grows): the 'c' copies are
+    the arriving batch, the a/b copies are the existing store.
+
+    The candidate join is the incremental SHAPE — broadcast(new keys)
+    x (new ∪ stored keys of TOUCHED blocks); old-old pairs are never
+    generated — and the output is the MERGED cluster table:
+    CC(stored edges ∪ this batch's new match edges).  Because every
+    pair with a new side lies in a block the batch touches, the merged
+    clusters provably equal the full batch chain's cc_clusters — which
+    is exactly what the DuckDB twin (the recursive-CC oracle) checks,
+    making the incremental route hash-gated end to end."""
+    records = _records(spark, sf_dir)
+    capped = _capped_keys(spark, sf_dir)
+    is_new = F.substring(F.col("doc_id"), 1, 1) == "c"
+    new_keys = capped.where(is_new)
+    old_keys = capped.where(~is_new)
+    touched = new_keys.select("block_key").distinct()
+    store_touched = old_keys.join(
+        F.broadcast(touched), "block_key", "left_semi"
+    )
+    incr_pairs = (
+        candidate_pairs(
+            F.broadcast(new_keys),
+            new_keys.unionByName(store_touched),
+            dedup=False,
+        )
+        .select(
+            F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+            F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        )
+        .where(F.col("doc_id_1") != F.col("doc_id_2"))
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    new_edges = (
+        _native_scores(records, incr_pairs)
+        .where(_self_match_pred())
+        .select("doc_id_1", "doc_id_2")
+    )
+    old_edges = _matches(spark, sf_dir).where(
+        (F.substring(F.col("doc_id_1"), 1, 1) != "c")
+        & (F.substring(F.col("doc_id_2"), 1, 1) != "c")
+    ).select("doc_id_1", "doc_id_2")
+    return connected_components(
+        old_edges.unionByName(new_edges),
+        vertices=records.select("doc_id"),
+        method="alternating-star",
+    )
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability metric (the ANN analogue of blocking_recall):
+    measured recall of the two approximate families against the exact
+    ``cosine_topk`` ground truth over the same query set — IVF probe
+    (fixed quantizer, nprobe=4) at k=5 and sign-LSH at k=3 — as one
+    metric row a pipeline can gate deploys on."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    truth = ann.cosine_topk(emb, queries, k=5)
+    ivf = ann.ivf_topk(
+        emb, queries, k=5, nprobe=4,
+        index=ann.fixed_ivf_index(emb, modulus=64),
+    )
+    lsh = ann.lsh_topk(emb, k=3, nbits=8).where(F.col("query_id") % 50 == 0)
+    t5 = truth.select("query_id", "neighbor_id")
+    t3 = truth.where(F.col("rank") <= 3).select("query_id", "neighbor_id")
+    keys = ["query_id", "neighbor_id"]
+    a = t5.agg(
+        F.count_distinct(F.col("query_id")).cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_truth5"),
+    )
+    b = (
+        t5.join(ivf.select(*keys), keys, "left_semi")
+        .agg(F.count("*").cast("long").alias("n_ivf"))
+    )
+    c = t3.agg(F.count("*").cast("long").alias("n_truth3"))
+    e = (
+        t3.join(lsh.select(*keys), keys, "left_semi")
+        .agg(F.count("*").cast("long").alias("n_lsh"))
+    )
+    return (
+        a.crossJoin(b).crossJoin(c).crossJoin(e).select(
+            "n_queries",
+            F.round(F.col("n_ivf") / F.col("n_truth5"), 6).alias(
+                "ivf_recall_at5"
+            ),
+            F.round(F.col("n_lsh") / F.col("n_truth3"), 6).alias(
+                "lsh_recall_at3"
+            ),
+        )
+    )
+
+
+# learned-weights vocabulary for the bow_score_weighted driver entry:
+# an explicit token->weight lookup (stands in for a trained linear
+# filter's coefficients), injected identically into Spark (map
+# literal) and DuckDB (CASE chain)
+_BOW_WEIGHTS = {
+    t: ((i * 37) % 19) - 9
+    for i, t in enumerate(
+        "the of and to in a is that it for as was with be by on not he "
+        "this are or his from at which but have an they you were her "
+        "all she there would their we him been has when who will no "
+        "more if out so said what its about than into them can only".split()
+    )
+}
 
 
 def _span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,6 +1916,52 @@ def oracle_sql() -> dict[str, str]:
                media_ref || '#0' AS frame_ref
         FROM media
     """
+    # incremental route == batch route on merged clusters: the twin is
+    # the SAME recursive-CC oracle as cc_clusters (see
+    # _incremental_step's equality argument)
+    sql["incremental_linkage_step"] = sql["cc_clusters"]
+    sql["ann_recall"] = f"""
+        WITH truth AS (
+            SELECT * FROM (
+                {ann.sql_cosine_topk("embeddings", "vec_id % 50 = 0", k=5)}
+            )
+        ),
+        ivf AS (
+            SELECT * FROM (
+                {ann.sql_ivf_probe_topk(
+                    "embeddings", "vec_id % 50 = 0", k=5, nprobe=4, modulus=64
+                )}
+            )
+        ),
+        lsh AS (
+            SELECT * FROM ({ann.sql_lsh_topk("embeddings", k=3, nbits=8)})
+            WHERE query_id % 50 = 0
+        ),
+        t5 AS (SELECT query_id, neighbor_id FROM truth),
+        t3 AS (SELECT query_id, neighbor_id FROM truth WHERE rank <= 3),
+        s AS (
+            SELECT
+              (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM t5)
+                  AS n_queries,
+              (SELECT count(*) FROM t5) AS n_truth5,
+              (SELECT count(*) FROM t5 WHERE EXISTS (
+                  SELECT 1 FROM ivf i
+                  WHERE i.query_id = t5.query_id
+                    AND i.neighbor_id = t5.neighbor_id)) AS n_ivf,
+              (SELECT count(*) FROM t3) AS n_truth3,
+              (SELECT count(*) FROM t3 WHERE EXISTS (
+                  SELECT 1 FROM lsh l
+                  WHERE l.query_id = t3.query_id
+                    AND l.neighbor_id = t3.neighbor_id)) AS n_lsh
+        )
+        SELECT n_queries,
+               round(CAST(n_ivf AS DOUBLE) / n_truth5, 6) AS ivf_recall_at5,
+               round(CAST(n_lsh AS DOUBLE) / n_truth3, 6) AS lsh_recall_at3
+        FROM s
+    """
+    sql["hashed_bow_learned"] = corpus.sql_bow_score_weighted(
+        "documents", _BOW_WEIGHTS
+    )
     sql["media_dedup"] = f"""
         WITH {synth_sql_cte()},
     media AS (
