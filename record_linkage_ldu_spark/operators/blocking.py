@@ -218,21 +218,31 @@ def salted_candidate_pairs(
     Naive key-salting (appending ``hash(doc) % s`` to the key) LOSES
     in-block pairs whose two members land in different salt buckets.
     The triangle scheme keeps every pair exactly once while bounding
-    per-task width: each record in bucket ``b = hash(doc) % s`` is
-    replicated into the diagonal cell (b,b) plus every off-diagonal
-    cell (x,y), x<y, with b in {x,y}; a pair with buckets (bi, bj)
-    meets in exactly cell (min, max).  Replication factor is ``s`` and
-    the widest cell holds ~2m/s rows of an m-row block, so the skew of
-    a mega-block is spread across s(s+1)/2 independently-scheduled
+    per-task width: a pair with buckets (bi, bj) meets in exactly cell
+    (min, max) of the s(s+1)/2 triangle cells.  Records are exploded
+    with a JOIN ROLE per cell — a bucket-b record feeds the LEFT side
+    of cells (b, y>=b) and the RIGHT side of cells (x<=b, b) — so an
+    off-diagonal cell's join enumerates exactly m_x * m_y rows.  (An
+    earlier version put both buckets' rows on both sides and filtered
+    roles post-enumeration, walking (m_x + m_y)^2 ~ 4x the kept pairs
+    through the join.)  Replication factor is ``s + 1`` per record and
+    the widest cell enumerates ~(m/s)^2 of an m-row block, so the skew
+    of a mega-block is spread across s(s+1)/2 independently-scheduled
     join cells instead of one straggler task.
     """
-    # all s(s+1)/2 cells as one literal array; each record keeps the
-    # cells containing its bucket: (b,b), (b,y>b), (x<b,b) — s cells.
+    # every triangle cell twice in one literal array — once per join
+    # role; each record keeps its 'l' cells (x == bucket) and 'r'
+    # cells (y == bucket): s + 1 entries survive the filter.
     all_cells = F.array(
         *[
-            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+            F.struct(
+                F.lit(x).alias("x"),
+                F.lit(y).alias("y"),
+                F.lit(role).alias("role"),
+            )
             for x in range(salt)
             for y in range(x, salt)
+            for role in ("l", "r")
         ]
     )
     bucketed = hot_keys.select(
@@ -244,34 +254,32 @@ def salted_candidate_pairs(
     )
     salted = bucketed.select(
         "doc_id",
-        "bucket",
         F.explode(
             F.filter(
                 all_cells,
-                lambda c: (c["x"] == F.col("bucket"))
-                | (c["y"] == F.col("bucket")),
+                lambda c: ((c["role"] == F.lit("l")) & (c["x"] == F.col("bucket")))
+                | ((c["role"] == F.lit("r")) & (c["y"] == F.col("bucket"))),
             )
         ).alias("cell"),
         F.col("block_key"),
     ).select(
         "doc_id",
-        "bucket",
         F.concat(
             F.col("block_key"), F.lit("#"),
             F.col("cell.x").cast("string"), F.lit("."),
             F.col("cell.y").cast("string"),
         ).alias("cell_key"),
-        F.col("cell.x").alias("x"),
-        F.col("cell.y").alias("y"),
+        F.col("cell.role").alias("role"),
+        (F.col("cell.x") == F.col("cell.y")).alias("diag"),
     )
-    a = salted.alias("a")
-    c = salted.alias("c")
-    diag = F.col("a.x") == F.col("a.y")
+    a = salted.where(F.col("role") == "l").alias("a")
+    c = salted.where(F.col("role") == "r").alias("c")
+    # diagonal cells self-join a bucket against itself: order the pair
+    # to keep it once; off-diagonal cells are already one-sided per
+    # bucket, every enumerated row is a kept pair.
     pair_cond = F.when(
-        diag, F.col("a.doc_id") < F.col("c.doc_id")
-    ).otherwise(
-        (F.col("a.bucket") == F.col("a.x")) & (F.col("c.bucket") == F.col("a.y"))
-    )
+        F.col("a.diag"), F.col("a.doc_id") < F.col("c.doc_id")
+    ).otherwise(F.lit(True))
     out = (
         a.join(c, "cell_key")
         .where(pair_cond)
