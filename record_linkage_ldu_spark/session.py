@@ -94,4 +94,11 @@ def _master_parallelism(master: str, default: int) -> int:
             return int(inner)
         except ValueError:
             return default
+    if master.startswith("local-cluster["):
+        # local-cluster[n,cores,mem] — n separate executor JVMs
+        try:
+            n, cores, _ = master[len("local-cluster[") : -1].split(",")
+            return int(n) * int(cores)
+        except ValueError:
+            return default
     return default

@@ -34,6 +34,20 @@ LEVELS = tuple(
     int(x)
     for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
 )
+# "local" (one JVM, N threads) or "local-cluster" (N/4 SEPARATE
+# executor JVMs x 4 cores each — the truer stand-in for N vs 4N
+# *executors*: no shared allocator/GC, per-executor shuffle trackers,
+# exactly what a real cluster multiplies by 4).
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local")
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+
+
+def _master_for(cpus: int) -> str:
+    if MODE == "local-cluster":
+        n_exec = max(cpus // EXEC_CORES, 1)
+        return f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+    return f"local[{cpus}]"
 # NOT a multiple of the synth field moduli (100000 zip, 97 city,
 # 51 state, 9999 address): an aligned shift would give every shifted
 # entity copy the same zip/city/state as the original and create
@@ -156,7 +170,14 @@ def measure(cpus: int) -> dict:
     from record_linkage_ldu_spark.session import build_session
 
     spark = build_session(
-        app_name=f"rl-scaling-{cpus}", master=f"local[{cpus}]"
+        app_name=f"rl-scaling-{cpus}",
+        master=_master_for(cpus),
+        # executor JVMs spawn their own Python workers — they need the
+        # repo on PYTHONPATH to unpickle module-level UDF references
+        # (on a real cluster this is the --py-files zip)
+        extra_conf={"spark.executorEnv.PYTHONPATH": REPO}
+        if MODE == "local-cluster"
+        else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = _docs(spark, SF_DIR, MULT).localCheckpoint(eager=True)
@@ -249,6 +270,7 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "ratio",
         "sf_dir": SF_DIR,
+        "mode": MODE,
         "mult": MULT,
         "levels": results,
         "speedup": round(ratio, 2),
@@ -265,8 +287,8 @@ def _write_bench_md(s: dict) -> None:
     md = f"""# BENCH — throughput & scaling efficiency
 
 North-rule evidence (N vs 4N executors; sandbox stand-in per driver
-instruction: the same job + same input at `local[{LEVELS[0]}]` vs
-`local[{LEVELS[1]}]`, one fresh JVM per level).
+instruction: the same job + same input at `{_master_for(LEVELS[0])}` vs
+`{_master_for(LEVELS[1])}`, fresh JVMs per level).
 
 Job: full end-to-end linkage (span codec -> normalize -> multi-key
 blocking + caps -> candidate pairs -> scoring -> rule masks ->

@@ -5,11 +5,15 @@ per-rule counts — main_ldu_hw.py:260,267-327), which exist to let a
 human pick score thresholds and sanity-check rule firing.
 
 No plotting libs ship in this sandbox, so the report is CSV tables
-plus an ASCII rendering of the score histogram in REPORT.md — the
-same decision inputs, reviewable in a terminal or a PR.  The data
-comes from the SAME driver queries the correctness harness checks
-(`score_histogram`, `cluster_size_stats`, `mask_stats`), so the
-report never drifts from the verified pipeline.
+plus an ASCII rendering of the score histogram in REPORT.md, plus the
+reference's two PNG artifacts re-created by the engine's pure-stdlib
+rasterizer (functions/plotting.py): ``combined_plot.png`` (stacked
+per-field score histograms, main_ldu_hw.py:276-326) and
+``evaluation.png`` (match-evaluation pie, main_ldu_hw.py:239-261).
+The data comes from the SAME driver queries the correctness harness
+checks (`score_histogram`, `cluster_size_stats`, `mask_stats`,
+`evaluate_prf`), so the report never drifts from the verified
+pipeline.
 
 Usage: python tools/report.py [sf_dir] [out_dir]
 """
@@ -184,9 +188,32 @@ def main(sf_dir: str, out_dir: str) -> None:
         "",
     ]
 
+    # PNG artifacts (reference plot-sink parity, S6): same frames as
+    # the tables above, rendered by the stdlib rasterizer
+    from record_linkage_ldu_spark.functions.plotting import (
+        histogram_grid_png,
+        pie_png,
+    )
+
+    panels = [
+        (f, [(r["bin"] * 0.05, r["n_pairs"]) for r in by_field[f]])
+        for f in fields
+    ]
+    histogram_grid_png(panels, os.path.join(out_dir, "combined_plot.png"))
+    prf = qs["evaluate_prf"](spark, sf_dir).collect()[0].asDict()
+    pie_png(
+        [
+            ("true", float(prf["tp"])),
+            ("false", float(prf["fp"])),
+            ("missed", float(prf["fn"])),
+        ],
+        "matches evaluation",
+        os.path.join(out_dir, "evaluation.png"),
+    )
+
     with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out_dir}/REPORT.md (+3 CSV tables)")
+    print(f"wrote {out_dir}/REPORT.md (+3 CSV tables, 2 PNG plots)")
     spark.stop()
 
 
