@@ -934,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hashed_bow_learned"] = lambda s, d: corpus.bow_score_weighted(
         _t(s, d, "documents"), _BOW_WEIGHTS
     )
+    # CCNet/RefinedWeb-style line-level boilerplate removal over a
+    # deterministically lined corpus (10-token lines + planted
+    # header/footer variants shared across docs)
+    q["line_dedup"] = lambda s, d: corpus.line_dedup(_lined_docs(s, d))
     return _ordered(q)
 
 
@@ -943,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "line_dedup",
     "incremental_linkage_step",
     "ann_recall",
     "hashed_bow_learned",
@@ -1246,6 +1251,73 @@ def _incremental_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertices=records.select("doc_id"),
         method="alternating-star",
     )
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line corpus for the line_dedup entry: the
+    synthetic documents are single-line word streams, so real lines
+    are derived — body = the doc's tokens grouped into 10-token lines,
+    bracketed by planted boilerplate (3 header variants keyed by
+    doc_id%3, 2 footer variants by doc_id%2 — each shared by ~a third/
+    half of the corpus, exactly the repeated-verbatim nav/copyright
+    shape line dedup exists to strip).  The DuckDB twin builds the
+    identical corpus (``_SQL_LINED`` CTE)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens(F.coalesce(F.col("text"), F.lit("")))
+    staged = d.select("doc_id", toks.alias("_t"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.size("_t") + F.lit(9)) / F.lit(10)).cast("int"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice("_t", i * F.lit(10) + F.lit(1), F.lit(10)), " "
+            ),
+        ),
+        "\n",
+    )
+    text2 = F.concat(
+        F.lit("hdr banner variant "),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit("\n"),
+        body,
+        F.lit("\n"),
+        F.lit("footer copyright notice "),
+        F.pmod("doc_id", F.lit(2)).cast("string"),
+    )
+    return staged.select("doc_id", text2.alias("text"))
+
+
+_SQL_LINED = f"""
+        tok AS (
+            SELECT doc_id, {T.sql_tokens("coalesce(text, '')")} AS t
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(1, (len(t) + 9) // 10)))
+                       AS cid
+            FROM tok
+        ),
+        body AS (
+            SELECT doc_id,
+                   string_agg(
+                       coalesce(
+                           array_to_string(
+                               t[cid * 10 + 1 : cid * 10 + 10], ' '),
+                           ''),
+                       chr(10) ORDER BY cid) AS b
+            FROM ch GROUP BY doc_id
+        ),
+        lined AS (
+            SELECT doc_id,
+                   'hdr banner variant ' || (doc_id % 3) || chr(10) ||
+                   b || chr(10) ||
+                   'footer copyright notice ' || (doc_id % 2) AS text
+            FROM body
+        )"""
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
     # the SAME recursive-CC oracle as cc_clusters (see
     # _incremental_step's equality argument)
     sql["incremental_linkage_step"] = sql["cc_clusters"]
+    sql["line_dedup"] = corpus.sql_line_dedup("lined", pre_cte=_SQL_LINED)
     sql["ann_recall"] = f"""
         WITH truth AS (
             SELECT * FROM (

@@ -1154,3 +1154,146 @@ def sql_decontaminate(
         FROM corpus c LEFT JOIN bench b USING (fingerprint)
         GROUP BY c.doc_id
     """
+
+
+# ------------------------------------------------------------------
+# Line-level exact dedup (CCNet / RefinedWeb-style boilerplate removal)
+# ------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_dup_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines duplicated across >= ``min_dup_docs`` DISTINCT
+    documents and reassemble the text (CCNet's paragraph-hash dedup /
+    RefinedWeb's line-level filtering: headers, nav bars, cookie
+    banners and license boilerplate repeat VERBATIM across pages and
+    survive document-level dedup because the surrounding text
+    differs).
+
+    Policy (documented, deterministic):
+      * line key = ``md5(lower(trim(line)))`` — whitespace-trimmed,
+        case-folded exact match (near-dup lines are the winnow/minhash
+        families' job);
+      * a key in >= ``min_dup_docs`` distinct docs is boilerplate and
+        is removed from EVERY doc (CCNet removes all copies; the
+        content lives nowhere else by construction);
+      * blank lines are never census'd (trivially shared) and pass
+        through, preserving paragraph structure;
+      * within-doc repetition alone never trips the filter (that
+        signal is ``repetition_signals``) — the census counts
+        DISTINCT docs.
+
+    Output: one row per input doc — ``doc_id``, rebuilt ``text``,
+    ``n_lines``, ``n_removed``.
+
+    Scale shape: one explode (narrow Generate) -> one groupBy on the
+    line key (the census; map-side partial agg) -> one shuffle join
+    back (boilerplate set is corpus-sized in the worst case, so a
+    broadcast is NOT assumed) -> one groupBy(doc_id) reassembly.  No
+    UDFs, no driver materialization; every stage partitions on its
+    key.  The 100TB deployment persists the census as a reusable
+    boilerplate table exactly like the dedup families' indexes.
+    """
+    if min_dup_docs < 2:
+        raise ValueError("line_dedup: min_dup_docs must be >= 2")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("ls"),
+    )
+    lines = base.select(
+        "doc_id", F.posexplode("ls").alias("pos", "line")
+    ).withColumn("k", F.md5(F.lower(F.trim("line")))).withColumn(
+        "nonblank", F.trim("line") != ""
+    )
+    boiler = (
+        lines.where("nonblank")
+        .groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("k")
+    )
+    kept = lines.join(boiler.withColumn("boiler", F.lit(True)), "k", "left").where(
+        ~(F.col("nonblank") & F.coalesce(F.col("boiler"), F.lit(False)))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def sql_line_dedup(
+    table: str,
+    min_dup_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`line_dedup` (string_split('') == [''] in
+    both engines, so an empty doc is one blank line in both).
+    ``pre_cte`` prepends extra CTEs (e.g. a derived multi-line corpus)
+    that ``table`` may reference."""
+    pre = f"{pre_cte}," if pre_cte else ""
+    return f"""
+        WITH {pre}
+        base AS (
+            SELECT {id_col} AS doc_id,
+                   string_split(coalesce({text_col}, ''), chr(10)) AS ls
+            FROM {table}
+        ),
+        pe AS (
+            SELECT doc_id, ls,
+                   unnest(range(1, len(ls) + 1)) AS pos
+            FROM base
+        ),
+        lx AS (
+            SELECT doc_id, pos, ls[pos] AS line,
+                   md5(lower(trim(ls[pos]))) AS k,
+                   trim(ls[pos]) <> '' AS nonblank
+            FROM pe
+        ),
+        boiler AS (
+            SELECT k FROM lx WHERE nonblank
+            GROUP BY k HAVING count(DISTINCT doc_id) >= {min_dup_docs}
+        ),
+        kept AS (
+            SELECT doc_id, pos, line FROM lx
+            WHERE NOT (nonblank AND k IN (SELECT k FROM boiler))
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(t.n_lines AS BIGINT) AS n_lines,
+               CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+    """

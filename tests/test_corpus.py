@@ -545,3 +545,51 @@ def test_bow_weighted_join_equals_map_literal(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_line_dedup_semantics(spark):
+    """Boilerplate (>=2 distinct docs) removed everywhere; within-doc
+    repetition kept; blank lines preserved; null/empty docs pass
+    through; one output row per input doc."""
+    rows = [
+        ("d1", "Cookie banner\nunique alpha\n\nCopyright 2020 Corp"),
+        ("d2", "cookie banner \nunique beta\nCopyright 2020 Corp"),
+        ("d3", "totally unique\n\n\nanother unique line"),
+        ("d4", None),
+        ("d5", ""),
+        ("d6", "repeat me\nrepeat me\nrepeat me"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in corpus.line_dedup(docs).collect()}
+    assert len(out) == len(rows)
+    # case/whitespace-folded boilerplate stripped from both docs,
+    # unique content and paragraph blanks kept in order
+    assert out["d1"]["text"] == "unique alpha\n"
+    assert (out["d1"]["n_lines"], out["d1"]["n_removed"]) == (4, 2)
+    assert out["d2"]["text"] == "unique beta"
+    # no cross-doc duplicate -> untouched (blank runs intact)
+    assert out["d3"]["text"] == "totally unique\n\n\nanother unique line"
+    assert out["d3"]["n_removed"] == 0
+    # null/empty text = one blank line, passes through
+    for d in ("d4", "d5"):
+        assert (out[d]["text"], out[d]["n_lines"], out[d]["n_removed"]) == (
+            "", 1, 0,
+        )
+    # within-doc repetition alone never trips the census
+    assert out["d6"]["text"] == "repeat me\nrepeat me\nrepeat me"
+
+
+def test_line_dedup_min_dup_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [("a", "shared line\nown a"), ("b", "shared line\nown b"),
+         ("c", "shared line\nown c")],
+        "doc_id string, text string",
+    )
+    # threshold 3: the line lives in exactly 3 docs -> removed
+    out3 = corpus.line_dedup(docs, min_dup_docs=3).collect()
+    assert all(r["n_removed"] == 1 for r in out3)
+    # threshold 4: census never reaches it -> kept
+    out4 = corpus.line_dedup(docs, min_dup_docs=4).collect()
+    assert all(r["n_removed"] == 0 for r in out4)
+    with pytest.raises(ValueError):
+        corpus.line_dedup(docs, min_dup_docs=1)
