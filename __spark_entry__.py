@@ -938,6 +938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministically lined corpus (10-token lines + planted
     # header/footer variants shared across docs)
     q["line_dedup"] = lambda s, d: corpus.line_dedup(_lined_docs(s, d))
+    # URL canonicalization (crawl URL-level dedup key): case-variant
+    # hosts, default ports, www, tracking params, fragments and
+    # trailing slashes collapse to one key; n_same_url counts the
+    # collisions the canonicalizer recovered
+    q["url_canonicalize"] = lambda s, d: _url_canonicalize(s, d)
     return _ordered(q)
 
 
@@ -947,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "url_canonicalize",
     "line_dedup",
     "incremental_linkage_step",
     "ann_recall",
@@ -1318,6 +1324,43 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup key over a deterministically derived URL set
+    (the synthetic docs carry no URL column): each doc gets an
+    absolute URL with the messiness the canonicalizer exists to
+    collapse — uppercase scheme/host, ``WWW.``, explicit ``:443``,
+    and one of three tails (tracking params + unsorted query +
+    fragment / the same query clean / no query).  Tails 0 and 1
+    canonicalize to the SAME key, so ``n_same_url`` measurably counts
+    recovered collisions.  Twin builds the identical URL set."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    variant = F.pmod("doc_id", F.lit(3))
+    tail = (
+        F.when(variant == 0, F.lit("/?utm_source=feed&b=2&a=1#top"))
+        .when(variant == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit(".COM:443/Path/"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        tail,
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    out = urls.select(
+        "doc_id",
+        T.canonical_url(F.col("url")).alias("canonical"),
+        T.url_host(F.col("url")).alias("host"),
+    )
+    return out.withColumn(
+        "n_same_url",
+        F.count("*").over(Window.partitionBy("canonical")).cast("long"),
+    )
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1993,6 +2036,25 @@ def oracle_sql() -> dict[str, str]:
     # _incremental_step's equality argument)
     sql["incremental_linkage_step"] = sql["cc_clusters"]
     sql["line_dedup"] = corpus.sql_line_dedup("lined", pre_cte=_SQL_LINED)
+    _canon = T.sql_canonical_url("url")
+    sql["url_canonicalize"] = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.Example' || (doc_id % 5) ||
+                   '.COM:443/Path/' || (doc_id % 7) ||
+                   CASE (doc_id % 3)
+                        WHEN 0 THEN '/?utm_source=feed&b=2&a=1#top'
+                        WHEN 1 THEN '?a=1&b=2'
+                        ELSE '' END AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               {_canon} AS canonical,
+               {T.sql_url_host("url")} AS host,
+               CAST(count(*) OVER (PARTITION BY {_canon}) AS BIGINT)
+                   AS n_same_url
+        FROM u
+    """
     sql["ann_recall"] = f"""
         WITH truth AS (
             SELECT * FROM (

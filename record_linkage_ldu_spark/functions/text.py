@@ -391,3 +391,111 @@ def sql_winnow_fingerprint_cte(
                       ELSE [] END) AS fingerprint
         FROM _wg
     )"""
+
+
+# ------------------------------------------------------------------
+# URL canonicalization (web-corpus URL-level dedup key)
+# ------------------------------------------------------------------
+
+# tracking params stripped by the canonicalizer (the industry-standard
+# set: UTM campaign tags + click ids)
+_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url(c: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the URL-level dedup
+    key a web-crawl pipeline groups by before content dedup (the same
+    page is crawled under case-variant hosts, default ports, tracking
+    params, fragments and trailing slashes):
+
+      * scheme + host lowercased, leading ``www.`` and default
+        ``:80``/``:443`` ports dropped;
+      * path kept case-sensitive, trailing slashes dropped;
+      * query params: tracking params (``utm_*``, ``fbclid``,
+        ``gclid``, ``ref``) and empties removed, the rest SORTED so
+        param order doesn't split the key;
+      * fragment dropped.
+
+    Pure native expressions (regexp + one filter/sort HOF pair) — no
+    UDF, row-local, safe in a scan-side projection at any scale.
+    """
+    u = F.trim(c)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    pathqf = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathqf, r"^([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathqf, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(_URL_TRACKING_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased registrable-ish host (www/default-port stripped) —
+    the per-site aggregation key (host-level quality/robots stats)."""
+    rest = F.regexp_replace(F.trim(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (one list_filter lambda —
+    NOT nested inside another lambda, per the DuckDB lambda-nesting
+    bug note in normalizers.sql_soundex)."""
+    u = f"trim({expr})"
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    host = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({rest}, '^([^/?#]*)', 1)), "
+        f"'^www\\.', ''), ':(80|443)$', '')"
+    )
+    pathqf = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    path = (
+        f"regexp_replace(regexp_extract({pathqf}, '^([^?#]*)', 1), "
+        f"'/+$', '')"
+    )
+    query = f"regexp_extract({pathqf}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}')))"
+    )
+    qs = (
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+    return f"{scheme} || '://' || {host} || {path} || {qs}"
+
+
+def sql_url_host(expr: str) -> str:
+    rest = f"regexp_replace(trim({expr}), '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    return (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({rest}, '^([^/?#]*)', 1)), "
+        f"'^www\\.', ''), ':(80|443)$', '')"
+    )

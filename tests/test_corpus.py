@@ -593,3 +593,49 @@ def test_line_dedup_min_dup_docs_threshold(spark):
     assert all(r["n_removed"] == 0 for r in out4)
     with pytest.raises(ValueError):
         corpus.line_dedup(docs, min_dup_docs=1)
+
+
+def test_canonical_url_spark_duckdb_parity_and_semantics(spark):
+    """URL canonicalizer: case/port/www/tracking/fragment/trailing-
+    slash variants collapse to one key; Spark and DuckDB twins agree
+    byte-for-byte."""
+    import duckdb
+
+    from record_linkage_ldu_spark.functions.text import (
+        canonical_url,
+        sql_canonical_url,
+        sql_url_host,
+        url_host,
+    )
+
+    cases = [
+        "HTTPS://WWW.Example.COM:443/Path/A/?utm_source=feed&b=2&a=1#top",
+        "https://example.com/Path/A?a=1&b=2",
+        "http://Example.com:80",
+        "https://sub.example.com/x//",
+        "  http://example.com/?fbclid=zz&ref=home  ",
+        "https://example.com/CaseSensitive/Path",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [
+        (r["c"], r["h"])
+        for r in df.select(
+            canonical_url(F.col("u")).alias("c"), url_host(F.col("u")).alias("h")
+        ).collect()
+    ]
+    # semantics: variants 0 and 1 are the same page
+    assert got[0][0] == got[1][0] == "https://example.com/Path/A?a=1&b=2"
+    assert got[2][0] == "http://example.com"
+    assert got[3][0] == "https://sub.example.com/x"
+    assert got[4][0] == "http://example.com"
+    assert got[5][0] == "https://example.com/CaseSensitive/Path"
+    assert got[0][1] == "example.com" and got[3][1] == "sub.example.com"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u VARCHAR)")
+    for c in cases:
+        con.execute("INSERT INTO t VALUES (?)", [c])
+    duck = con.execute(
+        f"SELECT {sql_canonical_url('u')}, {sql_url_host('u')} FROM t"
+    ).fetchall()
+    assert [tuple(r) for r in duck] == got
