@@ -943,6 +943,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trailing slashes collapse to one key; n_same_url counts the
     # collisions the canonicalizer recovered
     q["url_canonicalize"] = lambda s, d: _url_canonicalize(s, d)
+    # Bloom-pre-filtered decontamination: same eval split as
+    # `decontaminate`, compact bit-position pre-filter before the
+    # exact join, false positives observable per doc (n_bloom_fp)
+    q["bloom_decontaminate"] = lambda s, d: corpus.bloom_decontaminate(
+        _t(s, d, "documents").where(F.col("doc_id") % 37 != 0),
+        _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
+        min_shared=2,
+    )
     return _ordered(q)
 
 
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "bloom_decontaminate",
     "url_canonicalize",
     "line_dedup",
     "incremental_linkage_step",
@@ -2036,6 +2045,9 @@ def oracle_sql() -> dict[str, str]:
     # _incremental_step's equality argument)
     sql["incremental_linkage_step"] = sql["cc_clusters"]
     sql["line_dedup"] = corpus.sql_line_dedup("lined", pre_cte=_SQL_LINED)
+    sql["bloom_decontaminate"] = corpus.sql_bloom_decontaminate(
+        "documents", "doc_id % 37 = 0", min_shared=2
+    )
     _canon = T.sql_canonical_url("url")
     sql["url_canonicalize"] = f"""
         WITH u AS (

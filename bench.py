@@ -299,6 +299,13 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         _force(qs["pii_scrub"](spark, sf_dir))
 
     timed("prep_ops", _prep)
+    # r4: line-level boilerplate removal + URL canonicalization (the
+    # crawl-side dedup keys; line_dedup is the shuffle-heavy one —
+    # explode -> census groupBy -> anti join -> reassembly groupBy)
+    timed("line_dedup", lambda: _force(qs["line_dedup"](spark, sf_dir)))
+    timed("url_canonicalize", lambda: _force(
+        qs["url_canonicalize"](spark, sf_dir)
+    ))
     timed("tpch_q1", lambda: _force(qs["agg_pushdown_q1"](spark, sf_dir)))
     timed("windowed_events", lambda: _force(
         windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -1297,3 +1297,178 @@ def sql_line_dedup(
                    AS n_removed
         FROM tot t LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ------------------------------------------------------------------
+# Bloom-pre-filtered decontamination (compact-membership pre-filter)
+# ------------------------------------------------------------------
+
+
+def _bloom_pos(fp: Column, i: int, m_bits: int) -> Column:
+    """i-th Bloom bit position of a fingerprint: 32-bit md5 slice of
+    ``i:fp`` mod m (same md5-mod trick as ``_uniform_draw`` — exact in
+    DuckDB)."""
+    h = F.md5(F.concat(F.lit(f"{i}:"), fp.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m_bits)
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter PRE-filter — the
+    at-scale form of the eval-leak check: the benchmark fingerprint
+    set folds into <= ``m_bits`` bit positions (a structure of fixed,
+    corpus-independent size), every corpus fingerprint probes its
+    ``n_hashes`` positions, and only the fingerprints that pass ALL
+    probes reach the exact membership join.  At 10^12 docs that is
+    the difference between joining EVERY corpus fingerprint against
+    the benchmark set and joining ~the contaminated sliver plus a
+    measured false-positive margin.
+
+    Bloom filters have NO false negatives — a genuinely shared
+    fingerprint always passes — so ``contaminated`` here equals
+    :func:`decontaminate`'s flag exactly (pytest-pinned).  The
+    false-positive cost is OBSERVABLE in the output: ``n_bloom_fp``
+    (bloom-passing but not actually shared) per document; size
+    ``m_bits``/``n_hashes`` against it.
+
+    Counts are DISTINCT-fingerprint counts (the pre-filter operates on
+    the distinct fingerprint set), unlike ``decontaminate``'s raw
+    row counts — the contamination FLAG is unaffected (winnow rows are
+    near-distinct per doc) and the pytest pins flag equality.
+
+    Scale shape: the position table is broadcast (bounded by m_bits
+    rows); the probe explode is x``n_hashes`` on the corpus
+    fingerprint table followed by one groupBy back — in production the
+    positions compile into an m-bit bitmap broadcast variable probed
+    row-locally with no explode/regroup; the DataFrame form here keeps
+    the exact DuckDB twin while exercising the same pre-filter plan.
+    """
+    cfp = (
+        winnow_fingerprint_table(corpus, text_col, id_col, k, w)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    bfp = (
+        winnow_fingerprint_table(benchmark, text_col, id_col, k, w)
+        .select("fingerprint")
+        .distinct()
+    )
+    fp = F.col("fingerprint")
+    positions = lambda: F.array(  # noqa: E731
+        *[_bloom_pos(fp, i, m_bits) for i in range(n_hashes)]
+    )
+    bloom = (
+        bfp.select(F.explode(positions()).alias("pos"))
+        .distinct()
+        .withColumn("_h", F.lit(1))
+    )
+    probes = cfp.select(
+        "doc_id", "fingerprint", F.explode(positions()).alias("pos")
+    )
+    passing = (
+        probes.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id", "fingerprint")
+        .agg(F.coalesce(F.sum("_h"), F.lit(0)).alias("_nh"))
+        .where(F.col("_nh") == n_hashes)
+    )
+    exact = passing.join(
+        F.broadcast(bfp.withColumn("_e", F.lit(1))), "fingerprint", "left"
+    ).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bloom_pass"),
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_shared"),
+    )
+    totals = cfp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    return totals.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_fps",
+        F.coalesce("n_bloom_pass", F.lit(0)).cast("long").alias("n_bloom_pass"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_bloom_pass", F.lit(0)) - F.coalesce("n_shared", F.lit(0)))
+        .cast("long")
+        .alias("n_bloom_fp"),
+        F.when(F.coalesce("n_shared", F.lit(0)) >= min_shared, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("contaminated"),
+    )
+
+
+def sql_bloom_decontaminate(
+    table: str,
+    benchmark_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+) -> str:
+    """DuckDB twin of :func:`bloom_decontaminate` (predicate-split
+    benchmark, same convention as ``sql_decontaminate``)."""
+    cte = sql_winnow_fingerprint_cte(table, text_col, id_col, k, w)
+
+    def pos(i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{i}:' || "
+            f"CAST(fingerprint AS VARCHAR)), 1, 8))::UBIGINT % {m_bits})"
+        )
+
+    plist = "[" + ", ".join(pos(i) for i in range(n_hashes)) + "]"
+    return f"""
+        WITH {cte},
+        bench AS (
+            SELECT DISTINCT fingerprint FROM fp WHERE {benchmark_pred}
+        ),
+        corpus AS (
+            SELECT DISTINCT doc_id, fingerprint FROM fp
+            WHERE NOT ({benchmark_pred})
+        ),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+                SELECT unnest({plist}) AS pos FROM bench
+            )
+        ),
+        probe AS (
+            SELECT doc_id, fingerprint, unnest({plist}) AS pos FROM corpus
+        ),
+        hits AS (
+            SELECT p.doc_id, p.fingerprint, count(b.pos) AS nh
+            FROM probe p LEFT JOIN bloom b USING (pos)
+            GROUP BY p.doc_id, p.fingerprint
+        ),
+        pass AS (
+            SELECT doc_id, fingerprint FROM hits WHERE nh = {n_hashes}
+        ),
+        ex AS (
+            SELECT p.doc_id,
+                   count(*) AS n_bloom_pass,
+                   count(b.fingerprint) AS n_shared
+            FROM pass p LEFT JOIN bench b USING (fingerprint)
+            GROUP BY p.doc_id
+        ),
+        tot AS (
+            SELECT doc_id, count(*) AS n_fps FROM corpus GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_fps AS BIGINT) AS n_fps,
+               CAST(coalesce(e.n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass,
+               CAST(coalesce(e.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(coalesce(e.n_bloom_pass, 0) - coalesce(e.n_shared, 0)
+                    AS BIGINT) AS n_bloom_fp,
+               CAST(CASE WHEN coalesce(e.n_shared, 0) >= {min_shared}
+                    THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM tot t LEFT JOIN ex e USING (doc_id)
+    """

@@ -639,3 +639,41 @@ def test_canonical_url_spark_duckdb_parity_and_semantics(spark):
         f"SELECT {sql_canonical_url('u')}, {sql_url_host('u')} FROM t"
     ).fetchall()
     assert [tuple(r) for r in duck] == got
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom pre-filter never drops a genuinely shared fingerprint:
+    the contaminated flag equals plain decontaminate's on the same
+    split, at default and at adversarially tiny m_bits."""
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('alpha bravo charlie delta echo foxtrot golf hotel ', "
+        " CASE WHEN id % 7 = 0 THEN 'shared run of leaked tokens here' "
+        "      ELSE concat('own tail ', id, ' words vary per doc') END) "
+        " AS text",
+    )
+    corp = docs.where("doc_id % 5 != 0")
+    bench = docs.where("doc_id % 5 = 0")
+    base = {
+        r["doc_id"]: r["contaminated"]
+        for r in corpus.decontaminate(corp, bench, min_shared=2).collect()
+    }
+    for m_bits in (16384, 64):
+        got = {
+            r["doc_id"]: r
+            for r in corpus.bloom_decontaminate(
+                corp, bench, min_shared=2, m_bits=m_bits
+            ).collect()
+        }
+        assert set(got) == set(base)
+        for d, flag in base.items():
+            assert got[d]["contaminated"] == flag, (m_bits, d)
+            # bloom pass is a superset of the exact hits
+            assert got[d]["n_bloom_pass"] >= got[d]["n_shared"]
+            assert got[d]["n_bloom_fp"] == (
+                got[d]["n_bloom_pass"] - got[d]["n_shared"]
+            )
+    # adversarially small filter must actually SHOW false positives
+    # somewhere (otherwise the FP observability is untested)
+    tiny = corpus.bloom_decontaminate(corp, bench, min_shared=2, m_bits=64)
+    assert tiny.agg(F.sum("n_bloom_fp")).collect()[0][0] > 0
