@@ -192,6 +192,23 @@ def main(sf_dir: str) -> int:
         "BroadcastHashJoin" in decon_plan
         and "SortMergeJoin" not in decon_plan,
     )
+    bloom_plan = executed_plan(
+        corpus_ops.bloom_decontaminate(
+            docs_tbl.where(F.col("doc_id") % 37 != 0),
+            docs_tbl.where(F.col("doc_id") % 37 == 0),
+        )
+    )
+    check(
+        "bloom pre-filter probes via broadcast (no SMJ on positions)",
+        bloom_plan.count("BroadcastHashJoin") >= 2  # bloom set + exact
+        and "CartesianProduct" not in bloom_plan,
+    )
+    ld_plan = executed_plan(corpus_ops.line_dedup(docs_tbl))
+    check(
+        "line_dedup: equi-joins only, no cartesian/nested-loop",
+        "CartesianProduct" not in ld_plan
+        and "BroadcastNestedLoopJoin" not in ld_plan,
+    )
 
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
