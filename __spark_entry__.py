@@ -951,6 +951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
         min_shared=2,
     )
+    # media-content blocking tier: records sharing an identical image
+    # payload are linkage candidates — the text-free signal interleaved
+    # documents add over flat records (the a/b/c copies of one entity
+    # carry the same image under different refs).  Single key per doc
+    # => no pair-dedup shuffle (dedup=False is exact here).
+    q["media_block_pairs"] = lambda s, d: _media_block_pairs(s, d)
     return _ordered(q)
 
 
@@ -960,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "media_block_pairs",
     "bloom_decontaminate",
     "url_canonicalize",
     "line_dedup",
@@ -1333,6 +1340,34 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _media_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-content blocking (the interleaved-payload linkage tier):
+    block key = md5 of the media payload, so two records carrying the
+    SAME image — under different refs, with arbitrarily different text
+    — become candidates.  On the synth corpus the a/b/c copies of an
+    entity share the payload (the digit core of the ref, standing in
+    for fetched object-store bytes), so this tier alone recovers the
+    within-entity pairs of every media-carrying doc.
+
+    Scale shape: key derivation is scan-side (payload bytes hash where
+    they are read, only (doc_id, 32-char key) shuffles — same rule as
+    media_dedup); ONE key per doc means candidate_pairs skips the
+    pair-dedup shuffle (dedup=False is exact)."""
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+    from record_linkage_ldu_spark.operators.multimodal import media_table
+    from record_linkage_ldu_spark.sources.synth import synth_documents
+
+    media = media_table(synth_documents(_t(spark, sf_dir, "customer")))
+    keys = media.select(
+        "doc_id",
+        F.concat(
+            F.lit("mc:"),
+            F.md5(F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8")),
+        ).alias("block_key"),
+    )
+    return candidate_pairs(keys, dedup=False)
 
 
 def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,6 +2083,19 @@ def oracle_sql() -> dict[str, str]:
     sql["bloom_decontaminate"] = corpus.sql_bloom_decontaminate(
         "documents", "doc_id % 37 = 0", min_shared=2
     )
+    sql["media_block_pairs"] = f"""
+        WITH {synth_sql_cte()},
+        mkeys AS (
+            SELECT doc_id,
+                   'mc:' || md5(regexp_replace('img://' || doc_id,
+                                               '[^0-9]', '', 'g'))
+                       AS block_key
+            FROM synth WHERE {sql_media_pick("doc_id")}
+        )
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM mkeys a JOIN mkeys b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
     _canon = T.sql_canonical_url("url")
     sql["url_canonicalize"] = f"""
         WITH u AS (

@@ -287,3 +287,28 @@ def test_media_stub_path_unchanged(spark):
     assert (row["width"], row["height"]) == (64 + d[2] * 4, 64 + d[3] * 4)
     frow = extract_media_features(df).collect()[0]
     assert abs(frow["feature"][0] - float(d[0]) / 255.0) < 1e-6
+
+
+def test_media_content_blocking_links_shared_payloads(spark):
+    """Media-content blocking tier (driver query media_block_pairs):
+    docs whose media payloads are identical — here, refs with the same
+    digit core, the synth stand-in for the same uploaded image — pair
+    up; distinct payloads and media-less docs never do."""
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+
+    media = _media_df(
+        spark,
+        ["img://a042", "img://b042", "img://c042", "img://a777"],
+    )
+    keys = media.select(
+        "doc_id",
+        F.concat(
+            F.lit("mc:"),
+            F.md5(F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8")),
+        ).alias("block_key"),
+    )
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(keys, dedup=False).collect()
+    }
+    assert pairs == {("d0", "d1"), ("d0", "d2"), ("d1", "d2")}
