@@ -11,10 +11,12 @@ This module gives the multimodal kernels a real decode path:
                         8, color types 0/2/4/6, non-interlaced): zlib
                         inflate + per-scanline unfilter (filters 0-4).
   * ``encode_png``    — minimal valid PNG writer (filter 0 scanlines).
+  * ``decode_bmp``    — full pixel decode of uncompressed 24/32-bit
+                        BMPs (bottom-up and top-down, BGR(A)→RGB(A)).
   * ``resize_nearest``— nearest-neighbor resample.
   * ``try_decode``    — PIL when importable (covers every format),
-                        else the pure-Python PNG path; None when the
-                        bytes are not a decodable image.
+                        else the pure-Python PNG/BMP paths; None when
+                        the bytes are not a decodable image.
 
 Everything is deterministic, so the multimodal operators stay
 oracle-checkable: payloads that are NOT real images keep the md5 stub
@@ -202,10 +204,44 @@ def resize_nearest(
     return out
 
 
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode of uncompressed (BI_RGB) 24/32-bit BMPs —
+    rows returned top-down, BGR(A) converted to RGB(A) so the output
+    convention matches :func:`decode_png`."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError("unsupported BMP variant")
+    h = abs(h_raw)
+    top_down = h_raw < 0
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    if len(data) < pix_off + stride * h:
+        raise ValueError("truncated BMP")
+    out = bytearray(w * h * ch)
+    for y in range(h):
+        sy = y if top_down else h - 1 - y
+        row = pix_off + sy * stride
+        d = y * w * ch
+        for x in range(w):
+            s = row + x * ch
+            out[d] = data[s + 2]
+            out[d + 1] = data[s + 1]
+            out[d + 2] = data[s]
+            if ch == 4:
+                out[d + 3] = data[s + 3]
+            d += ch
+    return w, h, ch, bytes(out)
+
+
 def try_decode(data: bytes) -> tuple[int, int, int, bytes] | None:
     """Best-effort full pixel decode: PIL when available (any format),
-    else the pure-Python PNG path.  None when the bytes are not a
-    decodable image (callers fall back to probe_image for dims, then
+    else the pure-Python PNG / BMP paths.  None when the bytes are not
+    a decodable image (callers fall back to probe_image for dims, then
     to the md5 stub)."""
     if data is None:
         return None
@@ -221,7 +257,9 @@ def try_decode(data: bytes) -> tuple[int, int, int, bytes] | None:
         pass
     except Exception:
         return None
-    try:
-        return tuple(decode_png(bytes(data)))  # type: ignore[return-value]
-    except Exception:
-        return None
+    for dec in (decode_png, decode_bmp):
+        try:
+            return tuple(dec(bytes(data)))  # type: ignore[return-value]
+        except Exception:
+            continue
+    return None

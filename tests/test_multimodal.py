@@ -312,3 +312,64 @@ def test_media_content_blocking_links_shared_payloads(spark):
         for r in candidate_pairs(keys, dedup=False).collect()
     }
     assert pairs == {("d0", "d1"), ("d0", "d2"), ("d1", "d2")}
+
+
+def _make_bmp(w, h, top_down=False, bpp=24):
+    """Hand-built BI_RGB BMP with deterministic pixels; returns
+    (bmp_bytes, rgb_pixels_top_down)."""
+    import struct
+
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    rows = []
+    rgb = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (x * 7 + y) % 256, (y * 11) % 256, (x * 3) % 256
+            rgb += bytes((r, g, b) if ch == 3 else (r, g, b, (x + y) % 256))
+            row += bytes((b, g, r) if ch == 3 else (b, g, r, (x + y) % 256))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    body = b"".join(rows if top_down else rows[::-1])
+    h_field = -h if top_down else h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0,
+                      len(body), 2835, 2835, 0, 0)
+    )
+    return header + body, bytes(rgb)
+
+
+def test_decode_bmp_bottom_up_top_down_and_32bpp():
+    from record_linkage_ldu_spark.functions.media_codec import (
+        decode_bmp,
+        try_decode,
+    )
+
+    for top_down in (False, True):
+        data, rgb = _make_bmp(5, 3, top_down=top_down)
+        assert decode_bmp(data) == (5, 3, 3, rgb)
+        assert try_decode(data) == (5, 3, 3, rgb)
+    data32, rgba = _make_bmp(4, 2, bpp=32)
+    assert decode_bmp(data32) == (4, 2, 4, rgba)
+
+
+def test_media_features_real_bmp_pixels(spark):
+    """A real BMP payload now yields pixel-statistics features through
+    the same kernel as PNG (try_decode's BMP path)."""
+    data, rgb = _make_bmp(8, 4)
+    df = spark.createDataFrame(
+        [("d0", "img://real.bmp", "image", bytearray(data), None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert row["decode_ok"]
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    want_means = a.mean(axis=0) / 255.0
+    for i in range(3):
+        assert abs(row["feature"][i] - want_means[i]) < 1e-6
