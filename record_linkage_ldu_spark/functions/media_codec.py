@@ -13,10 +13,12 @@ This module gives the multimodal kernels a real decode path:
   * ``encode_png``    — minimal valid PNG writer (filter 0 scanlines).
   * ``decode_bmp``    — full pixel decode of uncompressed 24/32-bit
                         BMPs (bottom-up and top-down, BGR(A)→RGB(A)).
+  * ``decode_gif``    — full pixel decode of the first frame of a
+                        non-interlaced GIF (LZW + color-table map).
   * ``resize_nearest``— nearest-neighbor resample.
   * ``try_decode``    — PIL when importable (covers every format),
-                        else the pure-Python PNG/BMP paths; None when
-                        the bytes are not a decodable image.
+                        else the pure-Python PNG/BMP/GIF paths; None
+                        when the bytes are not a decodable image.
 
 Everything is deterministic, so the multimodal operators stay
 oracle-checkable: payloads that are NOT real images keep the md5 stub
@@ -257,9 +259,111 @@ def try_decode(data: bytes) -> tuple[int, int, int, bytes] | None:
         pass
     except Exception:
         return None
-    for dec in (decode_png, decode_bmp):
+    for dec in (decode_png, decode_bmp, decode_gif):
         try:
             return tuple(dec(bytes(data)))  # type: ignore[return-value]
         except Exception:
             continue
     return None
+
+
+def _lzw_decode(min_code_size: int, data: bytes, npixels: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes,
+    code width grows to 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < npixels:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:npixels])
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode of the FIRST frame of a non-interlaced GIF
+    (87a/89a, global or local color table) — RGB out, same convention
+    as the PNG/BMP decoders.  Transparency is ignored (features/resize
+    consume RGB statistics); interlaced frames raise and fall back to
+    the header-dims path."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", data[pos + 5 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            lct = None
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                lct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            table = lct or gct
+            if table is None or iw == 0 or ih == 0:
+                raise ValueError("missing color table")
+            idx = _lzw_decode(mcs, bytes(lzw), iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            out = bytearray(iw * ih * 3)
+            for i, ci in enumerate(idx):
+                out[3 * i : 3 * i + 3] = table[3 * ci : 3 * ci + 3]
+            return iw, ih, 3, bytes(out)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF block stream")
+    raise ValueError("no image data")

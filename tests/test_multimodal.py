@@ -373,3 +373,109 @@ def test_media_features_real_bmp_pixels(spark):
     want_means = a.mean(axis=0) / 255.0
     for i in range(3):
         assert abs(row["feature"][i] - want_means[i]) < 1e-6
+
+
+def _make_gif(w, h, palette, indexes):
+    """Minimal valid GIF89a writer for fixtures: global color table,
+    one image block, LZW stream that emits CLEAR before every pixel
+    code (table never grows, so codes stay min_code_size+1 bits —
+    a legal, trivially-correct encoder)."""
+    import struct
+
+    n = max(2, (len(palette) - 1).bit_length())  # GCT size exponent
+    gct_entries = 1 << n
+    mcs = max(2, n)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    for px in indexes:
+        codes += [clear, px]
+    codes.append(end)
+    code_size = mcs + 1
+    val = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        val |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            packed.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(val & 0xFF)
+    gct = bytearray()
+    for rgb in palette:
+        gct += bytes(rgb)
+    gct += b"\x00" * (3 * gct_entries - len(gct))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (n - 1), 0, 0])  # GCT flag + size
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    i = 0
+    while i < len(packed):  # sub-blocks of <=255 bytes
+        blk = packed[i : i + 255]
+        out += bytes([len(blk)]) + blk
+        i += 255
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_first_frame_pixels():
+    from record_linkage_ldu_spark.functions.media_codec import (
+        decode_gif,
+        probe_image,
+        try_decode,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 0, 2]  # 4x3
+    data = _make_gif(4, 3, palette, idx)
+    assert probe_image(data) == ("gif", 4, 3)
+    w, h, ch, px = decode_gif(data)
+    assert (w, h, ch) == (4, 3, 3)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert px == want
+    assert try_decode(data) == (4, 3, 3, want)
+
+
+def test_media_features_real_gif_pixels(spark):
+    palette = [(10, 20, 30), (200, 100, 50)]
+    idx = [0, 1] * 8  # 4x4
+    data = _make_gif(4, 4, palette, idx)
+    df = spark.createDataFrame(
+        [("d0", "img://real.gif", "image", bytearray(data), None, None, None)],
+        "doc_id string, media_ref string, media_type string, "
+        "payload binary, width int, height int, duration_ms int",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert row["decode_ok"]
+    import numpy as np
+
+    rgb = b"".join(bytes(palette[i]) for i in idx)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    want_means = a.mean(axis=0) / 255.0
+    for i in range(3):
+        assert abs(row["feature"][i] - want_means[i]) < 1e-6
+
+
+def test_lzw_table_growth_and_code_widening():
+    """A hand-packed LZW stream that actually grows the table: after
+    CLEAR(4) 0 1, code 6 refers to the just-added [0,1] entry, and the
+    table reaching 8 entries widens codes to 4 bits — END(5) must be
+    read at the new width."""
+    from record_linkage_ldu_spark.functions.media_codec import _lzw_decode
+
+    codes_and_sizes = [(4, 3), (0, 3), (1, 3), (6, 3), (5, 4)]
+    val = nbits = 0
+    packed = bytearray()
+    for c, size in codes_and_sizes:
+        val |= c << nbits
+        nbits += size
+        while nbits >= 8:
+            packed.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(val & 0xFF)
+    assert _lzw_decode(2, bytes(packed), 4) == bytes([0, 1, 0, 1])
