@@ -42,6 +42,7 @@ from record_linkage_ldu_spark.functions import normalizers as N
 from record_linkage_ldu_spark.functions import text as T
 from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
 from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules
+from record_linkage_ldu_spark.operators import fs_em as fs_em_mod
 from record_linkage_ldu_spark.operators.evaluate import (
     cluster_diff,
     presentation_view,
@@ -90,6 +91,10 @@ _PAIR_FIELDS = (
     "name", "phone", "email", "group", "address", "city", "state", "zip",
     "country",
 )
+# identity-bearing fields for the FS-EM fit (the low-cardinality
+# city/state/country columns agree by chance too often to separate
+# the mixture)
+_FS_FIELDS = ("name", "phone", "email", "address")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -957,6 +962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # carry the same image under different refs).  Single key per doc
     # => no pair-dedup shuffle (dedup=False is exact here).
     q["media_block_pairs"] = lambda s, d: _media_block_pairs(s, d)
+    # EM-estimated Fellegi-Sunter parameters (Winkler): per-field m/u
+    # and likelihood-ratio weights learned from the candidate pairs —
+    # one bounded 2^F pattern-count aggregation, EM on the counts
+    q["fs_em_weights"] = lambda s, d: fs_em_mod.estimate_fs_weights(
+        s, _pair_scores(s, d), _FS_FIELDS, tau=0.85, iters=10
+    )
     return _ordered(q)
 
 
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "fs_em_weights",
     "media_block_pairs",
     "bloom_decontaminate",
     "url_canonicalize",
@@ -2082,6 +2094,9 @@ def oracle_sql() -> dict[str, str]:
     sql["line_dedup"] = corpus.sql_line_dedup("lined", pre_cte=_SQL_LINED)
     sql["bloom_decontaminate"] = corpus.sql_bloom_decontaminate(
         "documents", "doc_id % 37 = 0", min_shared=2
+    )
+    sql["fs_em_weights"] = fs_em_mod.sql_estimate_fs_weights(
+        _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
     )
     sql["media_block_pairs"] = f"""
         WITH {synth_sql_cte()},

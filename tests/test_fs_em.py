@@ -1,0 +1,79 @@
+"""EM-estimated Fellegi-Sunter parameters (operators/fs_em.py):
+recovery of planted mixture parameters from exact expected pattern
+counts, and the Spark aggregation + weight emission path."""
+
+from __future__ import annotations
+
+from itertools import product
+
+from pyspark.sql import functions as F
+
+from record_linkage_ldu_spark.operators.fs_em import (
+    estimate_fs_weights,
+    fs_em,
+    fs_pattern_counts,
+)
+
+
+def _expected_counts(n, p, m, u):
+    """Exact expected pattern counts of the two-class FS mixture."""
+    nf = len(m)
+    counts = []
+    for bits in product((0, 1), repeat=nf):
+        g = sum(b << (nf - 1 - i) for i, b in enumerate(bits))
+        pm = p
+        pu = 1.0 - p
+        for i, b in enumerate(bits):
+            pm *= m[i] if b else 1.0 - m[i]
+            pu *= u[i] if b else 1.0 - u[i]
+        counts.append((g, round(n * (pm + pu))))
+    return sorted(counts)
+
+
+def test_fs_em_recovers_planted_mixture():
+    true_p, true_m, true_u = 0.08, [0.95, 0.9, 0.85, 0.92], [0.05, 0.02, 0.1, 0.03]
+    counts = _expected_counts(2_000_000, true_p, true_m, true_u)
+    fit = fs_em(counts, 4, iters=200)
+    assert abs(fit["p"] - true_p) < 0.01
+    for i in range(4):
+        assert abs(fit["m"][i] - true_m[i]) < 0.03, ("m", i, fit["m"])
+        assert abs(fit["u"][i] - true_u[i]) < 0.03, ("u", i, fit["u"])
+
+
+def test_fs_em_degenerate_counts_stay_finite():
+    """All-agree + all-disagree only (the saturation shape that used
+    to 0/0): params clamp into (0,1) and stay finite."""
+    fit = fs_em([(0, 900), (15, 100)], 4, iters=50)
+    for v in (fit["p"], *fit["m"], *fit["u"]):
+        assert 0.0 < v < 1.0
+
+
+def test_estimate_fs_weights_spark_path(spark):
+    """End-to-end over a scored-pairs frame: matched pairs sim ~1,
+    unmatched ~0 with some chance agreement — m >> u per field and
+    w_agree > 1 > w_disagree."""
+    rows = []
+    for i in range(300):
+        if i % 10 == 0:  # matched pair: all fields agree
+            rows.append((0.99, 0.97, 1.0, 0.95))
+        else:  # unmatched: name agrees by chance 10% of the time
+            rows.append((0.9 if i % 10 == 1 else 0.1, 0.0, 0.2, 0.3))
+    df = spark.createDataFrame(
+        rows, "name double, phone double, email double, address double"
+    )
+    fields = ("name", "phone", "email", "address")
+    pats = {
+        r["g"]: r["c"]
+        for r in fs_pattern_counts(df, fields, tau=0.85).collect()
+    }
+    assert pats[15] == 30 and pats[8] == 30 and pats[0] == 240
+    out = {
+        r["field"]: r
+        for r in estimate_fs_weights(spark, df, fields, iters=50).collect()
+    }
+    assert set(out) == set(fields)
+    for f in fields:
+        assert out[f]["m"] > out[f]["u"]
+        assert out[f]["w_agree"] > 1.0 > out[f]["w_disagree"]
+    # fitted prevalence ~ the planted 10%
+    assert abs(out["name"]["p"] - 0.1) < 0.02
