@@ -968,6 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fs_em_weights"] = lambda s, d: fs_em_mod.estimate_fs_weights(
         s, _pair_scores(s, d), _FS_FIELDS, tau=0.85, iters=10
     )
+    # ...and the fit applied back to the pairs: posterior match
+    # probability per candidate pair under the learned mixture
+    q["fs_match_probability"] = lambda s, d: _fs_match_prob(s, d)
     return _ordered(q)
 
 
@@ -977,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "fs_match_probability",
     "fs_em_weights",
     "media_block_pairs",
     "bloom_decontaminate",
@@ -1352,6 +1356,18 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _fs_match_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-then-apply: fit the FS mixture on the candidate pairs
+    (bounded pattern-count collect), then score every pair with its
+    posterior match probability under the fit."""
+    scored = _pair_scores(spark, sf_dir)
+    rows = fs_em_mod.fs_pattern_counts(scored, _FS_FIELDS, tau=0.85).collect()
+    fit = fs_em_mod.fs_em(
+        sorted((r["g"], r["c"]) for r in rows), len(_FS_FIELDS), iters=10
+    )
+    return fs_em_mod.fs_match_probability(scored, fit, _FS_FIELDS, tau=0.85)
 
 
 def _media_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2096,6 +2112,9 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id % 37 = 0", min_shared=2
     )
     sql["fs_em_weights"] = fs_em_mod.sql_estimate_fs_weights(
+        _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
+    )
+    sql["fs_match_probability"] = fs_em_mod.sql_fs_match_probability(
         _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
     )
     sql["media_block_pairs"] = f"""

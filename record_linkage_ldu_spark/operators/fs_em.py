@@ -227,3 +227,78 @@ def sql_estimate_fs_weights(
         for i, f in enumerate(fields)
     )
     return f"{scored_chain},\n    " + ",\n    ".join(parts) + f"\n    {branches}"
+
+
+def fs_match_probability(
+    scored_pairs: DataFrame,
+    fit: dict,
+    fields: tuple[str, ...],
+    tau: float = 0.85,
+) -> DataFrame:
+    """Apply an :func:`fs_em` fit back to the pairs: posterior match
+    probability under the fitted mixture,
+
+        odds = p/(1-p) * prod_i (g_i ? m_i/u_i : (1-m_i)/(1-u_i))
+        P(match | gamma) = odds / (1 + odds)
+
+    — the estimate->apply loop closed: unsupervised weights scoring
+    the very pairs they were fitted on (plus any new batch).  Pure
+    literal arithmetic per row (the fit is 2F+1 doubles), no shuffle
+    beyond what ``scored_pairs`` already carries."""
+    nf = len(fields)
+    prior = fit["p"] / (1.0 - fit["p"])
+    odds = F.lit(prior)
+    gcol = None
+    for i, f in enumerate(fields):
+        agree = F.col(f) >= F.lit(tau)
+        r_a = fit["m"][i] / fit["u"][i]
+        r_d = (1.0 - fit["m"][i]) / (1.0 - fit["u"][i])
+        odds = odds * F.when(agree, F.lit(r_a)).otherwise(F.lit(r_d))
+        bit = F.when(agree, F.lit(1 << (nf - 1 - i))).otherwise(F.lit(0))
+        gcol = bit if gcol is None else gcol + bit
+    return scored_pairs.select(
+        "doc_id_1",
+        "doc_id_2",
+        gcol.cast("int").alias("g"),
+        (odds / (F.lit(1.0) + odds)).alias("match_prob"),
+    )
+
+
+def sql_fs_match_probability(
+    scored_chain: str,
+    fields: tuple[str, ...],
+    tau: float = 0.85,
+    iters: int = 10,
+    p0: float = 0.1,
+    m0: float = 0.8,
+    u0: float = 0.2,
+) -> str:
+    """DuckDB twin: re-runs the unrolled EM (same generated CTEs as
+    :func:`sql_estimate_fs_weights`, so the same bits) and CROSS JOINs
+    the 1-row fit onto the scored pairs with the identical
+    multiplication order as :func:`fs_match_probability`."""
+    nf = len(fields)
+    masks = [1 << (nf - 1 - i) for i in range(nf)]
+    fit_sql = sql_estimate_fs_weights(
+        scored_chain, fields, tau, iters, p0, m0, u0
+    )
+    # keep everything up to (and including) the final it{iters} CTE;
+    # drop the UNION ALL presentation tail
+    head, _tail = fit_sql.rsplit("\n    SELECT '", 1)
+    odds = "(i.p / (1.0 - i.p))"
+    gexpr = " + ".join(
+        f'CASE WHEN s."{f}" >= {tau} THEN {masks[i]} ELSE 0 END'
+        for i, f in enumerate(fields)
+    )
+    for i, f in enumerate(fields):
+        odds += (
+            f' * (CASE WHEN s."{f}" >= {tau} '
+            f"THEN i.m{i} / i.u{i} "
+            f"ELSE (1.0 - i.m{i}) / (1.0 - i.u{i}) END)"
+        )
+    return f"""{head}
+        SELECT s.doc_id_1, s.doc_id_2,
+               CAST(({gexpr}) AS INT) AS g,
+               ({odds}) / (1.0 + ({odds})) AS match_prob
+        FROM scored s CROSS JOIN it{iters} i
+    """

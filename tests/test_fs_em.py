@@ -77,3 +77,37 @@ def test_estimate_fs_weights_spark_path(spark):
         assert out[f]["w_agree"] > 1.0 > out[f]["w_disagree"]
     # fitted prevalence ~ the planted 10%
     assert abs(out["name"]["p"] - 0.1) < 0.02
+
+
+def test_fs_match_probability_separates_classes(spark):
+    from record_linkage_ldu_spark.operators.fs_em import (
+        fs_match_probability,
+    )
+
+    rows = []
+    for i in range(300):
+        pre = (f"a{i}", f"b{i}")
+        if i % 10 == 0:
+            rows.append((*pre, 0.99, 0.97, 1.0, 0.95))
+        else:
+            rows.append((*pre, 0.9 if i % 10 == 1 else 0.1, 0.0, 0.2, 0.3))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id_1 string, doc_id_2 string, name double, phone double, "
+        "email double, address double",
+    )
+    fields = ("name", "phone", "email", "address")
+    pats = sorted(
+        (r["g"], r["c"])
+        for r in fs_pattern_counts(df, fields, tau=0.85).collect()
+    )
+    fit = fs_em(pats, 4, iters=50)
+    out = fs_match_probability(df, fit, fields).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["match_prob"])
+    # all-agree pattern -> near-certain match; all-disagree -> near 0;
+    # name-only chance agreement -> still low
+    assert min(by_g[15]) > 0.99
+    assert max(by_g[0]) < 0.01
+    assert max(by_g[8]) < 0.5
