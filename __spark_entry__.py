@@ -133,11 +133,14 @@ def _tune(spark: SparkSession) -> None:
 # of once per entry (round-3 verdict: the sweep outran the driver's
 # budget and 20 entries were never recorded).
 
-_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (id(spark), sf_dir, key)
+    # keyed by applicationId, not id(spark): a stopped session's
+    # address can be reused by a NEW session (CPython id collision),
+    # which would hand back frames bound to a dead SparkContext
+    k = (spark.sparkContext.applicationId, sf_dir, key)
     df = _MEMO.get(k)
     if df is None:
         df = build().persist()
@@ -1363,10 +1366,7 @@ def _fs_match_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded pattern-count collect), then score every pair with its
     posterior match probability under the fit."""
     scored = _pair_scores(spark, sf_dir)
-    rows = fs_em_mod.fs_pattern_counts(scored, _FS_FIELDS, tau=0.85).collect()
-    fit = fs_em_mod.fs_em(
-        sorted((r["g"], r["c"]) for r in rows), len(_FS_FIELDS), iters=10
-    )
+    fit = fs_em_mod.fit_fs(scored, _FS_FIELDS, tau=0.85, iters=10)
     return fs_em_mod.fs_match_probability(scored, fit, _FS_FIELDS, tau=0.85)
 
 

@@ -81,92 +81,98 @@ def skew_stress(spark) -> dict:
     prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # conf restore MUST survive scenario failures — a leaked -1
+    # broadcast threshold would corrupt every later timed stage
+    try:
 
-    def keys(n: int, mega_frac: float):
-        base = spark.range(n).select(
-            F.concat(F.lit("d"), F.col("id")).alias("doc_id"), "id"
-        )
-        uniform_key = F.concat(F.lit("k"), (F.col("id") % (n // 8)))
-        mega = int(n * mega_frac)
-        key = (
-            F.when(F.col("id") < mega, F.lit("MEGA")).otherwise(uniform_key)
-            if mega
-            else uniform_key
-        )
-        return base.select("doc_id", key.alias("block_key"))
+        def keys(n: int, mega_frac: float):
+            base = spark.range(n).select(
+                F.concat(F.lit("d"), F.col("id")).alias("doc_id"), "id"
+            )
+            uniform_key = F.concat(F.lit("k"), (F.col("id") % (n // 8)))
+            mega = int(n * mega_frac)
+            key = (
+                F.when(F.col("id") < mega, F.lit("MEGA")).otherwise(uniform_key)
+                if mega
+                else uniform_key
+            )
+            return base.select("doc_id", key.alias("block_key"))
 
-    N = 200_000
-    t0 = time.time()
-    out["uniform_pairs"] = candidate_pairs(keys(N, 0.0)).count()
-    out["uniform_wall_s"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    pairs, dropped = candidate_pairs_capped(keys(N, 0.1), cfg)
-    out["tiered_pairs"] = pairs.count()
-    out["tiered_wall_s"] = round(time.time() - t0, 3)
-    out["dropped_blocks"] = [
-        {"block_key": r["block_key"], "block_size": r["block_size"]}
-        for r in dropped.collect()
-    ]
-    mega_n = int(N * 0.1)
-    out["dropped_would_be_pairs"] = mega_n * (mega_n - 1) // 2
-
-    # quadratic growth of the untiered path, measured: single MEGA key
-    # -> one post-shuffle task enumerates the whole triangle
-    for n in (20_000, 40_000):
+        N = 200_000
         t0 = time.time()
-        cnt = candidate_pairs(keys(n, 0.1)).count()
-        out[f"untiered_{n}_pairs"] = cnt
-        out[f"untiered_{n}_wall_s"] = round(time.time() - t0, 3)
-    if out["untiered_20000_wall_s"] > 0:
-        out["untiered_wall_ratio_2x_docs"] = round(
-            out["untiered_40000_wall_s"] / out["untiered_20000_wall_s"], 2
-        )
+        out["uniform_pairs"] = candidate_pairs(keys(N, 0.0)).count()
+        out["uniform_wall_s"] = round(time.time() - t0, 3)
 
-    # salt tier: one hot block in (max_block_size, ceiling] — ~3.1M
-    # pairs all in ONE post-shuffle task for the plain equi-join vs
-    # salt*(salt+1)/2 = 36 bounded-width cells for the salted triangle
-    # join.  Two measurement traps, both hit and fixed here:
-    #   1. the block key must NOT be a foldable literal — with
-    #      F.lit("HOT") on both sides Catalyst constant-folds the join
-    #      condition to TRUE and plans a naturally-parallel cartesian,
-    #      erasing the skew (a synthetic-benchmark artifact; real keys
-    #      come from scans and never fold);
-    #   2. each pair carries a production-like scoring expression
-    #      (md5-widened levenshtein, ~32-char operands — ~100k scored
-    #      pairs/s/core, the same order as the real RO/JW kernels);
-    #      bare COUNT enumerates pairs at ~1M+/s/task and understates
-    #      the straggler 10x.
-    # At 16k docs (128M pairs) the measured gap is 304.6s plain vs
-    # 23.5s salted (13x) — too slow for a per-round bench, so the
-    # committed scenario runs 2k docs and reports the same shape.
-    hot = spark.range(2_000).select(
-        F.concat(F.lit("h"), F.col("id")).alias("doc_id"),
-        F.when(F.col("id") >= 0, F.lit("HOT")).alias("block_key"),
-    )
-
-    def _scored_wall(pairs_df) -> tuple[int, float]:
         t0 = time.time()
-        row = pairs_df.select(
-            F.count("*").alias("n"),
-            F.sum(
-                F.levenshtein(F.md5("doc_id_1"), F.md5("doc_id_2"))
-            ).alias("s"),
-        ).collect()[0]
-        return row["n"], round(time.time() - t0, 3)
+        pairs, dropped = candidate_pairs_capped(keys(N, 0.1), cfg)
+        out["tiered_pairs"] = pairs.count()
+        out["tiered_wall_s"] = round(time.time() - t0, 3)
+        out["dropped_blocks"] = [
+            {"block_key": r["block_key"], "block_size": r["block_size"]}
+            for r in dropped.collect()
+        ]
+        mega_n = int(N * 0.1)
+        out["dropped_would_be_pairs"] = mega_n * (mega_n - 1) // 2
 
-    out["hot_plain_pairs"], out["hot_plain_scored_wall_s"] = _scored_wall(
-        candidate_pairs(hot, dedup=False)
-    )
-    out["hot_salted_pairs"], out["hot_salted_scored_wall_s"] = _scored_wall(
-        salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
-    )
-    if out["hot_salted_scored_wall_s"] > 0:
-        out["hot_salt_speedup"] = round(
-            out["hot_plain_scored_wall_s"] / out["hot_salted_scored_wall_s"], 2
+        # quadratic growth of the untiered path, measured: single MEGA key
+        # -> one post-shuffle task enumerates the whole triangle
+        for n in (20_000, 40_000):
+            t0 = time.time()
+            cnt = candidate_pairs(keys(n, 0.1)).count()
+            out[f"untiered_{n}_pairs"] = cnt
+            out[f"untiered_{n}_wall_s"] = round(time.time() - t0, 3)
+        if out["untiered_20000_wall_s"] > 0:
+            out["untiered_wall_ratio_2x_docs"] = round(
+                out["untiered_40000_wall_s"] / out["untiered_20000_wall_s"], 2
+            )
+
+        # salt tier: one hot block in (max_block_size, ceiling] — ~3.1M
+        # pairs all in ONE post-shuffle task for the plain equi-join vs
+        # salt*(salt+1)/2 = 36 bounded-width cells for the salted triangle
+        # join.  Two measurement traps, both hit and fixed here:
+        #   1. the block key must NOT be a foldable literal — with
+        #      F.lit("HOT") on both sides Catalyst constant-folds the join
+        #      condition to TRUE and plans a naturally-parallel cartesian,
+        #      erasing the skew (a synthetic-benchmark artifact; real keys
+        #      come from scans and never fold);
+        #   2. each pair carries a production-like scoring expression
+        #      (md5-widened levenshtein, ~32-char operands — ~100k scored
+        #      pairs/s/core, the same order as the real RO/JW kernels);
+        #      bare COUNT enumerates pairs at ~1M+/s/task and understates
+        #      the straggler 10x.
+        # At 16k docs (128M pairs) the measured gap is 304.6s plain vs
+        # 23.5s salted (13x) — too slow for a per-round bench, so the
+        # committed scenario runs 2k docs and reports the same shape.
+        hot = spark.range(2_000).select(
+            F.concat(F.lit("h"), F.col("id")).alias("doc_id"),
+            F.when(F.col("id") >= 0, F.lit("HOT")).alias("block_key"),
         )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coal)
+
+        def _scored_wall(pairs_df) -> tuple[int, float]:
+            t0 = time.time()
+            row = pairs_df.select(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.levenshtein(F.md5("doc_id_1"), F.md5("doc_id_2"))
+                ).alias("s"),
+            ).collect()[0]
+            return row["n"], round(time.time() - t0, 3)
+
+        out["hot_plain_pairs"], out["hot_plain_scored_wall_s"] = _scored_wall(
+            candidate_pairs(hot, dedup=False)
+        )
+        out["hot_salted_pairs"], out["hot_salted_scored_wall_s"] = _scored_wall(
+            salted_candidate_pairs(hot, salt=cfg.salt_buckets, dedup=False)
+        )
+        if out["hot_salted_scored_wall_s"] > 0:
+            out["hot_salt_speedup"] = round(
+                out["hot_plain_scored_wall_s"] / out["hot_salted_scored_wall_s"], 2
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coal
+        )
     return out
 
 

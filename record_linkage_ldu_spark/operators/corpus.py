@@ -679,10 +679,13 @@ def sql_bow_score_weighted(
     integer SUM — same no-lambda-nesting workaround as
     ``sql_hashed_bow_score``)."""
     scale = scale or max(abs(int(w)) for w in weights.values()) or 1
+    def q(tok: str) -> str:  # SQL string literal, quotes doubled
+        return "'" + tok.replace("'", "''") + "'"
+
     case = (
         "CASE tok "
         + " ".join(
-            f"WHEN '{k}' THEN {int(weights[k])}" for k in sorted(weights)
+            f"WHEN {q(k)} THEN {int(weights[k])}" for k in sorted(weights)
         )
         + " ELSE 0 END"
     )
@@ -1216,31 +1219,32 @@ def line_dedup(
         .where(F.col("n_docs") >= min_dup_docs)
         .select("k")
     )
-    kept = lines.join(boiler.withColumn("boiler", F.lit(True)), "k", "left").where(
-        ~(F.col("nonblank") & F.coalesce(F.col("boiler"), F.lit(False)))
+    # ONE join + ONE groupBy: `lines` (the expensive per-line explode +
+    # md5 projection) is referenced by the census and by the marked
+    # join only — collect_list skips the NULL structs of removed lines,
+    # so totals, kept text, and removed counts all come out of the same
+    # aggregation instead of three passes over the exploded plan.
+    marked = lines.join(
+        boiler.withColumn("boiler", F.lit(True)), "k", "left"
+    ).withColumn(
+        "keep",
+        ~(F.col("nonblank") & F.coalesce(F.col("boiler"), F.lit(False))),
     )
-    rebuilt = kept.groupBy("doc_id").agg(
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.col("n_lines").cast("long").alias("n_lines"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_removed"),
+    ).select("doc_id", "text", "n_lines", "n_removed")
 
 
 def sql_line_dedup(
@@ -1376,30 +1380,36 @@ def bloom_decontaminate(
     probes = cfp.select(
         "doc_id", "fingerprint", F.explode(positions()).alias("pos")
     )
-    passing = (
+    # one row back per (doc_id, fingerprint) — `cfp` (the winnowing
+    # chain, the dominant cost at corpus scale) is referenced by this
+    # path ONLY, so totals/pass/shared all come from one aggregation
+    # instead of re-deriving the fingerprint table per output column
+    hits = (
         probes.join(F.broadcast(bloom), "pos", "left")
         .groupBy("doc_id", "fingerprint")
-        .agg(F.coalesce(F.sum("_h"), F.lit(0)).alias("_nh"))
-        .where(F.col("_nh") == n_hashes)
+        .agg(
+            (F.coalesce(F.sum("_h"), F.lit(0)) == n_hashes).alias("_pass")
+        )
     )
-    exact = passing.join(
+    flagged = hits.join(
         F.broadcast(bfp.withColumn("_e", F.lit(1))), "fingerprint", "left"
-    ).groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bloom_pass"),
-        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_shared"),
     )
-    totals = cfp.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_fps")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum(F.col("_pass").cast("long")).cast("long").alias("n_bloom_pass"),
+        F.sum((F.col("_pass") & F.col("_e").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_shared"),
     )
-    return totals.join(exact, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
         "n_fps",
-        F.coalesce("n_bloom_pass", F.lit(0)).cast("long").alias("n_bloom_pass"),
-        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
-        (F.coalesce("n_bloom_pass", F.lit(0)) - F.coalesce("n_shared", F.lit(0)))
+        "n_bloom_pass",
+        "n_shared",
+        (F.col("n_bloom_pass") - F.col("n_shared"))
         .cast("long")
         .alias("n_bloom_fp"),
-        F.when(F.coalesce("n_shared", F.lit(0)) >= min_shared, F.lit(1))
+        F.when(F.col("n_shared") >= min_shared, F.lit(1))
         .otherwise(F.lit(0))
         .alias("contaminated"),
     )

@@ -115,9 +115,7 @@ def estimate_fs_weights(
     match prevalence p.  The only driver materialization is the 2^F
     pattern-count table (<= 16 rows at F=4) — bounded at any corpus
     size."""
-    rows = fs_pattern_counts(scored_pairs, fields, tau).collect()
-    counts = sorted((r["g"], r["c"]) for r in rows)
-    fit = fs_em(counts, len(fields), iters)
+    fit = fit_fs(scored_pairs, fields, tau, iters)
     out = [
         (
             f,
@@ -302,3 +300,17 @@ def sql_fs_match_probability(
                ({odds}) / (1.0 + ({odds})) AS match_prob
         FROM scored s CROSS JOIN it{iters} i
     """
+
+
+def fit_fs(
+    scored_pairs: DataFrame,
+    fields: tuple[str, ...],
+    tau: float = 0.85,
+    iters: int = 10,
+) -> dict:
+    """The shared collect-and-fit step: pattern counts (bounded 2^F
+    driver materialization) -> sorted -> :func:`fs_em`.  Both
+    :func:`estimate_fs_weights` and posterior scoring go through this,
+    so tau/sort-order/iteration semantics can never drift apart."""
+    rows = fs_pattern_counts(scored_pairs, fields, tau).collect()
+    return fs_em(sorted((r["g"], r["c"]) for r in rows), len(fields), iters)

@@ -59,20 +59,43 @@ _STYLES = (
 )
 
 
-def _cell_xml(value) -> str:
+def _col_ref(idx: int) -> str:
+    """0-based column index -> A1-style column letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _cell_xml(value, ref: str) -> str:
     """One cell: numbers as native numeric cells, everything else as an
-    inline string; None/'' emit NO cell (Excel renders a blank)."""
+    inline string; None/'' emit NO cell (Excel renders a blank).  Every
+    emitted cell carries its ``r`` reference — without it, a skipped
+    blank silently shifts later cells one column left (ECMA-376 places
+    an r-less cell after the previous one)."""
+    import math
+
     if value is None:
         return ""
     if isinstance(value, bool):  # bool is an int subclass — keep text
-        return f"<c t=\"inlineStr\"><is><t>{str(value).lower()}</t></is></c>"
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t>'
+            f"{str(value).lower()}</t></is></c>"
+        )
     if isinstance(value, (int, float)):
-        return f"<c><v>{value!r}</v></c>"
+        if isinstance(value, float) and not math.isfinite(value):
+            # NaN/inf are not valid xlsx numerics — keep as text
+            return (
+                f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
+            )
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
     s = str(value)
     if s == "":
         return ""
     return (
-        '<c t="inlineStr"><is><t xml:space="preserve">'
+        f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
         + escape(s)
         + "</t></is></c>"
     )
@@ -84,10 +107,17 @@ def _sheet_xml(header: list[str], rows: list[list]) -> str:
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         "<sheetData>"
     ]
-    parts.append("<row>" + "".join(_cell_xml(h) for h in header) + "</row>")
-    for row in rows:
-        cells = "".join(_cell_xml(v) for v in row)
-        parts.append(f"<row>{cells}</row>" if cells else "<row/>")
+
+    def row_xml(values, rownum: int) -> str:
+        cells = "".join(
+            _cell_xml(v, f"{_col_ref(ci)}{rownum}")
+            for ci, v in enumerate(values)
+        )
+        return f'<row r="{rownum}">{cells}</row>' if cells else "<row/>"
+
+    parts.append(row_xml(header, 1))
+    for rn, row in enumerate(rows, start=2):
+        parts.append(row_xml(row, rn))
     parts.append("</sheetData></worksheet>")
     return "".join(parts)
 
@@ -104,8 +134,12 @@ def write_xlsx(path: str, sheets: list[tuple[str, list[str], list[list]]]) -> No
         'spreadsheetml.worksheet+xml"/>'
         for i in range(len(sheets))
     )
+    for name, _, _ in sheets:
+        if not name or len(name) > 31 or any(c in name for c in '[]:*?/\\'):
+            raise ValueError(f"invalid Excel sheet name: {name!r}")
     sheet_decls = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, (name, _, _) in enumerate(sheets)
     )
     workbook = (

@@ -142,3 +142,43 @@ def test_reference_three_sheet_workbook(spark, tmp_path):
         nver_ids = {r[0] for r in nver[1:] if r}
         assert ver_ids == {"a1", "b1"}
         assert nver_ids == {"a2", "b2"}
+
+
+def test_cell_references_keep_columns_aligned(tmp_path):
+    """A None mid-row must NOT shift later cells left: every emitted
+    cell carries its A1-style reference (r4 review fix)."""
+    path = str(tmp_path / "align.xlsx")
+    write_xlsx(
+        path,
+        [("s", ["id", "email", "score"], [["d1", None, 7.5]])],
+    )
+    with zipfile.ZipFile(path) as zf:
+        ws = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        rows = list(ws.iter(f"{NS}row"))
+        data = {c.get("r"): c for c in rows[1].iter(f"{NS}c")}
+        assert set(data) == {"A2", "C2"}  # B2 (email) absent, C intact
+        assert data["C2"].find(f"{NS}v").text == "7.5"
+        # header refs present too
+        assert {c.get("r") for c in rows[0].iter(f"{NS}c")} == {
+            "A1", "B1", "C1",
+        }
+
+
+def test_nonfinite_floats_written_as_text(tmp_path):
+    path = str(tmp_path / "nan.xlsx")
+    write_xlsx(path, [("s", ["v"], [[float("nan")], [float("inf")]])])
+    with zipfile.ZipFile(path) as zf:
+        rows = _rows(zf, "xl/worksheets/sheet1.xml")
+    assert rows[1] == ["nan"] and rows[2] == ["inf"]
+
+
+def test_sheet_name_validation_and_quote_escape(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "names.xlsx")
+    for bad in ("", "x" * 32, "a/b", "a[b]", "a*b"):
+        with pytest.raises(ValueError):
+            write_xlsx(path, [(bad, ["x"], [])])
+    write_xlsx(path, [('say "hi"', ["x"], [["y"]])])
+    with zipfile.ZipFile(path) as zf:
+        assert _sheet_names(zf) == ['say "hi"']
