@@ -974,6 +974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ...and the fit applied back to the pairs: posterior match
     # probability per candidate pair under the learned mixture
     q["fs_match_probability"] = lambda s, d: _fs_match_prob(s, d)
+    # rare-token blocking (token blocking with document-frequency
+    # pruning — the Magellan/JedAI family): candidates share a name
+    # token selective enough to mean something
+    q["token_blocking_pairs"] = lambda s, d: _token_block_pairs(s, d)
     return _ordered(q)
 
 
@@ -983,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "token_blocking_pairs",
     "fs_match_probability",
     "fs_em_weights",
     "media_block_pairs",
@@ -1359,6 +1364,40 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token blocking (token blocking + document-frequency
+    pruning, the Magellan/JedAI blocking family): every distinct
+    normalized-name token whose document frequency lies in [2, 50]
+    becomes a block key — frequent tokens are unselective (and would
+    be mega-blocks), df-1 tokens pair nothing.  The df window bounds
+    every block at 50 docs, so the pair volume per key is bounded by
+    construction (the census/cap/salt tiers stay for the key families
+    whose sizes aren't pre-bounded).
+
+    Scale shape: one explode (distinct tokens per doc), one df census
+    groupBy, one left-semi join back on the token (both sides already
+    partition by it), then the standard pair join + multi-key dedup."""
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+
+    rec = _records(spark, sf_dir).select("doc_id", "name")
+    toks = rec.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.tokens(F.coalesce(F.col("name"), F.lit(""))))
+        ).alias("tok"),
+    )
+    selective = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("tok")
+    )
+    keys = toks.join(selective, "tok", "left_semi").select(
+        "doc_id", F.concat(F.lit("tk:"), F.col("tok")).alias("block_key")
+    )
+    return candidate_pairs(keys)
 
 
 def _fs_match_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,6 +2156,27 @@ def oracle_sql() -> dict[str, str]:
     sql["fs_match_probability"] = fs_em_mod.sql_fs_match_probability(
         _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
     )
+    sql["token_blocking_pairs"] = f"""
+        {_sql_chain("norm")},
+        ntoks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {T.sql_tokens("coalesce(name, '')")})) AS tok
+            FROM norm
+        ),
+        selective AS (
+            SELECT tok FROM ntoks
+            GROUP BY tok
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+        ),
+        tkeys AS (
+            SELECT doc_id, tok FROM ntoks
+            WHERE tok IN (SELECT tok FROM selective)
+        )
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM tkeys a JOIN tkeys b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+    """
     sql["media_block_pairs"] = f"""
         WITH {synth_sql_cte()},
         mkeys AS (

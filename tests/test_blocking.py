@@ -182,3 +182,38 @@ def test_salted_cross_pairs_equal_plain_join(spark):
         if int(p[0][1:]) % 3 == 0 and int(p[1][1:]) % 4 == 0
     }
     assert len(salted_rows) == len(salted) + len(multi_key)
+
+
+def test_rare_token_blocking_df_window(spark):
+    """Token blocking with df pruning (driver query
+    token_blocking_pairs): docs sharing a token inside the df window
+    pair up; unique tokens and too-frequent tokens generate nothing."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.functions.text import tokens
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+
+    rows = [
+        ("d1", "acme zebra"),       # zebra shared with d2 (df=2)
+        ("d2", "zebra corp"),
+        ("d3", "unique snowflake"), # df=1 tokens -> no pairs
+    ] + [(f"c{i}", "common") for i in range(60)]  # df=60 > cap
+    rec = spark.createDataFrame(rows, "doc_id string, name string")
+    toks = rec.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("name")))).alias("tok"),
+    )
+    selective = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("tok")
+    )
+    keys = toks.join(selective, "tok", "left_semi").select(
+        "doc_id", F.col("tok").alias("block_key")
+    )
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(keys).collect()
+    }
+    assert pairs == {("d1", "d2")}
