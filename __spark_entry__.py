@@ -978,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pruning — the Magellan/JedAI family): candidates share a name
     # token selective enough to mean something
     q["token_blocking_pairs"] = lambda s, d: _token_block_pairs(s, d)
+    # meta-blocking (Papadakis et al.): CBS-weight every candidate by
+    # its shared-block count and keep the corroborated pairs
+    q["meta_blocking_pairs"] = lambda s, d: _meta_block_pairs(s, d)
     return _ordered(q)
 
 
@@ -987,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "meta_blocking_pairs",
     "token_blocking_pairs",
     "fs_match_probability",
     "fs_em_weights",
@@ -1364,6 +1368,29 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _meta_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking with CBS (common-blocks) weighting (Papadakis et
+    al., TKDE'14): instead of scoring every candidate a multi-key
+    blocking emits, weight each pair by HOW MANY block keys it shares
+    and keep only corroborated pairs (>= 2 shared keys).  On redundant
+    multi-key schemes this prunes the candidate set far below the
+    union while keeping the pairs two independent keys agree on — the
+    standard pre-scoring volume reducer at web scale.
+
+    Scale shape: the per-key pair enumeration is the same shuffle the
+    candidate join already does (dedup=False skips the dedup pass);
+    the CBS weight is ONE groupBy on the pair id — no new join, and the
+    scoring stage downstream now sees the pruned set."""
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+
+    per_key = candidate_pairs(_capped_keys(spark, sf_dir), dedup=False)
+    return (
+        per_key.groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").cast("long").alias("n_shared_blocks"))
+        .where(F.col("n_shared_blocks") >= 2)
+    )
 
 
 def _token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2156,6 +2183,15 @@ def oracle_sql() -> dict[str, str]:
     sql["fs_match_probability"] = fs_em_mod.sql_fs_match_probability(
         _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
     )
+    sql["meta_blocking_pairs"] = f"""
+        {_sql_chain("keys")}
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(count(*) AS BIGINT) AS n_shared_blocks
+        FROM keys_capped a JOIN keys_capped b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """
     sql["token_blocking_pairs"] = f"""
         {_sql_chain("norm")},
         ntoks AS (

@@ -217,3 +217,31 @@ def test_rare_token_blocking_df_window(spark):
         for r in candidate_pairs(keys).collect()
     }
     assert pairs == {("d1", "d2")}
+
+
+def test_meta_blocking_cbs_keeps_corroborated_pairs(spark):
+    """CBS meta-blocking: pairs sharing >= 2 block keys survive, pairs
+    reached by a single key are pruned, and the weight is the shared
+    count."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.operators.blocking import candidate_pairs
+
+    keys = spark.createDataFrame(
+        [
+            ("d1", "k1"), ("d1", "k2"),
+            ("d2", "k1"), ("d2", "k2"),   # d1-d2 share 2 keys -> kept
+            ("d3", "k1"),                 # d3 reaches d1/d2 via k1 only
+        ],
+        "doc_id string, block_key string",
+    )
+    per_key = candidate_pairs(keys, dedup=False)
+    cbs = (
+        per_key.groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("n_shared_blocks"))
+        .where(F.col("n_shared_blocks") >= 2)
+        .collect()
+    )
+    assert [(r["doc_id_1"], r["doc_id_2"], r["n_shared_blocks"]) for r in cbs] == [
+        ("d1", "d2", 2)
+    ]
