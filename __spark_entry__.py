@@ -42,6 +42,7 @@ from record_linkage_ldu_spark.functions import normalizers as N
 from record_linkage_ldu_spark.functions import text as T
 from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
 from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules
+from record_linkage_ldu_spark.operators import evaluate as ev
 from record_linkage_ldu_spark.operators import fs_em as fs_em_mod
 from record_linkage_ldu_spark.operators.evaluate import (
     cluster_diff,
@@ -981,6 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # meta-blocking (Papadakis et al.): CBS-weight every candidate by
     # its shared-block count and keep the corroborated pairs
     q["meta_blocking_pairs"] = lambda s, d: _meta_block_pairs(s, d)
+    # survivorship: one canonical (golden) record per cluster — modal
+    # non-empty value per field, ties by value asc
+    q["golden_records"] = lambda s, d: ev.golden_records(
+        _records(s, d), _clusters(s, d)
+    )
     return _ordered(q)
 
 
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "golden_records",
     "meta_blocking_pairs",
     "token_blocking_pairs",
     "fs_match_probability",
@@ -2183,6 +2190,47 @@ def oracle_sql() -> dict[str, str]:
     sql["fs_match_probability"] = fs_em_mod.sql_fs_match_probability(
         _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
     )
+    sql["golden_records"] = f"""
+        {_SQL_CC},
+        clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        j AS (
+            SELECT c.cluster_id, n.name, n.phone, n.email, n.address
+            FROM clusters c JOIN norm n USING (doc_id)
+        ),
+        melt AS (
+            SELECT cluster_id, 'name' AS field, name AS value FROM j
+            UNION ALL SELECT cluster_id, 'phone', phone FROM j
+            UNION ALL SELECT cluster_id, 'email', email FROM j
+            UNION ALL SELECT cluster_id, 'address', address FROM j
+        ),
+        counts AS (
+            SELECT cluster_id, field, value, count(*) AS n FROM melt
+            WHERE value IS NOT NULL AND value <> '' GROUP BY 1, 2, 3
+        ),
+        top AS (
+            SELECT cluster_id, field, value FROM counts
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster_id, field
+                ORDER BY n DESC, value ASC) = 1
+        ),
+        golden AS (
+            SELECT cluster_id,
+                   max(CASE WHEN field = 'name' THEN value END) AS name,
+                   max(CASE WHEN field = 'phone' THEN value END) AS phone,
+                   max(CASE WHEN field = 'email' THEN value END) AS email,
+                   max(CASE WHEN field = 'address' THEN value END) AS address
+            FROM top GROUP BY cluster_id
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY 1
+        )
+        SELECT s.cluster_id, s.cluster_size,
+               g.name, g.phone, g.email, g.address
+        FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
     sql["meta_blocking_pairs"] = f"""
         {_sql_chain("keys")}
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,

@@ -191,3 +191,63 @@ def presentation_view(
         .join(match_ids, "doc_id", "left")
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def golden_records(
+    records: DataFrame,
+    clusters: DataFrame,
+    fields: tuple[str, ...] = ("name", "phone", "email", "address"),
+) -> DataFrame:
+    """Survivorship: ONE canonical record per cluster — the step an ER
+    user runs right after clustering (the reference stops at grouped
+    presentation; a downstream system wants a single golden row per
+    entity).  Rule, deterministic and engine-portable: per field, the
+    MODAL non-empty value across the cluster's members, ties broken by
+    value ascending; fields with no non-empty value stay NULL.
+
+    Scale shape: melt = one narrow xF explode; the mode is one groupBy
+    on (cluster, field, value) + a window bounded by cluster size —
+    every shuffle partitions on its key, no driver materialization,
+    no UDF.
+    """
+    from pyspark.sql.window import Window
+
+    joined = records.join(clusters, "doc_id").select(
+        "cluster_id", *[F.col(f).cast("string").alias(f) for f in fields]
+    )
+    melted = joined.select(
+        "cluster_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"), F.col(f).alias("value")
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv"),
+    ).select("cluster_id", F.col("fv.field").alias("field"), F.col("fv.value").alias("value"))
+    counts = (
+        melted.where(F.col("value").isNotNull() & (F.col("value") != ""))
+        .groupBy("cluster_id", "field", "value")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cluster_id", "field").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    golden = top.groupBy("cluster_id").agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
+            for f in fields
+        ]
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.join(golden, "cluster_id", "left").select(
+        "cluster_id", "cluster_size", *fields
+    )

@@ -125,3 +125,37 @@ def test_cc_auto_dispatch(spark, monkeypatch):
         for r in connected_components(edges, method="auto").collect()
     }
     assert got == expected
+
+
+def test_golden_records_survivorship(spark):
+    """One golden row per cluster: modal non-empty value per field,
+    ties broken by value ascending, all-empty fields NULL, singletons
+    pass through."""
+    from record_linkage_ldu_spark.operators.evaluate import golden_records
+
+    records = spark.createDataFrame(
+        [
+            # cluster A: 'acme corp' wins name 2-1; phone tie 1-1 ->
+            # lexicographically smaller '111' wins; email all empty
+            ("a1", "acme corp", "111", "", "1 main st"),
+            ("a2", "acme corp", "222", None, "1 main st"),
+            ("a3", "acme inc", "", "", "1 main st"),
+            # singleton cluster B
+            ("b1", "solo llc", "999", "s@x.com", ""),
+        ],
+        "doc_id string, name string, phone string, email string, "
+        "address string",
+    )
+    clusters = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b1", "b1")],
+        "doc_id string, cluster_id string",
+    )
+    out = {r["cluster_id"]: r for r in golden_records(records, clusters).collect()}
+    a = out["a1"]
+    assert (a["cluster_size"], a["name"], a["phone"], a["email"], a["address"]) == (
+        3, "acme corp", "111", None, "1 main st",
+    )
+    b = out["b1"]
+    assert (b["cluster_size"], b["name"], b["email"], b["address"]) == (
+        1, "solo llc", "s@x.com", None,
+    )
