@@ -58,7 +58,10 @@ from record_linkage_ldu_spark.operators.blocking import (
     sorted_neighborhood_pairs,
     sorted_neighborhood_pairs_cross,
 )
-from record_linkage_ldu_spark.operators.cc import connected_components
+from record_linkage_ldu_spark.operators.cc import (
+    connected_components,
+    edge_corroboration,
+)
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
     media_dedup,
@@ -66,7 +69,11 @@ from record_linkage_ldu_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from record_linkage_ldu_spark.operators.scoring import attach_pair_sides
+from record_linkage_ldu_spark.operators.scoring import (
+    attach_pair_sides,
+    monge_elkan_scores,
+    tfidf_token_cosine,
+)
 from record_linkage_ldu_spark.operators.spans import span_fingerprint
 from record_linkage_ldu_spark.plans.linkage import (
     LinkageConfig,
@@ -987,6 +994,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["golden_records"] = lambda s, d: ev.golden_records(
         _records(s, d), _clusters(s, d)
     )
+    # cluster-level evaluation: B-cubed P/R/F1 + Adjusted Rand Index of
+    # the pipeline clustering vs the synth gold partition — contingency
+    # cells only, no pair materialization
+    q["cluster_metrics"] = lambda s, d: _cluster_metrics_q(s, d)
+    # TF-IDF token cosine over the candidate pairs: the token-set
+    # scorer (Magellan family) that survives word reorder and
+    # down-weights corpus-frequent tokens
+    q["tfidf_pair_scores"] = lambda s, d: tfidf_token_cosine(
+        _records(s, d), _cand_pairs(s, d)
+    )
+    # symmetric Monge-Elkan (best-JW token alignment, averaged both
+    # directions) on a deterministic pair sample
+    q["monge_elkan_scores"] = lambda s, d: monge_elkan_scores(
+        _records(s, d),
+        _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
+    )
+    # per-cluster cohesion triage (density + weakest edge): the
+    # quantified form of the reference's "look for unreasonably large
+    # groups" review advice
+    q["cluster_cohesion"] = lambda s, d: ev.cluster_cohesion(
+        _clusters(s, d), _matches(s, d)
+    )
+    # graph evidence per accepted match edge: common-neighbor count +
+    # Adamic-Adar — ranks lone-bridge edges (the cluster-chaining
+    # risk) to the top of the review queue
+    q["edge_corroboration"] = lambda s, d: edge_corroboration(
+        _matches(s, d).select("doc_id_1", "doc_id_2")
+    )
+    # Fellegi-Sunter three-way decision counts (link / clerical-review
+    # band / non-link) under the EM-fitted posterior
+    q["fs_decisions"] = lambda s, d: fs_em_mod.fs_decisions(
+        _fs_match_prob(s, d)
+    )
     return _ordered(q)
 
 
@@ -996,6 +1036,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "fs_decisions",
+    "edge_corroboration",
+    "cluster_cohesion",
+    "monge_elkan_scores",
+    "tfidf_pair_scores",
+    "cluster_metrics",
     "golden_records",
     "meta_blocking_pairs",
     "token_blocking_pairs",
@@ -1506,6 +1552,17 @@ def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_same_url",
         F.count("*").over(Window.partitionBy("canonical")).cast("long"),
     )
+
+
+def _cluster_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level quality of the pipeline's own clustering vs the
+    synth gold partition (entity key embedded in doc_id): B-cubed
+    P/R/F1 + ARI — the cluster-level complement of evaluate_prf."""
+    clus = _clusters(spark, sf_dir)
+    gold = _records(spark, sf_dir).select(
+        "doc_id", F.substring("doc_id", 2, 9).alias("gold_id")
+    )
+    return ev.cluster_metrics(clus, gold)
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2230,6 +2287,191 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.cluster_id, s.cluster_size,
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
+    sql["cluster_cohesion"] = f"""
+        {_SQL_CC},
+        clus AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        e AS (
+            SELECT c.cluster_id, m.score
+            FROM matches m JOIN clus c ON m.doc_id_1 = c.doc_id
+        ),
+        per_edge AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+                   round(min(score), 6) AS min_score,
+                   round(avg(score), 6) AS avg_score
+            FROM e GROUP BY 1
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM clus GROUP BY 1
+        )
+        SELECT s.cluster_id, s.n_members,
+               coalesce(p.n_edges, 0) AS n_edges,
+               round(coalesce(p.n_edges, 0)
+                     / (s.n_members * (s.n_members - 1) / 2.0), 6) AS density,
+               p.min_score, p.avg_score
+        FROM sizes s LEFT JOIN per_edge p USING (cluster_id)
+        WHERE s.n_members >= 2
+    """
+    sql["edge_corroboration"] = f"""
+        {_sql_chain("matches")},
+        base AS (SELECT doc_id_1, doc_id_2 FROM matches),
+        sym AS (
+            SELECT doc_id_1, doc_id_2 FROM base
+            UNION ALL
+            SELECT doc_id_2, doc_id_1 FROM base
+        ),
+        deg AS (
+            SELECT doc_id_1 AS node, CAST(count(*) AS DOUBLE) AS deg
+            FROM sym GROUP BY 1
+        ),
+        wed AS (
+            SELECT b.doc_id_1, b.doc_id_2,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar
+            FROM base b
+            JOIN sym n1 ON n1.doc_id_1 = b.doc_id_1
+            JOIN sym n2 ON n2.doc_id_1 = b.doc_id_2
+                       AND n2.doc_id_2 = n1.doc_id_2
+            JOIN deg d ON d.node = n1.doc_id_2
+            WHERE n1.doc_id_2 != b.doc_id_1 AND n1.doc_id_2 != b.doc_id_2
+            GROUP BY 1, 2
+        )
+        SELECT b.doc_id_1, b.doc_id_2,
+               coalesce(w.n_common, 0) AS n_common,
+               coalesce(w.adamic_adar, CAST(0 AS DOUBLE)) AS adamic_adar
+        FROM base b LEFT JOIN wed w USING (doc_id_1, doc_id_2)
+    """
+    sql["fs_decisions"] = fs_em_mod.sql_fs_decisions(
+        _sql_chain("scored"), _FS_FIELDS, tau=0.85, iters=10
+    )
+    sql["tfidf_pair_scores"] = f"""
+        {_sql_chain("pairs")},
+        ntoks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {T.sql_tokens("coalesce(name, '')")})) AS tok
+            FROM norm
+        ),
+        dfc AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df
+            FROM ntoks GROUP BY tok
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM norm),
+        wt AS (
+            SELECT t.doc_id, t.tok, ln(nn.n_docs / d.df) AS w
+            FROM ntoks t JOIN dfc d USING (tok), nn
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id),
+        dots AS (
+            SELECT p.doc_id_1, p.doc_id_2, sum(w1.w * w2.w) AS dot
+            FROM pairs p
+            JOIN wt w1 ON w1.doc_id = p.doc_id_1
+            JOIN wt w2 ON w2.doc_id = p.doc_id_2 AND w2.tok = w1.tok
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_id_1, p.doc_id_2,
+               round(CASE WHEN n1.nrm > 0 AND n2.nrm > 0
+                     THEN coalesce(d.dot, CAST(0 AS DOUBLE))
+                          / (n1.nrm * n2.nrm)
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS tfidf_cosine
+        FROM pairs p
+        LEFT JOIN dots d ON d.doc_id_1 = p.doc_id_1 AND d.doc_id_2 = p.doc_id_2
+        LEFT JOIN nrm n1 ON n1.doc_id = p.doc_id_1
+        LEFT JOIN nrm n2 ON n2.doc_id = p.doc_id_2
+    """
+    sql["monge_elkan_scores"] = f"""
+        {_sql_chain("pairs")},
+        sampled AS (
+            SELECT * FROM pairs
+            WHERE ('0x' || substr(md5(doc_id_1 || ':' || doc_id_2), 1, 8))
+                  ::UBIGINT % 43 = 0
+        ),
+        ntoks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {T.sql_tokens("coalesce(name, '')")})) AS tok
+            FROM norm
+        ),
+        grid AS (
+            SELECT p.doc_id_1, p.doc_id_2, a.tok AS tok1, b.tok AS tok2,
+                   (CASE WHEN a.tok = b.tok THEN 1.0
+                         ELSE jaro_winkler_similarity(a.tok, b.tok) END) AS jw
+            FROM sampled p
+            JOIN ntoks a ON a.doc_id = p.doc_id_1
+            JOIN ntoks b ON b.doc_id = p.doc_id_2
+        ),
+        me12 AS (
+            SELECT doc_id_1, doc_id_2, avg(best) AS me12 FROM (
+                SELECT doc_id_1, doc_id_2, tok1, max(jw) AS best
+                FROM grid GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ),
+        me21 AS (
+            SELECT doc_id_1, doc_id_2, avg(best) AS me21 FROM (
+                SELECT doc_id_1, doc_id_2, tok2, max(jw) AS best
+                FROM grid GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        )
+        SELECT p.doc_id_1, p.doc_id_2,
+               round(CASE WHEN a.me12 IS NOT NULL AND b.me21 IS NOT NULL
+                     THEN (a.me12 + b.me21) / 2
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS monge_elkan
+        FROM sampled p
+        LEFT JOIN me12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
+        LEFT JOIN me21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+    """
+    sql["cluster_metrics"] = f"""
+        {_SQL_CC},
+        clus AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        asg AS (
+            SELECT doc_id, cluster_id, substr(doc_id, 2, 9) AS gold_id
+            FROM clus
+        ),
+        cells AS (
+            SELECT cluster_id, gold_id, CAST(count(*) AS DOUBLE) AS n_cg
+            FROM asg GROUP BY 1, 2
+        ),
+        byc AS (
+            SELECT cluster_id, CAST(count(*) AS DOUBLE) AS n_c
+            FROM asg GROUP BY 1
+        ),
+        byg AS (
+            SELECT gold_id, CAST(count(*) AS DOUBLE) AS n_g
+            FROM asg GROUP BY 1
+        ),
+        sums AS (
+            SELECT sum(n_cg) AS n,
+                   sum(n_cg * n_cg / n_c) AS p_sum,
+                   sum(n_cg * n_cg / n_g) AS r_sum,
+                   sum(n_cg * (n_cg - 1) / 2) AS cell_pairs
+            FROM cells
+            JOIN byc USING (cluster_id)
+            JOIN byg USING (gold_id)
+        ),
+        ab AS (
+            SELECT (SELECT sum(n_c * (n_c - 1) / 2) FROM byc) AS a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM byc) AS n_clusters,
+                   (SELECT sum(n_g * (n_g - 1) / 2) FROM byg) AS b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM byg) AS n_gold
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               n_clusters,
+               n_gold,
+               round(p_sum / n, 6) AS b3_precision,
+               round(r_sum / n, 6) AS b3_recall,
+               round(2 * (p_sum / n) * (r_sum / n)
+                     / ((p_sum / n) + (r_sum / n)), 6) AS b3_f1,
+               round(CASE
+                   WHEN (a + b) / 2 = a * b / (n * (n - 1) / 2) THEN 1.0
+                   ELSE (cell_pairs - a * b / (n * (n - 1) / 2))
+                        / ((a + b) / 2 - a * b / (n * (n - 1) / 2))
+               END, 6) AS ari
+        FROM sums, ab
     """
     sql["meta_blocking_pairs"] = f"""
         {_sql_chain("keys")}

@@ -379,3 +379,57 @@ def _label_prop(edges: DataFrame, max_iter: int) -> DataFrame:
     return labels.where(F.col("label") != F.col("doc_id")).select(
         F.col("label").alias("src"), F.col("doc_id").alias("dst")
     )
+
+
+def edge_corroboration(edges: DataFrame) -> DataFrame:
+    """Graph evidence per match edge: common-neighbor count and
+    Adamic-Adar weight (sum of 1/ln(degree) over shared neighbors).
+
+    Transitive closure treats every accepted edge as equally true; an
+    edge corroborated by independent co-neighbors (both endpoints also
+    matched the same third record) is far safer than a lone bridge
+    between two dense groups — the lone-bridge edges are exactly the
+    ones that chain distinct entities together, so this is the ranked
+    worklist for clerical review (highest-risk first: n_common = 0).
+
+    Input: ``edges(doc_id_1, doc_id_2)`` (undirected, one row per
+    edge).  Output: one row per input edge with ``n_common`` and
+    ``adamic_adar`` (0 when uncorroborated).
+
+    Scale shape: symmetrize (narrow union), one degree groupBy, then
+    the wedge join — edges x neighbors-of-endpoint-1 keyed on
+    (doc_id_1), matched to neighbors-of-endpoint-2 on (doc_id_2,
+    shared neighbor) — every shuffle keyed, bounded by max degree,
+    the same triangle-counting shape GraphX/GraphFrames use.
+    """
+    base = edges.select("doc_id_1", "doc_id_2")
+    sym = base.union(
+        base.select(
+            F.col("doc_id_2").alias("doc_id_1"),
+            F.col("doc_id_1").alias("doc_id_2"),
+        )
+    )
+    deg = sym.groupBy("doc_id_1").agg(F.count("*").cast("double").alias("deg"))
+    n1 = sym.select(
+        F.col("doc_id_1").alias("doc_id_1"), F.col("doc_id_2").alias("nbr")
+    )
+    n2 = sym.select(
+        F.col("doc_id_1").alias("doc_id_2"), F.col("doc_id_2").alias("nbr")
+    )
+    wedges = (
+        base.join(n1, "doc_id_1")
+        .join(n2, ["doc_id_2", "nbr"])
+        .where((F.col("nbr") != F.col("doc_id_1")) & (F.col("nbr") != F.col("doc_id_2")))
+        .join(deg.select(F.col("doc_id_1").alias("nbr"), "deg"), "nbr")
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("adamic_adar"),
+        )
+    )
+    return base.join(wedges, ["doc_id_1", "doc_id_2"], "left").select(
+        "doc_id_1",
+        "doc_id_2",
+        F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+        F.coalesce(F.col("adamic_adar"), F.lit(0.0)).alias("adamic_adar"),
+    )

@@ -193,6 +193,132 @@ def presentation_view(
     )
 
 
+def cluster_cohesion(
+    clusters: DataFrame, scored_edges: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Per-cluster cohesion report — the triage view an ER reviewer
+    opens after transitive closure, because CC is recall-maximal: ONE
+    spurious edge chains two entities into a single cluster, and the
+    symptom is exactly low edge density / a weak minimum edge.  The
+    reference's advice is "look for unreasonably large groups"
+    (README.md:247); this quantifies it per cluster:
+
+      n_members, n_edges, density = n_edges / C(n_members, 2),
+      min/avg edge score
+
+    Output: one row per cluster of size >= 2 (singletons have no
+    edges to judge).  Scale shape: one join keyed on doc_id, two
+    groupBys keyed on cluster_id — no pair materialization beyond the
+    edges that already exist.
+    """
+    e = scored_edges.join(
+        clusters.select(
+            F.col("doc_id").alias("doc_id_1"), "cluster_id"
+        ),
+        "doc_id_1",
+    )
+    per_edge = e.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.round(F.min(score_col), 6).alias("min_score"),
+        F.round(F.avg(score_col), 6).alias("avg_score"),
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        sizes.where(F.col("n_members") >= 2)
+        .join(per_edge, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.round(
+                F.coalesce(F.col("n_edges"), F.lit(0))
+                / (F.col("n_members") * (F.col("n_members") - 1) / 2),
+                6,
+            ).alias("density"),
+            "min_score",
+            "avg_score",
+        )
+    )
+
+
+def cluster_metrics(clusters: DataFrame, gold: DataFrame) -> DataFrame:
+    """Cluster-level quality metrics: B-cubed precision/recall/F1 and
+    the Adjusted Rand Index, of ``clusters(doc_id, cluster_id)``
+    against ``gold(doc_id, gold_id)``.
+
+    The reference evaluates pairwise only (main_ldu_hw.py:197-264);
+    B-cubed (Bagga & Baldwin 1998) and ARI (Hubert & Arabie 1985) are
+    the standard *cluster-level* complements an ER user reports next —
+    pairwise F1 over-weights large clusters, B-cubed scores each doc's
+    own cluster purity/completeness, ARI corrects for chance.
+
+    Everything reduces to contingency-cell counts, so the whole
+    computation is three groupBys on (cluster, gold) / cluster / gold
+    plus scalar aggregates — no pair materialization (pairwise metrics
+    need |cluster|² rows; this needs |distinct cells|), which is what
+    makes it usable at 10^12 docs where clusters_to_pairs is not.
+
+      B³P  = (1/N) Σ_{c,g} n_cg² / n_c
+      B³R  = (1/N) Σ_{c,g} n_cg² / n_g
+      ARI  = (Σ_ij C(n_ij,2) − a·b/C(N,2)) / ((a+b)/2 − a·b/C(N,2)),
+             a = Σ_c C(n_c,2), b = Σ_g C(n_g,2)
+
+    Returns one row:
+    (n_docs, n_clusters, n_gold, b3_precision, b3_recall, b3_f1, ari)
+    with the metric columns rounded to 6 decimals (engine-portable).
+    """
+    asg = clusters.select("doc_id", "cluster_id").join(
+        gold.select("doc_id", "gold_id"), "doc_id"
+    )
+    cells = asg.groupBy("cluster_id", "gold_id").agg(
+        F.count("*").cast("double").alias("n_cg")
+    )
+    by_c = asg.groupBy("cluster_id").agg(
+        F.count("*").cast("double").alias("n_c")
+    )
+    by_g = asg.groupBy("gold_id").agg(
+        F.count("*").cast("double").alias("n_g")
+    )
+    joined = cells.join(by_c, "cluster_id").join(by_g, "gold_id")
+    sums = joined.agg(
+        F.sum("n_cg").alias("n"),
+        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_c")).alias("p_sum"),
+        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_g")).alias("r_sum"),
+        F.sum(F.col("n_cg") * (F.col("n_cg") - 1) / 2).alias("cell_pairs"),
+    )
+    a_pairs = by_c.agg(
+        F.sum(F.col("n_c") * (F.col("n_c") - 1) / 2).alias("a"),
+        F.count("*").cast("long").alias("n_clusters"),
+    )
+    b_pairs = by_g.agg(
+        F.sum(F.col("n_g") * (F.col("n_g") - 1) / 2).alias("b"),
+        F.count("*").cast("long").alias("n_gold"),
+    )
+    out = sums.crossJoin(a_pairs).crossJoin(b_pairs)
+    n = F.col("n")
+    total_pairs = n * (n - 1) / 2
+    expected = F.col("a") * F.col("b") / total_pairs
+    max_idx = (F.col("a") + F.col("b")) / 2
+    b3p = F.col("p_sum") / n
+    b3r = F.col("r_sum") / n
+    return out.select(
+        n.cast("long").alias("n_docs"),
+        F.col("n_clusters"),
+        F.col("n_gold"),
+        F.round(b3p, 6).alias("b3_precision"),
+        F.round(b3r, 6).alias("b3_recall"),
+        F.round(2 * b3p * b3r / (b3p + b3r), 6).alias("b3_f1"),
+        F.round(
+            F.when(
+                max_idx == expected, F.lit(1.0)
+            ).otherwise((F.col("cell_pairs") - expected) / (max_idx - expected)),
+            6,
+        ).alias("ari"),
+    )
+
+
 def golden_records(
     records: DataFrame,
     clusters: DataFrame,

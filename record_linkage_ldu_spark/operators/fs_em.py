@@ -314,3 +314,58 @@ def fit_fs(
     so tau/sort-order/iteration semantics can never drift apart."""
     rows = fs_pattern_counts(scored_pairs, fields, tau).collect()
     return fs_em(sorted((r["g"], r["c"]) for r in rows), len(fields), iters)
+
+
+def fs_decisions(
+    posterior: DataFrame, upper: float = 0.9, lower: float = 0.1
+) -> DataFrame:
+    """The Fellegi-Sunter THREE-WAY decision rule (the 1969 paper's
+    actual output, which thresholded pipelines flatten to two): pairs
+    above ``upper`` auto-link, below ``lower`` auto-reject, and the
+    band between is routed to clerical review — the review queue whose
+    size is the operating cost of the chosen thresholds.
+
+    Input: :func:`fs_match_probability` output.  Output: one row per
+    decision (``link`` / ``possible`` / ``non-link``) with pair count
+    and mean posterior — the 3-row summary an operator tunes
+    thresholds against.  One keyed groupBy, nothing driver-side.
+    """
+    return (
+        posterior.select(
+            F.when(F.col("match_prob") >= F.lit(upper), F.lit("link"))
+            .when(F.col("match_prob") <= F.lit(lower), F.lit("non-link"))
+            .otherwise(F.lit("possible"))
+            .alias("decision"),
+            "match_prob",
+        )
+        .groupBy("decision")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("match_prob"), 6).alias("avg_prob"),
+        )
+    )
+
+
+def sql_fs_decisions(
+    scored_chain: str,
+    fields: tuple[str, ...],
+    tau: float = 0.85,
+    iters: int = 10,
+    upper: float = 0.9,
+    lower: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`fs_decisions` over the same EM fit."""
+    inner = sql_fs_match_probability(scored_chain, fields, tau, iters)
+    return f"""
+        SELECT decision,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(match_prob), 6) AS avg_prob
+        FROM (
+            SELECT CASE WHEN match_prob >= {upper!r} THEN 'link'
+                        WHEN match_prob <= {lower!r} THEN 'non-link'
+                        ELSE 'possible' END AS decision,
+                   match_prob
+            FROM ({inner}) t
+        ) g
+        GROUP BY decision
+    """

@@ -183,3 +183,174 @@ def sql_combined_score(fields: tuple[str, ...], prefix: str = "") -> str:
         for f in fields
     ]
     return " + ".join(terms)
+
+
+def tfidf_token_cosine(
+    records: DataFrame,
+    pairs: DataFrame,
+    field: str = "name",
+    out_col: str = "tfidf_cosine",
+) -> DataFrame:
+    """TF-IDF token cosine similarity per candidate pair — the
+    token-set scorer of the Magellan/py_entitymatching family.  The
+    reference scores characters only (Levenshtein/RO,
+    compare_ldu_hw.py:62-76); token TF-IDF is the standard complement
+    that survives word reorder ("acme corp intl" vs "intl acme corp")
+    and down-weights corpus-frequent tokens ("inc", "llc") that
+    character edit distance over-credits.
+
+    Binary TF over distinct tokens (short ER fields), idf = ln(N/df),
+    cosine = Σ_shared idf² / (‖a‖·‖b‖).  Output: one row per input
+    pair, ``out_col`` in [0,1] rounded to 6 decimals; pairs where
+    either side has no tokens score 0.0.
+
+    Scale shape: one explode, one df groupBy (partitioned by token),
+    one broadcast 1-row N, one per-doc norm groupBy, then the pair
+    dot-product via two equi-joins partitioned on (doc_id, tok) —
+    every shuffle keyed, no UDF, no driver materialization.  The
+    weighted-token table is the persistable index at 10^12 docs.
+    """
+    from ..functions.text import tokens
+
+    toks = records.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(field), F.lit(""))))
+        ).alias("tok"),
+    )
+    n_docs = records.agg(F.count("*").cast("double").alias("n_docs"))
+    df_counts = toks.groupBy("tok").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    weighted = (
+        toks.join(df_counts, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.log(F.col("n_docs") / F.col("df")).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    t1 = weighted.select(
+        F.col("doc_id").alias("doc_id_1"), "tok", F.col("w").alias("w1")
+    )
+    t2 = weighted.select(
+        F.col("doc_id").alias("doc_id_2"), "tok", F.col("w").alias("w2")
+    )
+    dots = (
+        pairs.join(t1, "doc_id_1")
+        .join(t2, ["doc_id_2", "tok"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("nrm").alias("nrm1")
+    )
+    n2 = norms.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("nrm").alias("nrm2")
+    )
+    return (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(dots, ["doc_id_1", "doc_id_2"], "left")
+        .join(n1, "doc_id_1", "left")
+        .join(n2, "doc_id_2", "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.when(
+                    (F.col("nrm1") > 0) & (F.col("nrm2") > 0),
+                    F.coalesce(F.col("dot"), F.lit(0.0))
+                    / (F.col("nrm1") * F.col("nrm2")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
+def monge_elkan_scores(
+    records: DataFrame,
+    pairs: DataFrame,
+    field: str = "name",
+    out_col: str = "monge_elkan",
+    pin: bool = True,
+) -> DataFrame:
+    """Symmetric Monge-Elkan similarity per candidate pair: tokenize
+    both sides, align each token with its best Jaro-Winkler partner on
+    the other side, average — sym = (ME(a→b) + ME(b→a)) / 2.  The
+    hybrid scorer (Monge & Elkan 1996) that handles token reorder AND
+    per-token typos, which neither whole-string JW nor token-set
+    overlap does alone.
+
+    Output: one row per input pair, ``out_col`` rounded to 6 decimals;
+    a pair where either side has no tokens scores 0.0.
+
+    Scale shape: the token grid per pair is |toks_a|·|toks_b| rows
+    (names are 2-4 tokens, so single-digit rows per pair), produced by
+    two equi-joins on the pair's doc ids; the JW kernel runs JVM-side
+    on the grid ONCE (``pin`` materializes it — the two direction
+    aggregations would otherwise re-execute the kernel subplan, the
+    same re-execution the dedup index tables pin away); then two
+    bounded (pair, token) max groupBys and one final per-pair avg.
+    """
+    from ..functions.similarity import jw_sim_col
+    from ..functions.text import tokens
+    from .dedup import _pin
+
+    toks = records.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(field), F.lit(""))))
+        ).alias("tok"),
+    )
+    t1 = toks.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("tok").alias("tok1")
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("tok").alias("tok2")
+    )
+    grid = (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "tok1",
+            "tok2",
+            jw_sim_col(F.col("tok1"), F.col("tok2")).alias("jw"),
+        )
+    )
+    grid = _pin(grid, pin)
+    me12 = (
+        grid.groupBy("doc_id_1", "doc_id_2", "tok1")
+        .agg(F.max("jw").alias("best"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.avg("best").alias("me12"))
+    )
+    me21 = (
+        grid.groupBy("doc_id_1", "doc_id_2", "tok2")
+        .agg(F.max("jw").alias("best"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.avg("best").alias("me21"))
+    )
+    return (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(me12, ["doc_id_1", "doc_id_2"], "left")
+        .join(me21, ["doc_id_1", "doc_id_2"], "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.when(
+                    F.col("me12").isNotNull() & F.col("me21").isNotNull(),
+                    (F.col("me12") + F.col("me21")) / 2,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(out_col),
+        )
+    )

@@ -159,3 +159,98 @@ def test_golden_records_survivorship(spark):
     assert (b["cluster_size"], b["name"], b["email"], b["address"]) == (
         1, "solo llc", "s@x.com", None,
     )
+
+
+def test_cluster_metrics_hand_computed(spark):
+    """B-cubed P/R/F1 + ARI on a hand-worked 6-doc contingency:
+    gold {d1,d2,d3}{d4,d5}{d6}, predicted {d1,d2}{d3,d4,d5}{d6} ->
+    B3P = B3R = 14/18 = 0.777778, ARI = (2 - 16/15)/(4 - 16/15)."""
+    from record_linkage_ldu_spark.operators.evaluate import cluster_metrics
+
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c2"),
+         ("d4", "c2"), ("d5", "c2"), ("d6", "c3")],
+        "doc_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("d1", "g1"), ("d2", "g1"), ("d3", "g1"),
+         ("d4", "g2"), ("d5", "g2"), ("d6", "g3")],
+        "doc_id string, gold_id string",
+    )
+    row = cluster_metrics(clusters, gold).collect()[0]
+    assert (row["n_docs"], row["n_clusters"], row["n_gold"]) == (6, 3, 3)
+    assert row["b3_precision"] == 0.777778
+    assert row["b3_recall"] == 0.777778
+    assert row["b3_f1"] == 0.777778
+    assert row["ari"] == round((2 - 16 / 15) / (4 - 16 / 15), 6)
+
+
+def test_cluster_metrics_perfect_and_degenerate(spark):
+    """Identical partitions score 1.0 everywhere; the all-singletons
+    vs all-singletons case hits the 0/0 ARI guard and returns 1.0."""
+    from record_linkage_ldu_spark.operators.evaluate import cluster_metrics
+
+    part = spark.createDataFrame(
+        [("d1", "x"), ("d2", "x"), ("d3", "y")],
+        "doc_id string, cluster_id string",
+    )
+    gold = part.withColumnRenamed("cluster_id", "gold_id")
+    row = cluster_metrics(part, gold).collect()[0]
+    assert (row["b3_precision"], row["b3_recall"], row["b3_f1"], row["ari"]) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
+
+    singles = spark.createDataFrame(
+        [("d1", "a"), ("d2", "b"), ("d3", "c")],
+        "doc_id string, cluster_id string",
+    )
+    row = cluster_metrics(
+        singles, singles.withColumnRenamed("cluster_id", "gold_id")
+    ).collect()[0]
+    assert (row["b3_f1"], row["ari"]) == (1.0, 1.0)
+
+
+def test_edge_corroboration_triangle_plus_bridge(spark):
+    """Triangle edges are corroborated by the third vertex (weighted
+    1/ln(deg)); the bridge edge scores 0 — the cluster-chaining-risk
+    ranking property."""
+    import math
+
+    from record_linkage_ldu_spark.operators.cc import edge_corroboration
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): (r["n_common"], r["adamic_adar"])
+        for r in edge_corroboration(edges).collect()
+    }
+    assert len(out) == 4
+    assert out[("a", "b")] == (1, round(1 / math.log(3), 6))  # via c, deg(c)=3
+    assert out[("a", "c")] == (1, round(1 / math.log(2), 6))  # via b, deg(b)=2
+    assert out[("b", "c")] == (1, round(1 / math.log(2), 6))  # via a, deg(a)=2
+    assert out[("c", "d")] == (0, 0.0)                        # lone bridge
+
+
+def test_cluster_cohesion_density_and_weak_edge(spark):
+    """Density = edges/C(n,2); min/avg surface the weakest edge; only
+    size>=2 clusters are reported."""
+    from record_linkage_ldu_spark.operators.evaluate import cluster_cohesion
+
+    clusters = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("e", "k2"), ("f", "k2"),
+         ("z", "k3")],
+        "doc_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 3.0), ("e", "f", 2.0)],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    out = {r["cluster_id"]: r for r in cluster_cohesion(clusters, edges).collect()}
+    assert set(out) == {"k1", "k2"}  # singleton k3 excluded
+    k1 = out["k1"]
+    assert (k1["n_members"], k1["n_edges"]) == (3, 2)
+    assert k1["density"] == round(2 / 3, 6)
+    assert (k1["min_score"], k1["avg_score"]) == (3.0, 4.0)
+    assert (out["k2"]["density"], out["k2"]["min_score"]) == (1.0, 2.0)

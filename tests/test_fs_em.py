@@ -111,3 +111,20 @@ def test_fs_match_probability_separates_classes(spark):
     assert min(by_g[15]) > 0.99
     assert max(by_g[0]) < 0.01
     assert max(by_g[8]) < 0.5
+
+
+def test_fs_decisions_three_way(spark):
+    """Posterior band split: link / possible (clerical) / non-link
+    with per-band counts and mean posterior."""
+    from record_linkage_ldu_spark.operators.fs_em import fs_decisions
+
+    posterior = spark.createDataFrame(
+        [("a", "b", 3, 0.97), ("c", "d", 3, 0.93), ("e", "f", 1, 0.5),
+         ("g", "h", 0, 0.05)],
+        "doc_id_1 string, doc_id_2 string, g int, match_prob double",
+    )
+    out = {r["decision"]: r for r in fs_decisions(posterior).collect()}
+    assert out["link"]["n_pairs"] == 2
+    assert out["link"]["avg_prob"] == 0.95
+    assert out["possible"]["n_pairs"] == 1
+    assert out["non-link"]["avg_prob"] == 0.05

@@ -148,3 +148,63 @@ def test_jvm_kernels_match_python(spark):
         else:
             assert r["ro"] == ratcliff_obershelp(r["a"], r["b"])
             assert abs(r["jw"] - jaro_winkler(r["a"], r["b"])) < 1e-15
+
+
+def test_tfidf_token_cosine_hand_computed(spark):
+    """Identical token sets score 1.0 regardless of order; a single
+    shared low-idf token scores the hand-computed cosine; an empty
+    side scores 0.0; one row per input pair."""
+    import math
+
+    from record_linkage_ldu_spark.operators.scoring import tfidf_token_cosine
+
+    records = spark.createDataFrame(
+        [("d1", "acme corp"), ("d2", "corp acme"), ("d3", "zeta llc"),
+         ("d4", "acme llc"), ("d5", "")],
+        "doc_id string, name string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d4"), ("d1", "d3"), ("d1", "d5")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["tfidf_cosine"]
+        for r in tfidf_token_cosine(records, pairs).collect()
+    }
+    assert len(out) == 4
+    assert out[("d1", "d2")] == 1.0          # reorder-invariant
+    assert out[("d1", "d3")] == 0.0          # no shared token
+    assert out[("d1", "d5")] == 0.0          # empty side
+    w_acme, w_corp, w_llc = (
+        math.log(5 / 3), math.log(5 / 2), math.log(5 / 2)
+    )
+    expect = (w_acme * w_acme) / (
+        math.hypot(w_acme, w_corp) * math.hypot(w_acme, w_llc)
+    )
+    assert out[("d1", "d4")] == round(expect, 6)
+
+
+def test_monge_elkan_hand_computed(spark):
+    """Token reorder scores 1.0; a one-token typo scores the mean of
+    best-JW alignments; empty side scores 0.0."""
+    from record_linkage_ldu_spark.functions.similarity import jaro_winkler
+    from record_linkage_ldu_spark.operators.scoring import monge_elkan_scores
+
+    records = spark.createDataFrame(
+        [("d1", "acme corp"), ("d2", "corp acme"),
+         ("d3", "acmee corp"), ("d4", "")],
+        "doc_id string, name string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["monge_elkan"]
+        for r in monge_elkan_scores(records, pairs, pin=False).collect()
+    }
+    assert out[("d1", "d2")] == 1.0
+    assert out[("d1", "d4")] == 0.0
+    jw_t = jaro_winkler("acme", "acmee")
+    # both directions: best("acme")=jw_t, best("corp")=1 -> avg each side
+    assert out[("d1", "d3")] == round((jw_t + 1) / 2, 6)
