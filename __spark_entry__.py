@@ -65,6 +65,7 @@ from record_linkage_ldu_spark.operators.cc import (
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
     media_dedup,
+    media_phash_near_dups,
     media_table,
     resize_media,
     sample_frames,
@@ -1027,6 +1028,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fs_decisions"] = lambda s, d: fs_em_mod.fs_decisions(
         _fs_match_prob(s, d)
     )
+    # perceptual near-dup image pairs: aHash sketches through the
+    # SimHash hamming-banding machinery (real aHash pytest-gated on
+    # PNG fixtures; the synth ref-bytes payloads take the md5 stub
+    # sketch the oracle twins)
+    q["media_phash_pairs"] = lambda s, d: media_phash_near_dups(
+        media_table(synth_documents(_t(s, d, "customer"))).withColumn(
+            "payload",
+            F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8"),
+        )
+    )
     return _ordered(q)
 
 
@@ -1036,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "media_phash_pairs",
     "fs_decisions",
     "edge_corroboration",
     "cluster_cohesion",
@@ -2287,6 +2299,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.cluster_id, s.cluster_size,
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
+    # banding with max_hamming <= n_bands - 1 is pigeonhole-lossless,
+    # so the twin is the plain pairwise hamming filter over the same
+    # md5-stub sketches (synth payloads are not decodable images)
+    sql["media_phash_pairs"] = f"""
+        WITH {synth_sql_cte()},
+        media AS (
+            SELECT 'img://' || doc_id AS media_ref,
+                   regexp_replace('img://' || doc_id, '[^0-9]', '', 'g')
+                       AS payload
+            FROM synth WHERE {sql_media_pick("doc_id")}
+        ),
+        sk AS (
+            SELECT media_ref,
+                   ('0x' || substr(md5(payload), 1, 16))::UBIGINT AS usk
+            FROM media
+        )
+        SELECT a.media_ref AS media_ref_1, b.media_ref AS media_ref_2,
+               CAST(bit_count(xor(a.usk, b.usk)) AS INT) AS hamming
+        FROM sk a JOIN sk b ON a.media_ref < b.media_ref
+        WHERE bit_count(xor(a.usk, b.usk)) <= 3
     """
     sql["cluster_cohesion"] = f"""
         {_SQL_CC},

@@ -331,3 +331,118 @@ def media_dedup(media: DataFrame) -> DataFrame:
         .alias("keep"),
     )
     return deduped.unionByName(nulls)
+
+
+PHASH_SCHEMA = "media_ref string, phash long"
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash (aHash) per media row — the image-side
+    analogue of the text SimHash sketch.  Exact content dedup
+    (:func:`media_dedup`) misses re-encoded / resized / slightly
+    edited copies of the same picture; aHash (mean-threshold over an
+    8x8 downsample of the grayscale image) maps those to sketches
+    within a few bits of each other, so the text pipeline's hamming
+    banding applies unchanged to images.
+
+    Decode tiers mirror :func:`extract_media_features`:
+      * decodable image (PIL or the stdlib codec): REAL aHash —
+        grayscale = channel mean (alpha dropped), nearest-neighbor
+        8x8 downsample, bit i (row-major) set iff pixel > mean;
+      * anything else (this repo's synthetic ref-bytes payloads):
+        deterministic stub = first 8 bytes of md5(payload) big-endian
+        — the path the DuckDB oracle twins; identical payloads still
+        collide at hamming 0, so the stub degrades to exact dedup.
+    NULL payloads are dropped (nothing to hash).
+
+    The u64 bit pattern is stored as a signed long, same convention as
+    the text ``simhash`` column, so band extraction
+    (shiftrightunsigned) and XOR+popcount verification reuse the same
+    machinery.
+    """
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ..functions.media_codec import resize_nearest, try_decode
+
+        for pdf in batches:
+            refs: list = []
+            hashes: list = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                decoded = try_decode(raw)
+                if decoded is not None:
+                    w, h, ch, px = decoded
+                    a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                        -1, ch
+                    )
+                    color = a[:, :-1] if ch in (2, 4) else a
+                    gray = (
+                        color.mean(axis=1).astype(np.uint8)
+                        if color.shape[1] > 1
+                        else color[:, 0]
+                    )
+                    small = np.frombuffer(
+                        resize_nearest(w, h, 1, gray.tobytes(), 8, 8),
+                        dtype=np.uint8,
+                    ).astype(np.float64)
+                    mean = small.mean()
+                    v = 0
+                    for i, pix in enumerate(small):
+                        if pix > mean:
+                            v |= 1 << i
+                else:
+                    v = int.from_bytes(
+                        hashlib.md5(raw).digest()[:8], "big"
+                    )
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                refs.append(ref)
+                hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_phash, schema=PHASH_SCHEMA)
+
+
+def media_phash_near_dups(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash sketches routed
+    through the text pipeline's SimHash hamming-banding machinery
+    (``dedup.simhash_near_duplicates`` — multi-probe band buckets with
+    the census/cap/salt skew tiers, pigeonhole-lossless for
+    ``max_hamming <= n_bands - 1``, native XOR+popcount verify).
+
+    One operator family, two modalities: the banding, skew handling,
+    and recall guarantee are shared code, only the sketch function
+    differs.  Output: (media_ref_1, media_ref_2, hamming).
+    """
+    from .dedup import simhash_near_duplicates
+
+    sk = media_phash(media).select(
+        F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    pairs = simhash_near_duplicates(
+        sk,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    return pairs.select(
+        F.col("doc_id_1").alias("media_ref_1"),
+        F.col("doc_id_2").alias("media_ref_2"),
+        "hamming",
+    )

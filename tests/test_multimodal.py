@@ -479,3 +479,51 @@ def test_lzw_table_growth_and_code_widening():
     if nbits:
         packed.append(val & 0xFF)
     assert _lzw_decode(2, bytes(packed), 4) == bytes([0, 1, 0, 1])
+
+
+def test_media_phash_real_and_stub(spark):
+    """aHash on real PNG pixels: identical payloads hash identically
+    (hamming 0 pair), a strongly different image (inverted gradient)
+    is far in hamming space and pairs with nothing; a non-decodable
+    payload takes the md5-stub sketch bit-for-bit."""
+    import hashlib
+
+    from record_linkage_ldu_spark.functions.media_codec import encode_png
+    from record_linkage_ldu_spark.operators.multimodal import (
+        media_phash,
+        media_phash_near_dups,
+    )
+
+    w = h = 32
+    grad = bytes((x * 255 // (w - 1)) for _ in range(h) for x in range(w))
+    inv = bytes(255 - b for b in grad)
+    png_a = encode_png(w, h, 1, grad)
+    png_c = encode_png(w, h, 1, inv)
+    stub_payload = b"aud://123"
+
+    rows = [
+        ("d1", "r_a1", "image", png_a, None, None, None),
+        ("d2", "r_a2", "image", png_a, None, None, None),
+        ("d3", "r_c", "image", png_c, None, None, None),
+        ("d4", "r_s", "audio", stub_payload, None, None, None),
+        ("d5", "r_null", "image", None, None, None, None),
+    ]
+    from record_linkage_ldu_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    hashes = {r["media_ref"]: r["phash"] for r in media_phash(media).collect()}
+    assert "r_null" not in hashes            # null payload dropped
+    assert hashes["r_a1"] == hashes["r_a2"]  # identical pixels
+    ham_ac = bin((hashes["r_a1"] ^ hashes["r_c"]) & ((1 << 64) - 1)).count("1")
+    assert ham_ac > 3                        # inverted image is far
+    v = int.from_bytes(hashlib.md5(stub_payload).digest()[:8], "big")
+    if v >= 1 << 63:
+        v -= 1 << 64
+    assert hashes["r_s"] == v                # md5 stub, bit-for-bit
+
+    pairs = {
+        (r["media_ref_1"], r["media_ref_2"]): r["hamming"]
+        for r in media_phash_near_dups(media).collect()
+    }
+    assert pairs == {("r_a1", "r_a2"): 0}
