@@ -61,6 +61,7 @@ from record_linkage_ldu_spark.operators.blocking import (
 from record_linkage_ldu_spark.operators.cc import (
     connected_components,
     edge_corroboration,
+    repair_clusters,
 )
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
@@ -1038,6 +1039,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8"),
         )
     )
+    # the whole threshold operating curve in one pass (P/R/F1 per
+    # candidate cutoff) — the tuning table behind the reference's
+    # hand-picked score thresholds
+    q["threshold_curve"] = lambda s, d: ev.threshold_curve(
+        _pair_scores(s, d), _labels(s, d)
+    )
+    # corroboration-gated re-clustering: drop weak uncorroborated
+    # bridge edges (the chain-merging failure mode) and re-run CC
+    q["cluster_repair"] = lambda s, d: repair_clusters(
+        _matches(s, d),
+        vertices=_records(s, d).select("doc_id"),
+        min_common=1,
+        min_score=5.0,
+    )
     return _ordered(q)
 
 
@@ -1047,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "cluster_repair",
+    "threshold_curve",
     "media_phash_pairs",
     "fs_decisions",
     "edge_corroboration",
@@ -2299,6 +2316,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.cluster_id, s.cluster_size,
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
+    _thr_grid = ", ".join(
+        f"CAST({t!r} AS DOUBLE)"
+        for t in (2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5)
+    )
+    sql["threshold_curve"] = f"""
+        {_sql_chain("scored")},
+        labels AS (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        j AS (
+            SELECT s.score AS s, (l.doc_id_1 IS NOT NULL) AS lab
+            FROM scored s
+            LEFT JOIN labels l
+              ON s.doc_id_1 = l.doc_id_1 AND s.doc_id_2 = l.doc_id_2
+        ),
+        missed AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_missed FROM labels l
+            WHERE NOT EXISTS (SELECT 1 FROM scored s
+                              WHERE s.doc_id_1 = l.doc_id_1
+                                AND s.doc_id_2 = l.doc_id_2)
+        ),
+        grid AS (SELECT unnest([{_thr_grid}]) AS threshold),
+        agg AS (
+            SELECT g.threshold,
+                   CAST(sum(CASE WHEN j.s >= g.threshold AND j.lab
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN j.s >= g.threshold AND NOT j.lab
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN j.s < g.threshold AND j.lab
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn_scored
+            FROM j CROSS JOIN grid g GROUP BY 1
+        ),
+        pr AS (
+            SELECT a.threshold, a.tp, a.fp,
+                   a.fn_scored + m.n_missed AS fn,
+                   CASE WHEN a.tp + a.fp > 0
+                        THEN CAST(a.tp AS DOUBLE) / (a.tp + a.fp)
+                        ELSE CAST(0 AS DOUBLE) END AS p,
+                   CASE WHEN a.tp + a.fn_scored + m.n_missed > 0
+                        THEN CAST(a.tp AS DOUBLE)
+                             / (a.tp + a.fn_scored + m.n_missed)
+                        ELSE CAST(0 AS DOUBLE) END AS r
+            FROM agg a, missed m
+        )
+        SELECT threshold, tp, fp, fn,
+               round(p, 6) AS "precision", round(r, 6) AS recall,
+               round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS f1
+        FROM pr
+    """
+    sql["cluster_repair"] = f"""
+        {_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+        base AS (SELECT doc_id_1, doc_id_2, score FROM matches),
+        symx AS (
+            SELECT doc_id_1, doc_id_2 FROM base
+            UNION ALL
+            SELECT doc_id_2, doc_id_1 FROM base
+        ),
+        wedge AS (
+            SELECT b.doc_id_1, b.doc_id_2,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM base b
+            JOIN symx n1 ON n1.doc_id_1 = b.doc_id_1
+            JOIN symx n2 ON n2.doc_id_1 = b.doc_id_2
+                        AND n2.doc_id_2 = n1.doc_id_2
+            WHERE n1.doc_id_2 != b.doc_id_1 AND n1.doc_id_2 != b.doc_id_2
+            GROUP BY 1, 2
+        ),
+        strong AS (
+            SELECT b.doc_id_1, b.doc_id_2
+            FROM base b
+            LEFT JOIN wedge w ON w.doc_id_1 = b.doc_id_1
+                             AND w.doc_id_2 = b.doc_id_2
+            WHERE coalesce(w.n_common, 0) >= 1 OR b.score >= 5.0
+        ),
+        nodes AS (SELECT doc_id FROM synth),
+        edges2 AS (
+            SELECT doc_id_1 AS s, doc_id_2 AS d FROM strong
+            UNION
+            SELECT doc_id_2 AS s, doc_id_1 AS d FROM strong
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges2 e ON r.b = e.s
+        )
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
     """
     # banding with max_hamming <= n_bands - 1 is pigeonhole-lossless,
     # so the twin is the plain pairwise hamming filter over the same

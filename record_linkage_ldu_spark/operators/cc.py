@@ -433,3 +433,36 @@ def edge_corroboration(edges: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
         F.coalesce(F.col("adamic_adar"), F.lit(0.0)).alias("adamic_adar"),
     )
+
+
+def repair_clusters(
+    scored_edges: DataFrame,
+    vertices: DataFrame,
+    min_common: int = 1,
+    min_score: float | None = None,
+    score_col: str = "score",
+    method: str = "auto",
+) -> DataFrame:
+    """Corroboration-gated re-clustering — the REPAIR step after
+    :func:`edge_corroboration` flags lone-bridge edges: recompute
+    connected components keeping only edges that are corroborated by
+    at least ``min_common`` shared neighbors OR score at least
+    ``min_score`` (high-confidence edges stand on their own; weak
+    uncorroborated bridges — the chain-merging failure mode of
+    transitive closure — are dropped, splitting the chained clusters).
+
+    Returns the same ``(doc_id, cluster_id)`` contract as
+    :func:`connected_components` over all ``vertices``; docs that only
+    hung on dropped bridges become their own singleton clusters.
+
+    Scale shape: the corroboration wedge join (bounded by max degree)
+    + one filter + the standard CC loop — nothing new materializes
+    beyond the corroboration columns.
+    """
+    corr = edge_corroboration(scored_edges.select("doc_id_1", "doc_id_2"))
+    e = scored_edges.join(corr, ["doc_id_1", "doc_id_2"])
+    keep = F.col("n_common") >= F.lit(min_common)
+    if min_score is not None:
+        keep = keep | (F.col(score_col) >= F.lit(min_score))
+    strong = e.where(keep).select("doc_id_1", "doc_id_2")
+    return connected_components(strong, vertices=vertices, method=method)

@@ -193,6 +193,78 @@ def presentation_view(
     )
 
 
+def threshold_curve(
+    scored_pairs: DataFrame,
+    labeled: DataFrame,
+    thresholds: tuple[float, ...] = (2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5),
+    score_col: str = "score",
+) -> DataFrame:
+    """Pairwise P/R/F1 at every candidate decision threshold in ONE
+    pass — the tuning table behind the reference's hand-picked
+    score cutoffs (main_ldu_hw.py:330-382 hardcodes them after manual
+    histogram inspection; this computes the whole operating curve).
+
+    ``fn`` counts BOTH labeled candidates scored below the threshold
+    and labeled pairs blocking never reached (the blocking-miss count
+    is threshold-independent; `blocking_recall` reports it alone), so
+    ``recall``/``f1`` are end-to-end, comparable to `evaluate_prf`.
+
+    Scale shape: one left join of the scored pairs against the labels
+    (keyed on the pair id), one |grid|-way explode with map-side
+    partial aggregation (the shuffle carries |grid| rows per
+    partition, not |pairs| x |grid|), one broadcast 1-row missed
+    count.  Output: one row per threshold.
+    """
+    lab = _canon(labeled)
+    pair_keys = ["doc_id_1", "doc_id_2"]
+    j = (
+        scored_pairs.select(*pair_keys, score_col)
+        .join(lab, pair_keys, "left")
+        .select(
+            F.col(score_col).alias("s"),
+            F.coalesce(F.col("is_match"), F.lit(False)).alias("lab"),
+        )
+    )
+    missed = lab.join(
+        scored_pairs.select(*pair_keys), pair_keys, "left_anti"
+    ).agg(F.count("*").cast("long").alias("n_missed"))
+    grid = F.array(*[F.lit(float(t)) for t in thresholds])
+    agg = (
+        j.select(F.explode(grid).alias("threshold"), "s", "lab")
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                ((F.col("s") >= F.col("threshold")) & F.col("lab")).cast("long")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("s") >= F.col("threshold")) & ~F.col("lab")).cast("long")
+            ).alias("fp"),
+            F.sum(
+                ((F.col("s") < F.col("threshold")) & F.col("lab")).cast("long")
+            ).alias("fn_scored"),
+        )
+    )
+    out = agg.crossJoin(F.broadcast(missed))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("fn_scored") + F.col("n_missed")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    return out.select(
+        "threshold",
+        tp,
+        fp,
+        fn.alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec + rec > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
 def cluster_cohesion(
     clusters: DataFrame, scored_edges: DataFrame, score_col: str = "score"
 ) -> DataFrame:

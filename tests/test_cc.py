@@ -254,3 +254,57 @@ def test_cluster_cohesion_density_and_weak_edge(spark):
     assert k1["density"] == round(2 / 3, 6)
     assert (k1["min_score"], k1["avg_score"]) == (3.0, 4.0)
     assert (out["k2"]["density"], out["k2"]["min_score"]) == (1.0, 2.0)
+
+
+def test_repair_clusters_drops_weak_uncorroborated_bridges(spark):
+    """A weak uncorroborated bridge splits; a high-score bridge holds;
+    a triangle of weak edges holds (every edge corroborated)."""
+    from record_linkage_ldu_spark.operators.cc import repair_clusters
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5.5),  # strong bridge: kept by min_score
+            ("b", "c", 3.0),  # weak uncorroborated bridge: dropped
+            ("d", "e", 3.0), ("e", "f", 3.0), ("d", "f", 3.0),  # triangle
+        ],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    vertices = spark.createDataFrame(
+        [(x,) for x in "abcdefg"], "doc_id string"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in repair_clusters(
+            edges, vertices, min_common=1, min_score=5.0
+        ).collect()
+    }
+    assert out["a"] == out["b"]          # strong edge survives
+    assert out["c"] != out["b"]          # weak bridge split off
+    assert out["d"] == out["e"] == out["f"]  # corroborated triangle holds
+    assert out["g"] not in (out["a"], out["d"])  # singleton stays
+
+
+def test_threshold_curve_hand_computed(spark):
+    """P/R/F1 per threshold; fn includes labeled pairs blocking never
+    reached."""
+    from record_linkage_ldu_spark.operators.evaluate import threshold_curve
+
+    scored = spark.createDataFrame(
+        [("a", "b", 5.0), ("c", "d", 3.0), ("e", "f", 1.0)],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    labels = spark.createDataFrame(
+        [("a", "b", True), ("e", "f", True), ("g", "h", True)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    out = {
+        r["threshold"]: r
+        for r in threshold_curve(scored, labels, thresholds=(2.0, 4.0)).collect()
+    }
+    t2 = out[2.0]
+    assert (t2["tp"], t2["fp"], t2["fn"]) == (1, 1, 2)
+    assert (t2["precision"], t2["recall"], t2["f1"]) == (0.5, round(1 / 3, 6), 0.4)
+    t4 = out[4.0]
+    assert (t4["tp"], t4["fp"], t4["fn"]) == (1, 0, 2)
+    assert (t4["precision"], t4["recall"]) == (1.0, round(1 / 3, 6))
+    assert t4["f1"] == 0.5
