@@ -158,6 +158,48 @@ def main(sf_dir: str, out_dir: str) -> None:
         lines.append("| (none dropped) | — |")
     lines.append("")
 
+    # the operating curve: P/R/F1 per combined-score cutoff — the
+    # table a reviewer actually picks the threshold FROM (the
+    # histograms above show shape; this shows consequences)
+    curve = qs["threshold_curve"](spark, sf_dir).orderBy("threshold").collect()
+    lines += [
+        "## Threshold operating curve (pairwise, end-to-end)",
+        "",
+        "`fn` includes labeled pairs blocking never reached, so recall "
+        "here is comparable to `evaluate_prf`, not just to the scored "
+        "candidate set.",
+        "",
+        "| score cutoff | tp | fp | fn | precision | recall | f1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in curve:
+        lines.append(
+            f"| {r['threshold']:.1f} | {r['tp']} | {r['fp']} | {r['fn']} "
+            f"| {r['precision']:.4f} | {r['recall']:.4f} | {r['f1']:.4f} |"
+        )
+    lines.append("")
+
+    # cluster triage: the lowest-density (highest chain-merge risk)
+    # clusters, the rows a clerical reviewer opens first
+    worst = (
+        qs["cluster_cohesion"](spark, sf_dir)
+        .orderBy(F.col("density").asc(), F.col("n_members").desc())
+        .limit(10)
+        .collect()
+    )
+    lines += [
+        "## Cluster cohesion triage (10 lowest-density clusters)",
+        "",
+        "| cluster | members | edges | density | weakest edge | mean edge |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in worst:
+        lines.append(
+            f"| `{r['cluster_id']}` | {r['n_members']} | {r['n_edges']} "
+            f"| {r['density']:.3f} | {r['min_score']} | {r['avg_score']} |"
+        )
+    lines.append("")
+
     # corpus cleaning report: the reject-reason histogram IS the
     # observable output of corpus_filter_flags (operators/corpus.py) —
     # a cleaning pass whose drops aren't reported is a silent filter
