@@ -53,6 +53,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     BlockingConfig,
     block_census,
     block_keys,
+    blocking_family_stats,
     candidate_pairs,
     cap_blocks,
     sorted_neighborhood_pairs,
@@ -76,7 +77,10 @@ from record_linkage_ldu_spark.operators.scoring import (
     monge_elkan_scores,
     tfidf_token_cosine,
 )
-from record_linkage_ldu_spark.operators.spans import span_fingerprint
+from record_linkage_ldu_spark.operators.spans import (
+    profile_fields,
+    span_fingerprint,
+)
 from record_linkage_ldu_spark.plans.linkage import (
     LinkageConfig,
     LinkagePipeline,
@@ -1053,6 +1057,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_common=1,
         min_score=5.0,
     )
+    # per-key-family blocking contribution (pairs / true pairs /
+    # UNIQUE true pairs per family) — which families earn their cost
+    q["blocking_family_stats"] = lambda s, d: blocking_family_stats(
+        _capped_keys(s, d), _labels(s, d)
+    )
+    # pre-linkage data profiling: fill rate / cardinality / length
+    # stats per field — the measured form of the reference's informal
+    # dataset description
+    q["profile_records"] = lambda s, d: profile_fields(
+        _records(s, d), _PAIR_FIELDS
+    )
     return _ordered(q)
 
 
@@ -1062,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "profile_records",
+    "blocking_family_stats",
     "cluster_repair",
     "threshold_curve",
     "media_phash_pairs",
@@ -2316,6 +2333,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.cluster_id, s.cluster_size,
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
+    _prof_melt = "\n            UNION ALL ".join(
+        f"SELECT '{f}' AS field, \"{f}\" AS value FROM norm"
+        for f in _PAIR_FIELDS
+    )
+    sql["profile_records"] = f"""
+        {_sql_chain("norm")},
+        melt AS (
+            {_prof_melt}
+        )
+        SELECT field,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN value IS NOT NULL AND value <> ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               round(CAST(sum(CASE WHEN value IS NOT NULL AND value <> ''
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS fill_rate,
+               CAST(count(DISTINCT CASE WHEN value IS NOT NULL
+                                         AND value <> ''
+                                    THEN value END) AS BIGINT)
+                   AS n_distinct,
+               round(avg(CASE WHEN value IS NOT NULL AND value <> ''
+                         THEN length(value) END), 6) AS avg_len,
+               CAST(max(CASE WHEN value IS NOT NULL AND value <> ''
+                        THEN length(value) END) AS INT) AS max_len
+        FROM melt GROUP BY field
+    """
+    sql["blocking_family_stats"] = f"""
+        {_sql_chain("keys")},
+        fp AS (
+            SELECT DISTINCT split_part(a.block_key, ':', 1) AS family,
+                   a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM keys_capped a JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        ),
+        labels AS (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        fl AS (
+            SELECT f.family, f.doc_id_1, f.doc_id_2,
+                   (l.doc_id_1 IS NOT NULL) AS lab
+            FROM fp f
+            LEFT JOIN labels l
+              ON f.doc_id_1 = l.doc_id_1 AND f.doc_id_2 = l.doc_id_2
+        ),
+        reach AS (
+            SELECT doc_id_1, doc_id_2 FROM fl WHERE lab
+            GROUP BY 1, 2 HAVING count(*) = 1
+        ),
+        uq AS (
+            SELECT f.family, CAST(count(*) AS BIGINT) AS n_unique_true
+            FROM fl f
+            JOIN reach r
+              ON f.doc_id_1 = r.doc_id_1 AND f.doc_id_2 = r.doc_id_2
+            WHERE f.lab GROUP BY 1
+        ),
+        agg AS (
+            SELECT family, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true_pairs
+            FROM fl GROUP BY 1
+        ),
+        nk AS (
+            SELECT split_part(block_key, ':', 1) AS family,
+                   CAST(count(DISTINCT block_key) AS BIGINT) AS n_keys
+            FROM keys_capped GROUP BY 1
+        )
+        SELECT n.family, n.n_keys,
+               coalesce(a.n_pairs, 0) AS n_pairs,
+               coalesce(a.n_true_pairs, 0) AS n_true_pairs,
+               coalesce(u.n_unique_true, 0) AS n_unique_true,
+               round(CASE WHEN coalesce(a.n_pairs, 0) > 0
+                     THEN CAST(a.n_true_pairs AS DOUBLE) / a.n_pairs
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS pair_efficiency
+        FROM nk n
+        LEFT JOIN agg a USING (family)
+        LEFT JOIN uq u USING (family)
     """
     _thr_grid = ", ".join(
         f"CAST({t!r} AS DOUBLE)"

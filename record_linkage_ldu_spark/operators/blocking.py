@@ -726,3 +726,94 @@ def sorted_neighborhood_pairs_cross(
             .alias("doc_id_2"),
         )
     )
+
+
+def blocking_family_stats(keys: DataFrame, labeled: DataFrame) -> DataFrame:
+    """Per-key-family blocking contribution analysis — which families
+    earn their pair volume.  `blocking_recall` answers "does blocking
+    reach the truth overall"; this answers the design question behind
+    it: per family (the prefix before ':' in the block key — sn:, ph:,
+    em:, zp:, tk:, mc:, ...) how many candidate pairs it generates,
+    how many labeled true pairs it reaches, and how many true pairs
+    ONLY it reaches (its unique recall contribution — the families
+    with zero unique contribution are pure cost and can be dropped).
+
+    Input: ``keys(doc_id, block_key)`` (capped), ``labeled(doc_id_1,
+    doc_id_2, is_match)``.  Output: one row per family with
+    ``n_keys, n_pairs, n_true_pairs, n_unique_true, pair_efficiency``.
+
+    Scale shape: the per-family pair enumeration is the SAME join the
+    candidate stage runs (keyed on block_key, capped upstream), kept
+    per-family instead of dedup'd across families; then one label
+    join keyed on the pair id and three small groupBys.  This is a
+    diagnostic op — run it on a sample or at design time, not in the
+    per-batch hot path.
+    """
+    fam = F.substring_index(F.col("block_key"), ":", 1)
+    a, b = keys.alias("a"), keys.alias("b")
+    fam_pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            fam.alias("family"),
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["family", "doc_id_1", "doc_id_2"])
+    )
+    lab = labeled.where(F.col("is_match")).select(
+        F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+        F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+    ).dropDuplicates(["doc_id_1", "doc_id_2"]).withColumn(
+        "lab", F.lit(True)
+    )
+    fl = fam_pairs.join(lab, ["doc_id_1", "doc_id_2"], "left").withColumn(
+        "lab", F.coalesce(F.col("lab"), F.lit(False))
+    )
+    reach = (
+        fl.where(F.col("lab"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("n_fams"))
+    )
+    uniq = (
+        fl.where(F.col("lab"))
+        .join(
+            reach.where(F.col("n_fams") == 1).select("doc_id_1", "doc_id_2"),
+            ["doc_id_1", "doc_id_2"],
+            "left_semi",
+        )
+        .groupBy("family")
+        .agg(F.count("*").cast("long").alias("n_unique_true"))
+    )
+    per_fam = fl.groupBy("family").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("lab").cast("long")).alias("n_true_pairs"),
+    )
+    n_keys = keys.select(fam.alias("family"), "block_key").groupBy(
+        "family"
+    ).agg(F.count_distinct("block_key").cast("long").alias("n_keys"))
+    return (
+        n_keys.join(per_fam, "family", "left")
+        .join(uniq, "family", "left")
+        .select(
+            "family",
+            "n_keys",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_true_pairs"), F.lit(0).cast("long")).alias(
+                "n_true_pairs"
+            ),
+            F.coalesce(
+                F.col("n_unique_true"), F.lit(0).cast("long")
+            ).alias("n_unique_true"),
+            F.round(
+                F.when(
+                    F.col("n_pairs") > 0,
+                    F.coalesce(F.col("n_true_pairs"), F.lit(0))
+                    / F.col("n_pairs"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pair_efficiency"),
+        )
+    )

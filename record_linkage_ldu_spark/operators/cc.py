@@ -381,7 +381,7 @@ def _label_prop(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
-def edge_corroboration(edges: DataFrame) -> DataFrame:
+def edge_corroboration(edges: DataFrame, pin: bool = True) -> DataFrame:
     """Graph evidence per match edge: common-neighbor count and
     Adamic-Adar weight (sum of 1/ln(degree) over shared neighbors).
 
@@ -401,8 +401,18 @@ def edge_corroboration(edges: DataFrame) -> DataFrame:
     (doc_id_1), matched to neighbors-of-endpoint-2 on (doc_id_2,
     shared neighbor) — every shuffle keyed, bounded by max degree,
     the same triangle-counting shape GraphX/GraphFrames use.
+
+    The edge set is referenced FIVE times (base, both union arms,
+    both wedge sides); ``pin`` materializes it once so each reference
+    plans against the materialized table instead of DUPLICATING the
+    upstream logical plan — Catalyst optimization is super-linear in
+    plan size, and five copies of a full linkage chain measured
+    minutes of pure plan build.  Pass ``pin=False`` when ``edges``
+    already comes from a store scan or a persisted frame.
     """
-    base = edges.select("doc_id_1", "doc_id_2")
+    from .dedup import _pin
+
+    base = _pin(edges.select("doc_id_1", "doc_id_2"), pin)
     sym = base.union(
         base.select(
             F.col("doc_id_2").alias("doc_id_1"),
@@ -442,6 +452,7 @@ def repair_clusters(
     min_score: float | None = None,
     score_col: str = "score",
     method: str = "auto",
+    pin: bool = True,
 ) -> DataFrame:
     """Corroboration-gated re-clustering — the REPAIR step after
     :func:`edge_corroboration` flags lone-bridge edges: recompute
@@ -457,9 +468,17 @@ def repair_clusters(
 
     Scale shape: the corroboration wedge join (bounded by max degree)
     + one filter + the standard CC loop — nothing new materializes
-    beyond the corroboration columns.
+    beyond the corroboration columns (the edge set itself is pinned
+    once inside :func:`edge_corroboration`; see its docstring).
     """
-    corr = edge_corroboration(scored_edges.select("doc_id_1", "doc_id_2"))
+    from .dedup import _pin
+
+    scored_edges = _pin(
+        scored_edges.select("doc_id_1", "doc_id_2", score_col), pin
+    )
+    corr = edge_corroboration(
+        scored_edges.select("doc_id_1", "doc_id_2"), pin=False
+    )
     e = scored_edges.join(corr, ["doc_id_1", "doc_id_2"])
     keep = F.col("n_common") >= F.lit(min_common)
     if min_score is not None:

@@ -190,6 +190,7 @@ def tfidf_token_cosine(
     pairs: DataFrame,
     field: str = "name",
     out_col: str = "tfidf_cosine",
+    pin: bool = True,
 ) -> DataFrame:
     """TF-IDF token cosine similarity per candidate pair — the
     token-set scorer of the Magellan/py_entitymatching family.  The
@@ -208,9 +209,14 @@ def tfidf_token_cosine(
     one broadcast 1-row N, one per-doc norm groupBy, then the pair
     dot-product via two equi-joins partitioned on (doc_id, tok) —
     every shuffle keyed, no UDF, no driver materialization.  The
-    weighted-token table is the persistable index at 10^12 docs.
+    weighted-token table is the persistable index at 10^12 docs —
+    and it is referenced FOUR times downstream (both pair sides +
+    both norms), so ``pin`` materializes it once (the same
+    re-execution fix as the dedup index tables; a pipeline that
+    persists the index itself passes ``pin=False``).
     """
     from ..functions.text import tokens
+    from .dedup import _pin
 
     toks = records.select(
         "doc_id",
@@ -219,17 +225,20 @@ def tfidf_token_cosine(
         ).alias("tok"),
     )
     n_docs = records.agg(F.count("*").cast("double").alias("n_docs"))
-    df_counts = toks.groupBy("tok").agg(
-        F.count("*").cast("double").alias("df")
-    )
-    weighted = (
-        toks.join(df_counts, "tok")
+    weighted = _pin(
+        toks.join(
+            toks.groupBy("tok").agg(
+                F.count("*").cast("double").alias("df")
+            ),
+            "tok",
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "tok",
             F.log(F.col("n_docs") / F.col("df")).alias("w"),
-        )
+        ),
+        pin,
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")

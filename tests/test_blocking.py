@@ -245,3 +245,31 @@ def test_meta_blocking_cbs_keeps_corroborated_pairs(spark):
     assert [(r["doc_id_1"], r["doc_id_2"], r["n_shared_blocks"]) for r in cbs] == [
         ("d1", "d2", 2)
     ]
+
+
+def test_blocking_family_stats_unique_contribution(spark):
+    """Per-family pair counts, true-pair reach, and UNIQUE reach: the
+    phone family alone reaches (d2,d3), so it gets the unique credit;
+    a family with keys but no pairs reports zeros."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        blocking_family_stats,
+    )
+
+    keys = spark.createDataFrame(
+        [("d1", "sn:a"), ("d2", "sn:a"), ("d3", "sn:b"),
+         ("d1", "ph:1"), ("d2", "ph:1"), ("d3", "ph:1"),
+         ("d4", "em:x")],
+        "doc_id string, block_key string",
+    )
+    labels = spark.createDataFrame(
+        [("d1", "d2", True), ("d2", "d3", True)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    out = {r["family"]: r for r in blocking_family_stats(keys, labels).collect()}
+    assert set(out) == {"sn", "ph", "em"}
+    sn, ph, em = out["sn"], out["ph"], out["em"]
+    assert (sn["n_keys"], sn["n_pairs"], sn["n_true_pairs"], sn["n_unique_true"]) == (2, 1, 1, 0)
+    assert sn["pair_efficiency"] == 1.0
+    assert (ph["n_keys"], ph["n_pairs"], ph["n_true_pairs"], ph["n_unique_true"]) == (1, 3, 2, 1)
+    assert ph["pair_efficiency"] == round(2 / 3, 6)
+    assert (em["n_keys"], em["n_pairs"], em["n_unique_true"], em["pair_efficiency"]) == (1, 0, 0, 0.0)

@@ -51,3 +51,22 @@ def test_media_spans_inert_but_preserved(spark, tiny_gen):
         F.explode("spans").alias("s")
     ).where("s.kind = 'media'").count()
     assert n_media_before == n_media_after > 0
+
+
+def test_profile_fields_hand_computed(spark):
+    """Fill rate counts '' and NULL as missing; distinct/length stats
+    cover only filled values."""
+    from record_linkage_ldu_spark.operators.spans import profile_fields
+
+    records = spark.createDataFrame(
+        [("d1", "alice", "a@x.com"), ("d2", "", None),
+         ("d3", "bob", "a@x.com")],
+        "doc_id string, name string, email string",
+    )
+    out = {r["field"]: r for r in profile_fields(records, ("name", "email")).collect()}
+    nm = out["name"]
+    assert (nm["n_rows"], nm["n_filled"], nm["n_distinct"]) == (3, 2, 2)
+    assert nm["fill_rate"] == round(2 / 3, 6)
+    assert (nm["avg_len"], nm["max_len"]) == (4.0, 5)
+    em = out["email"]
+    assert (em["n_filled"], em["n_distinct"], em["avg_len"], em["max_len"]) == (2, 1, 7.0, 7)

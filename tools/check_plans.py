@@ -210,6 +210,48 @@ def main(sf_dir: str) -> int:
         and "BroadcastNestedLoopJoin" not in ld_plan,
     )
 
+    # r4 scorers/graph ops: the pair dot product and the wedge join
+    # must stay keyed equi-joins; the only nested-loop allowed in
+    # tfidf is the broadcast of the 1-row corpus count
+    from record_linkage_ldu_spark.operators.cc import edge_corroboration
+    from record_linkage_ldu_spark.operators.scoring import (
+        monge_elkan_scores,
+        tfidf_token_cosine,
+    )
+
+    # checkpoint the sample inputs: these ops reference their inputs
+    # 3-5 times, and each reference would DUPLICATE the full
+    # candidate-generation logical plan (Catalyst optimization is
+    # super-linear in plan size — measured minutes of pure plan build
+    # without the cut; the driver queries don't hit this because the
+    # shared chain is persisted, which substitutes InMemoryRelation
+    # at analysis time)
+    recs_nm = records.select("doc_id", "name").localCheckpoint(eager=True)
+    some_pairs = pairs.limit(1000).localCheckpoint(eager=True)
+    tf_plan = executed_plan(tfidf_token_cosine(recs_nm, some_pairs))
+    check(
+        "tfidf cosine: keyed equi-joins + one broadcast 1-row N",
+        "CartesianProduct" not in tf_plan
+        and tf_plan.count("BroadcastNestedLoopJoin") <= 1,
+        f"nested loops: {tf_plan.count('BroadcastNestedLoopJoin')}",
+    )
+    me_plan = executed_plan(
+        monge_elkan_scores(recs_nm, some_pairs, pin=False)
+    )
+    check(
+        "monge-elkan: token grid via equi-joins, no cartesian",
+        "CartesianProduct" not in me_plan
+        and "BroadcastNestedLoopJoin" not in me_plan,
+    )
+    ec_plan = executed_plan(
+        edge_corroboration(some_pairs.select("doc_id_1", "doc_id_2"))
+    )
+    check(
+        "edge corroboration: wedge join is keyed, no cartesian",
+        "CartesianProduct" not in ec_plan
+        and "BroadcastNestedLoopJoin" not in ec_plan,
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
