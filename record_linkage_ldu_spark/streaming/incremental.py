@@ -596,9 +596,20 @@ def stream_documents_to_clusters(
     cfg=None,
 ):
     """readStream(parquet dir) -> foreachBatch(incremental linkage).
-    Returns the StreamingQuery (caller awaits/stops)."""
+    Returns the StreamingQuery (caller awaits/stops).
+
+    Kernel-registration caveat: foreachBatch hands a DataFrame bound
+    to a CLONED session whose state (incl. the Java UDF registry) is
+    copied at clone time — if the compiled similarity kernels
+    (rlds_ro/rlds_jw) were never registered on the parent before the
+    stream started, the clone can't resolve them and the batch dies
+    with UNRESOLVED_ROUTINE.  Register on the parent up front AND on
+    each batch's own session (idempotent, cached per session object).
+    """
+    from ..functions.similarity import _jvm_kernels_available
     from ..operators.spans import DOCUMENTS_SCHEMA
 
+    _jvm_kernels_available(spark)
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -606,7 +617,8 @@ def stream_documents_to_clusters(
     )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
-        incremental_linkage_batch(spark, df, store_dir, cfg=cfg)
+        _jvm_kernels_available(df.sparkSession)
+        incremental_linkage_batch(df.sparkSession, df, store_dir, cfg=cfg)
 
     return (
         stream.writeStream.foreachBatch(_batch)
