@@ -44,6 +44,7 @@ from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_s
 from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules
 from record_linkage_ldu_spark.operators import evaluate as ev
 from record_linkage_ldu_spark.operators import fs_em as fs_em_mod
+from record_linkage_ldu_spark.operators import pprl
 from record_linkage_ldu_spark.operators.evaluate import (
     cluster_diff,
     presentation_view,
@@ -1068,6 +1069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_records"] = lambda s, d: profile_fields(
         _records(s, d), _PAIR_FIELDS
     )
+    # privacy-preserving linkage (Schnell et al. 2009): CLK bloom
+    # encodings of the name q-grams + Dice over the candidate pairs —
+    # the protocol when the two sources may not see each other's raw
+    # values; only the encoding table crosses the trust boundary
+    q["pprl_dice_scores"] = lambda s, d: pprl.dice_pairs(
+        pprl.bloom_encode(_records(s, d), "name"), _cand_pairs(s, d)
+    )
     return _ordered(q)
 
 
@@ -1077,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "pprl_dice_scores",
     "profile_records",
     "blocking_family_stats",
     "cluster_repair",
@@ -2334,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
     """
+    sql["pprl_dice_scores"] = pprl.sql_bloom_dice(_sql_chain("pairs"))
     _prof_melt = "\n            UNION ALL ".join(
         f"SELECT '{f}' AS field, \"{f}\" AS value FROM norm"
         for f in _PAIR_FIELDS

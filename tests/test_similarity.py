@@ -208,3 +208,43 @@ def test_monge_elkan_hand_computed(spark):
     jw_t = jaro_winkler("acme", "acmee")
     # both directions: best("acme")=jw_t, best("corp")=1 -> avg each side
     assert out[("d1", "d3")] == round((jw_t + 1) / 2, 6)
+
+
+
+def test_pprl_bloom_dice_semantics(spark):
+    """CLK + Dice: identical names score 1.0, a one-char typo scores
+    high (most bigrams shared), an unrelated name scores low, an
+    empty side scores 0.0; encodings are deterministic."""
+    from record_linkage_ldu_spark.operators.pprl import (
+        bloom_encode,
+        dice_pairs,
+    )
+
+    records = spark.createDataFrame(
+        [("d1", "alice smith"), ("d2", "alice smith"),
+         ("d3", "alice smyth"), ("d4", "zzqq vvrr"), ("d5", "")],
+        "doc_id string, name string",
+    )
+    enc = bloom_encode(records, "name")
+    by_doc = {}
+    for r in enc.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    assert by_doc["d1"] == by_doc["d2"]      # deterministic encoding
+    assert "d5" not in by_doc                # empty field -> no rows
+    assert all(0 <= p < 256 for p in by_doc["d1"])
+
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4"), ("d1", "d5")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["dice"]
+        for r in dice_pairs(enc, pairs).collect()
+    }
+    assert out[("d1", "d2")] == 1.0
+    assert out[("d1", "d3")] > 0.7           # one-char typo stays close
+    assert out[("d1", "d4")] < 0.3           # unrelated name is far
+    assert out[("d1", "d5")] == 0.0          # un-encodable side
+    # exact dice for the typo pair from the encodings themselves
+    a, b = by_doc["d1"], by_doc["d3"]
+    assert out[("d1", "d3")] == round(2 * len(a & b) / (len(a) + len(b)), 6)
