@@ -728,7 +728,9 @@ def sorted_neighborhood_pairs_cross(
     )
 
 
-def blocking_family_stats(keys: DataFrame, labeled: DataFrame) -> DataFrame:
+def blocking_family_stats(
+    keys: DataFrame, labeled: DataFrame, pin: bool = True
+) -> DataFrame:
     """Per-key-family blocking contribution analysis — which families
     earn their pair volume.  `blocking_recall` answers "does blocking
     reach the truth overall"; this answers the design question behind
@@ -767,8 +769,17 @@ def blocking_family_stats(keys: DataFrame, labeled: DataFrame) -> DataFrame:
     ).dropDuplicates(["doc_id_1", "doc_id_2"]).withColumn(
         "lab", F.lit(True)
     )
-    fl = fam_pairs.join(lab, ["doc_id_1", "doc_id_2"], "left").withColumn(
-        "lab", F.coalesce(F.col("lab"), F.lit(False))
+    # fl feeds reach, uniq (both sides), and per_fam — without a pin
+    # the per-family self-join above re-executes once per reference
+    # (~4x the most expensive subplan; exchange reuse does not dedup
+    # plans referenced from separate aggregates).
+    from .dedup import _pin
+
+    fl = _pin(
+        fam_pairs.join(lab, ["doc_id_1", "doc_id_2"], "left").withColumn(
+            "lab", F.coalesce(F.col("lab"), F.lit(False))
+        ),
+        pin,
     )
     reach = (
         fl.where(F.col("lab"))

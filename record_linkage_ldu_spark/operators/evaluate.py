@@ -205,9 +205,14 @@ def threshold_curve(
     histogram inspection; this computes the whole operating curve).
 
     ``fn`` counts BOTH labeled candidates scored below the threshold
-    and labeled pairs blocking never reached (the blocking-miss count
-    is threshold-independent; `blocking_recall` reports it alone), so
-    ``recall``/``f1`` are end-to-end, comparable to `evaluate_prf`.
+    and labeled TRUE pairs blocking never reached (the blocking-miss
+    count is threshold-independent; `blocking_recall` reports it
+    alone), so ``recall``/``f1`` are end-to-end, comparable to
+    `evaluate_prf`.  Labeled non-matches outside the candidate set
+    carry no information at any threshold and are excluded from the
+    miss count.  Both sides are canonicalized/deduped on the pair id
+    (same contract as `pairwise_prf`), so (b, a) storage order or
+    duplicate scored rows cannot double-count.
 
     Scale shape: one left join of the scored pairs against the labels
     (keyed on the pair id), one |grid|-way explode with map-side
@@ -217,17 +222,19 @@ def threshold_curve(
     """
     lab = _canon(labeled)
     pair_keys = ["doc_id_1", "doc_id_2"]
+    sp = _canon(scored_pairs.select(*pair_keys, score_col))
     j = (
-        scored_pairs.select(*pair_keys, score_col)
-        .join(lab, pair_keys, "left")
+        sp.join(lab, pair_keys, "left")
         .select(
             F.col(score_col).alias("s"),
             F.coalesce(F.col("is_match"), F.lit(False)).alias("lab"),
         )
     )
-    missed = lab.join(
-        scored_pairs.select(*pair_keys), pair_keys, "left_anti"
-    ).agg(F.count("*").cast("long").alias("n_missed"))
+    missed = (
+        lab.filter(F.col("is_match"))
+        .join(sp.select(*pair_keys), pair_keys, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_missed"))
+    )
     grid = F.array(*[F.lit(float(t)) for t in thresholds])
     agg = (
         j.select(F.explode(grid).alias("threshold"), "s", "lab")

@@ -419,7 +419,8 @@ def media_phash_near_dups(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket_size: int | None = 1000,
-) -> DataFrame:
+    with_census: bool = False,
+):
     """Perceptual near-duplicate image pairs: aHash sketches routed
     through the text pipeline's SimHash hamming-banding machinery
     (``dedup.simhash_near_duplicates`` — multi-probe band buckets with
@@ -429,20 +430,32 @@ def media_phash_near_dups(
     One operator family, two modalities: the banding, skew handling,
     and recall guarantee are shared code, only the sketch function
     differs.  Output: (media_ref_1, media_ref_2, hamming).
+
+    The pigeonhole recall guarantee holds only for band buckets UNDER
+    ``max_bucket_size * drop_factor``; degenerate sketches break it —
+    aHash maps every flat/solid-color image to phash=0, so a corpus
+    heavy in such images puts them all in one mega-bucket per band,
+    which the cap tier DROPS.  Pass ``with_census=True`` to get
+    ``(pairs, dropped_census)`` and surface those drops (same contract
+    as `simhash_near_duplicates`); leaving it False on an unknown
+    corpus silently loses exactly the most-duplicated content.
     """
     from .dedup import simhash_near_duplicates
 
     sk = media_phash(media).select(
         F.col("media_ref").alias("doc_id"), F.col("phash").alias("simhash")
     )
-    pairs = simhash_near_duplicates(
+    res = simhash_near_duplicates(
         sk,
         max_hamming=max_hamming,
         n_bands=n_bands,
         max_bucket_size=max_bucket_size,
+        with_census=with_census,
     )
-    return pairs.select(
+    pairs, census = res if with_census else (res, None)
+    out = pairs.select(
         F.col("doc_id_1").alias("media_ref_1"),
         F.col("doc_id_2").alias("media_ref_2"),
         "hamming",
     )
+    return (out, census) if with_census else out

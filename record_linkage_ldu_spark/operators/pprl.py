@@ -50,9 +50,12 @@ def bloom_encode(
     ``n_hashes * (len+1)`` — single-digit dozens for name fields.
     """
     padded = F.concat(F.lit("#"), F.lower(F.trim(F.col(field))), F.lit("$"))
+    # length >= q guards sequence(1, N<1): Spark yields a DESCENDING
+    # [1, 0] there (spurious grams) where the DuckDB twin's range() is
+    # empty — too-short fields must produce no encoding in BOTH engines.
     base = records.select(
         "doc_id", padded.alias("_p")
-    ).where(F.length("_p") > 2)  # '#$' alone = empty field
+    ).where(F.length("_p") >= max(3, q))  # '#$' alone = empty field
     grams = base.select(
         "doc_id",
         F.explode(
@@ -81,6 +84,7 @@ def dice_pairs(
     encodings: DataFrame,
     pairs: DataFrame,
     out_col: str = "dice",
+    pin: bool = True,
 ) -> DataFrame:
     """Dice coefficient per candidate pair over CLK encodings:
     ``2 |A ∩ B| / (|A| + |B|)``.
@@ -89,7 +93,16 @@ def dice_pairs(
     scores 0.0.  Scale shape: per-doc cardinalities = one groupBy;
     intersection = two equi-joins keyed on (doc_id, pos) + one pair
     groupBy — identical cost class to the TF-IDF dot product.
+
+    ``pin`` localCheckpoints the encoding table once: it is referenced
+    three times below (sizes, both join sides), and an unmaterialized
+    `bloom_encode` plan would re-run its explode+md5+distinct per
+    reference.  In a real PPRL deployment the encodings arrive as a
+    persisted table and the pin is a no-op cost.
     """
+    from .dedup import _pin
+
+    encodings = _pin(encodings.select("doc_id", "pos"), pin)
     sizes = encodings.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("n_bits")
     )

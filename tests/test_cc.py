@@ -308,3 +308,28 @@ def test_threshold_curve_hand_computed(spark):
     assert (t4["tp"], t4["fp"], t4["fn"]) == (1, 0, 2)
     assert (t4["precision"], t4["recall"]) == (1.0, round(1 / 3, 6))
     assert t4["f1"] == 0.5
+
+
+def test_threshold_curve_negative_labels_and_storage_order(spark):
+    """Labeled NON-matches outside the candidate set must not count as
+    false negatives, and (b, a) storage order / duplicate scored rows
+    must not double-count — regression for the r4 review findings."""
+    from record_linkage_ldu_spark.operators.evaluate import threshold_curve
+
+    # one true pair scored high, stored in REVERSED order + duplicated
+    scored = spark.createDataFrame(
+        [("b", "a", 5.0), ("a", "b", 5.0), ("c", "d", 1.0)],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    labels = spark.createDataFrame(
+        # the true pair, a labeled negative inside the candidate set,
+        # and 5 labeled negatives blocking never reached
+        [("a", "b", True), ("c", "d", False)]
+        + [(f"n{i}", f"m{i}", False) for i in range(5)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    row = threshold_curve(scored, labels, thresholds=(2.0,)).collect()[0]
+    # tp=1 (a,b counted ONCE), fp=0 (c,d below threshold), fn=0 (no
+    # true label missed; the 5 unreached negatives are not misses)
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 0, 0)
+    assert (row["precision"], row["recall"], row["f1"]) == (1.0, 1.0, 1.0)

@@ -248,3 +248,19 @@ def test_pprl_bloom_dice_semantics(spark):
     # exact dice for the typo pair from the encodings themselves
     a, b = by_doc["d1"], by_doc["d3"]
     assert out[("d1", "d3")] == round(2 * len(a & b) / (len(a) + len(b)), 6)
+
+
+def test_pprl_bloom_encode_short_field_large_q(spark):
+    """q=4 on a field shorter than q-1 must produce NO encoding —
+    regression for sequence(1, N<1) yielding a descending [1, 0] and
+    spurious grams where the DuckDB twin's range() is empty."""
+    from record_linkage_ldu_spark.operators.pprl import bloom_encode
+
+    records = spark.createDataFrame(
+        [("d1", "a"), ("d2", "ab"), ("d3", "abcdef")],
+        "doc_id string, name string",
+    )
+    enc = {r["doc_id"] for r in bloom_encode(records, "name", q=4).collect()}
+    assert "d1" not in enc   # padded '#a$' (len 3) < q: no grams
+    assert "d2" in enc       # padded '#ab$' (len 4) == q: one gram
+    assert "d3" in enc

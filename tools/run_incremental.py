@@ -110,18 +110,25 @@ def main(argv: list[str] | None = None) -> int:
             cfg=cfg,
         )
         q.awaitTermination()
-        clusters = spark.read.parquet(f"{args.store}/clusters")
-        print(
-            json.dumps(
-                {
-                    "rolled_back": rolled_back,
-                    "docs": clusters.count(),
-                    "clusters": clusters.select("cluster_id")
-                    .distinct()
-                    .count(),
-                }
-            )
-        )
+        # a fresh store with an empty input drains zero batches and
+        # never creates <store>/clusters — that is a healthy no-op run
+        # (the watcher may be deployed before the first data lands),
+        # not an error
+        import os
+
+        cl_path = f"{args.store}/clusters"
+        if os.path.isdir(cl_path):
+            clusters = spark.read.parquet(cl_path)
+            summary = {
+                "rolled_back": rolled_back,
+                "docs": clusters.count(),
+                "clusters": clusters.select("cluster_id")
+                .distinct()
+                .count(),
+            }
+        else:
+            summary = {"rolled_back": rolled_back, "docs": 0, "clusters": 0}
+        print(json.dumps(summary))
     spark.stop()
     return 0
 
