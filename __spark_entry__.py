@@ -76,6 +76,7 @@ from record_linkage_ldu_spark.operators.multimodal import (
 from record_linkage_ldu_spark.operators.scoring import (
     attach_pair_sides,
     monge_elkan_scores,
+    soft_tfidf_scores,
     tfidf_token_cosine,
 )
 from record_linkage_ldu_spark.operators.spans import (
@@ -520,17 +521,24 @@ _ROUND_COLS = ", ".join(
 _SQL_CC = f"""
 {_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
     nodes AS (SELECT doc_id FROM synth),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_id_1 AS s, doc_id_2 AS d FROM matches
         UNION
         SELECT doc_id_2 AS s, doc_id_1 AS d FROM matches
     ),
-    reach(a, b) AS (
+    reach_rec(a, b) AS (
         SELECT doc_id, doc_id FROM nodes
         UNION
-        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-    )
+        SELECT r.a, e.d FROM reach_rec r JOIN edges e ON r.b = e.s
+    ),
+    reach AS MATERIALIZED (SELECT a, b FROM reach_rec)
 """
+# AS MATERIALIZED matters: DuckDB 1.0 INLINES a CTE per reference, so
+# a twin touching `reach` from several aggregates re-ran the whole
+# match chain + transitive recursion each time (cluster_metrics was
+# 39s -> 5s with the two hints, byte-identical output).  The driver's
+# correctness budget is a wall-clock window — oracle seconds are
+# coverage.
 
 
 # ======================================================================
@@ -1017,6 +1025,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _records(s, d),
         _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
     )
+    # symmetric Soft-TF-IDF (Cohen et al. IJCAI'03): best-JW alignment
+    # gated at theta, contribution TF-IDF weighted — the third hybrid
+    # scorer, same deterministic pair sample as monge_elkan
+    q["soft_tfidf_scores"] = lambda s, d: soft_tfidf_scores(
+        _records(s, d),
+        _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
+    )
     # per-cluster cohesion triage (density + weakest edge): the
     # quantified form of the reference's "look for unreasonably large
     # groups" review advice
@@ -1085,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "soft_tfidf_scores",
     "pprl_dice_scores",
     "profile_records",
     "blocking_family_stats",
@@ -2479,8 +2495,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cluster_repair"] = f"""
         {_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
-        base AS (SELECT doc_id_1, doc_id_2, score FROM matches),
-        symx AS (
+        base AS MATERIALIZED (SELECT doc_id_1, doc_id_2, score FROM matches),
+        symx AS MATERIALIZED (
             SELECT doc_id_1, doc_id_2 FROM base
             UNION ALL
             SELECT doc_id_2, doc_id_1 FROM base
@@ -2503,7 +2519,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(w.n_common, 0) >= 1 OR b.score >= 5.0
         ),
         nodes AS (SELECT doc_id FROM synth),
-        edges2 AS (
+        edges2 AS MATERIALIZED (
             SELECT doc_id_1 AS s, doc_id_2 AS d FROM strong
             UNION
             SELECT doc_id_2 AS s, doc_id_1 AS d FROM strong
@@ -2565,8 +2581,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["edge_corroboration"] = f"""
         {_sql_chain("matches")},
-        base AS (SELECT doc_id_1, doc_id_2 FROM matches),
-        sym AS (
+        base AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM matches),
+        sym AS MATERIALIZED (
             SELECT doc_id_1, doc_id_2 FROM base
             UNION ALL
             SELECT doc_id_2, doc_id_1 FROM base
@@ -2643,7 +2659,7 @@ def oracle_sql() -> dict[str, str]:
                        {T.sql_tokens("coalesce(name, '')")})) AS tok
             FROM norm
         ),
-        grid AS (
+        grid AS MATERIALIZED (
             SELECT p.doc_id_1, p.doc_id_2, a.tok AS tok1, b.tok AS tok2,
                    (CASE WHEN a.tok = b.tok THEN 1.0
                          ELSE jaro_winkler_similarity(a.tok, b.tok) END) AS jw
@@ -2670,6 +2686,67 @@ def oracle_sql() -> dict[str, str]:
         FROM sampled p
         LEFT JOIN me12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
         LEFT JOIN me21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+    """
+    sql["soft_tfidf_scores"] = f"""
+        {_sql_chain("pairs")},
+        sampled AS (
+            SELECT * FROM pairs
+            WHERE ('0x' || substr(md5(doc_id_1 || ':' || doc_id_2), 1, 8))
+                  ::UBIGINT % 43 = 0
+        ),
+        ntoks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {T.sql_tokens("coalesce(name, '')")})) AS tok
+            FROM norm
+        ),
+        dfc AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df
+            FROM ntoks GROUP BY tok
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM norm),
+        wt AS (
+            SELECT t.doc_id, t.tok, ln(nn.n_docs / d.df) AS w
+            FROM ntoks t JOIN dfc d USING (tok), nn
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id),
+        grid AS MATERIALIZED (
+            SELECT p.doc_id_1, p.doc_id_2, a.tok AS tok1, b.tok AS tok2,
+                   a.w AS w1, b.w AS w2,
+                   CAST(CASE WHEN a.tok = b.tok THEN 1.0
+                        ELSE jaro_winkler_similarity(a.tok, b.tok)
+                        END AS DOUBLE) AS jw
+            FROM sampled p
+            JOIN wt a ON a.doc_id = p.doc_id_1
+            JOIN wt b ON b.doc_id = p.doc_id_2
+        ),
+        d12 AS (
+            SELECT doc_id_1, doc_id_2, sum(w_own * bw * bjw) AS raw12 FROM (
+                SELECT doc_id_1, doc_id_2, tok1, max(w1) AS w_own,
+                       (max(struct_pack(jw := jw, w := w2))).jw AS bjw,
+                       (max(struct_pack(jw := jw, w := w2))).w AS bw
+                FROM grid GROUP BY 1, 2, 3
+            ) WHERE bjw >= 0.9 GROUP BY 1, 2
+        ),
+        d21 AS (
+            SELECT doc_id_1, doc_id_2, sum(w_own * bw * bjw) AS raw21 FROM (
+                SELECT doc_id_1, doc_id_2, tok2, max(w2) AS w_own,
+                       (max(struct_pack(jw := jw, w := w1))).jw AS bjw,
+                       (max(struct_pack(jw := jw, w := w1))).w AS bw
+                FROM grid GROUP BY 1, 2, 3
+            ) WHERE bjw >= 0.9 GROUP BY 1, 2
+        )
+        SELECT p.doc_id_1, p.doc_id_2,
+               round(CASE WHEN n1.nrm > 0 AND n2.nrm > 0
+                     THEN (coalesce(a.raw12, CAST(0 AS DOUBLE))
+                           + coalesce(b.raw21, CAST(0 AS DOUBLE)))
+                          / (2 * n1.nrm * n2.nrm)
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS soft_tfidf
+        FROM sampled p
+        LEFT JOIN d12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
+        LEFT JOIN d21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+        LEFT JOIN nrm n1 ON n1.doc_id = p.doc_id_1
+        LEFT JOIN nrm n2 ON n2.doc_id = p.doc_id_2
     """
     sql["cluster_metrics"] = f"""
         {_SQL_CC},

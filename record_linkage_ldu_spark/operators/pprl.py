@@ -171,7 +171,9 @@ def sql_bloom_dice(
                        i -> substr(_p, CAST(i AS INT), {q})))) AS gram
             FROM padded
         ),
-        enc AS (
+        enc AS MATERIALIZED (
+            -- referenced 3x (sizes + both join sides); DuckDB inlines
+            -- CTEs per reference, so unhinted the md5 explode ran 3x
             SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos
             FROM grams, unnest([{pos_exprs}]) AS t(pos)
         ),

@@ -363,3 +363,142 @@ def monge_elkan_scores(
             ).alias(out_col),
         )
     )
+
+
+def soft_tfidf_scores(
+    records: DataFrame,
+    pairs: DataFrame,
+    field: str = "name",
+    theta: float = 0.9,
+    out_col: str = "soft_tfidf",
+    pin: bool = True,
+) -> DataFrame:
+    """Symmetric Soft-TF-IDF per candidate pair (Cohen, Ravikumar &
+    Fienberg, IJCAI'03 / SecondString) — the third member of the
+    hybrid-scorer family next to `tfidf_token_cosine` (exact-token
+    overlap only) and `monge_elkan_scores` (unweighted alignment):
+    each token aligns with its best Jaro-Winkler partner on the other
+    side, but the contribution is TF-IDF-weighted and gated at
+    ``jw >= theta``, so a typo'd RARE token ("smyth"~"smith") still
+    carries its full idf weight while corpus-frequent tokens ("inc")
+    stay down-weighted even on exact agreement.
+
+    soft(A→B) = Σ_{a: best_jw >= θ} V(a,A) · V(argmax_b jw(a,b), B)
+                · best_jw,  with V(t,X) = idf(t)/‖X‖; output is the
+    symmetric mean of both directions, rounded to 6 decimals; a pair
+    where either side has no tokens scores 0.0.  (Like the published
+    measure, values can slightly exceed 1 when several tokens align to
+    the same partner — it is a ranking score, not a metric.)
+
+    Determinism: the argmax is max(struct(jw, w2)) — jw ties break by
+    the larger partner weight, and any remaining tie has an identical
+    contribution, so the score is engine-portable (the DuckDB twin
+    uses struct_pack max with the same ordering).
+
+    Scale shape: the idf weight table is the SAME persistable index as
+    `tfidf_token_cosine` (one explode + one df groupBy + broadcast-N);
+    the per-pair token grid is |toks_a|·|toks_b| rows via two
+    equi-joins (single-digit for name fields); the JW kernel runs
+    JVM-side on the pinned grid ONCE; then one bounded (pair, token)
+    struct-max groupBy per direction and a per-pair sum.
+    """
+    from ..functions.similarity import jw_sim_col
+    from ..functions.text import tokens
+    from .dedup import _pin
+
+    toks = records.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(field), F.lit(""))))
+        ).alias("tok"),
+    )
+    n_docs = records.agg(F.count("*").cast("double").alias("n_docs"))
+    weighted = _pin(
+        toks.join(
+            toks.groupBy("tok").agg(
+                F.count("*").cast("double").alias("df")
+            ),
+            "tok",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.log(F.col("n_docs") / F.col("df")).alias("w"),
+        ),
+        pin,
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    w1 = weighted.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("tok").alias("tok1"),
+        F.col("w").alias("w1"),
+    )
+    w2 = weighted.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("tok").alias("tok2"),
+        F.col("w").alias("w2"),
+    )
+    grid = _pin(
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(w1, "doc_id_1")
+        .join(w2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "tok1",
+            "tok2",
+            "w1",
+            "w2",
+            jw_sim_col(F.col("tok1"), F.col("tok2")).alias("jw"),
+        ),
+        pin,
+    )
+
+    def _direction(tok_col: str, own_w: str, other_w: str, name: str):
+        best = (
+            grid.groupBy("doc_id_1", "doc_id_2", tok_col)
+            .agg(
+                F.max(own_w).alias("w_own"),  # constant per group
+                F.max(F.struct(F.col("jw"), F.col(other_w))).alias("b"),
+            )
+            .where(F.col("b.jw") >= F.lit(theta))
+        )
+        return best.groupBy("doc_id_1", "doc_id_2").agg(
+            F.sum(
+                F.col("w_own") * F.col(f"b.{other_w}") * F.col("b.jw")
+            ).alias(name)
+        )
+
+    s12 = _direction("tok1", "w1", "w2", "raw12")
+    s21 = _direction("tok2", "w2", "w1", "raw21")
+    n1 = norms.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("nrm").alias("nrm1")
+    )
+    n2 = norms.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("nrm").alias("nrm2")
+    )
+    return (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(s12, ["doc_id_1", "doc_id_2"], "left")
+        .join(s21, ["doc_id_1", "doc_id_2"], "left")
+        .join(n1, "doc_id_1", "left")
+        .join(n2, "doc_id_2", "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.when(
+                    (F.col("nrm1") > 0) & (F.col("nrm2") > 0),
+                    (
+                        F.coalesce(F.col("raw12"), F.lit(0.0))
+                        + F.coalesce(F.col("raw21"), F.lit(0.0))
+                    )
+                    / (2 * F.col("nrm1") * F.col("nrm2")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(out_col),
+        )
+    )

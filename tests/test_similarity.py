@@ -210,6 +210,49 @@ def test_monge_elkan_hand_computed(spark):
     assert out[("d1", "d3")] == round((jw_t + 1) / 2, 6)
 
 
+def test_soft_tfidf_hand_computed(spark):
+    """Soft-TF-IDF: typo'd rare token keeps its idf weight (gated at
+    jw >= theta), sub-theta alignments contribute nothing, empty side
+    scores 0.0, exact reorder scores 1.0."""
+    import math
+
+    from record_linkage_ldu_spark.functions.similarity import jaro_winkler
+    from record_linkage_ldu_spark.operators.scoring import soft_tfidf_scores
+
+    records = spark.createDataFrame(
+        [("d1", "acme corp"), ("d2", "corp acme"),
+         ("d3", "acmee corp"), ("d4", "zeta gmbh"), ("d5", "")],
+        "doc_id string, name string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4"), ("d1", "d5")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["soft_tfidf"]
+        for r in soft_tfidf_scores(records, pairs, pin=False).collect()
+    }
+    assert out[("d1", "d2")] == 1.0          # exact reorder
+    assert out[("d1", "d4")] == 0.0          # nothing aligns above theta
+    assert out[("d1", "d5")] == 0.0          # empty side
+    # d1 vs d3: 'corp' aligns exactly (w_corp^2 * 1), 'acme'~'acmee'
+    # aligns at jw_t >= 0.9 with full idf weights
+    n = 5.0
+    # df: acme in {d1,d2}, acmee in {d3}, corp in {d1,d2,d3}
+    w_acme, w_acmee, w_corp = (
+        math.log(n / 2), math.log(n / 1), math.log(n / 3)
+    )
+    jw_t = jaro_winkler("acme", "acmee")
+    assert jw_t >= 0.9
+    raw = w_corp * w_corp + w_acme * w_acmee * jw_t  # same both directions
+    nrm1 = math.hypot(w_acme, w_corp)
+    nrm3 = math.hypot(w_acmee, w_corp)
+    assert out[("d1", "d3")] == round(raw / (nrm1 * nrm3), 6)
+    # the typo'd rare token dominates: soft-tfidf credits it, plain
+    # tfidf cosine would only credit the shared frequent token
+    assert out[("d1", "d3")] > 0.9
+
+
 
 def test_pprl_bloom_dice_semantics(spark):
     """CLK + Dice: identical names score 1.0, a one-char typo scores
