@@ -75,6 +75,7 @@ from record_linkage_ldu_spark.operators.multimodal import (
 )
 from record_linkage_ldu_spark.operators.scoring import (
     attach_pair_sides,
+    group_linkage_scores,
     monge_elkan_scores,
     soft_tfidf_scores,
     tfidf_token_cosine,
@@ -1032,6 +1033,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _records(s, d),
         _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
     )
+    # group linkage (On et al. ICDE'07): symmetric best-match member
+    # alignment between the pipeline's OWN clusters over the candidate
+    # scores — the cluster-merge review queue (high group_sim but not
+    # merged = the borderline the rules left apart)
+    q["group_linkage_scores"] = lambda s, d: group_linkage_scores(
+        _pair_scores(s, d),
+        _clusters(s, d).select("doc_id", F.col("cluster_id").alias("group_id")),
+    )
     # per-cluster cohesion triage (density + weakest edge): the
     # quantified form of the reference's "look for unreasonably large
     # groups" review advice
@@ -1100,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "group_linkage_scores",
     "soft_tfidf_scores",
     "pprl_dice_scores",
     "profile_records",
@@ -2686,6 +2696,56 @@ def oracle_sql() -> dict[str, str]:
         FROM sampled p
         LEFT JOIN me12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
         LEFT JOIN me21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+    """
+    sql["group_linkage_scores"] = f"""
+        {_SQL_CC},
+        clus AS MATERIALIZED (
+            SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+        ),
+        tagged AS MATERIALIZED (
+            SELECT least(c1.group_id, c2.group_id) AS group_id_1,
+                   greatest(c1.group_id, c2.group_id) AS group_id_2,
+                   CASE WHEN c1.group_id <= c2.group_id
+                        THEN s.doc_id_1 ELSE s.doc_id_2 END AS m_left,
+                   CASE WHEN c1.group_id <= c2.group_id
+                        THEN s.doc_id_2 ELSE s.doc_id_1 END AS m_right,
+                   s.score AS s
+            FROM scored s
+            JOIN clus c1 ON c1.doc_id = s.doc_id_1
+            JOIN clus c2 ON c2.doc_id = s.doc_id_2
+            WHERE c1.group_id != c2.group_id
+        ),
+        dl AS (
+            SELECT group_id_1, group_id_2, sum(best) AS sum_l FROM (
+                SELECT group_id_1, group_id_2, m_left, max(s) AS best
+                FROM tagged GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ),
+        dr AS (
+            SELECT group_id_1, group_id_2, sum(best) AS sum_r FROM (
+                SELECT group_id_1, group_id_2, m_right, max(s) AS best
+                FROM tagged GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ),
+        cnt AS (
+            SELECT group_id_1, group_id_2,
+                   CAST(count(*) AS BIGINT) AS n_scored_pairs
+            FROM tagged GROUP BY 1, 2
+        ),
+        sz AS (
+            SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM clus GROUP BY 1
+        )
+        SELECT c.group_id_1, c.group_id_2,
+               s1.n_members AS n_members_1, s2.n_members AS n_members_2,
+               c.n_scored_pairs,
+               round((dl.sum_l + dr.sum_r)
+                     / (s1.n_members + s2.n_members), 6) AS group_sim
+        FROM cnt c
+        JOIN dl USING (group_id_1, group_id_2)
+        JOIN dr USING (group_id_1, group_id_2)
+        JOIN sz s1 ON s1.group_id = c.group_id_1
+        JOIN sz s2 ON s2.group_id = c.group_id_2
     """
     sql["soft_tfidf_scores"] = f"""
         {_sql_chain("pairs")},

@@ -365,6 +365,115 @@ def monge_elkan_scores(
     )
 
 
+def group_linkage_scores(
+    scored_pairs: DataFrame,
+    membership: DataFrame,
+    score_col: str = "score",
+    out_col: str = "group_sim",
+    pin: bool = True,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, ICDE'07): score
+    pairs of record GROUPS — households, organizations with several
+    contact rows, author profiles — by how well their members align.
+    Record-level linkage answers "are these two rows the same
+    entity?"; this answers the next question ER consumers actually
+    ask: "are these two GROUPS of rows the same real-world party?".
+
+    sim(A, B) = (Σ_{a∈A} best_b s(a,b) + Σ_{b∈B} best_a s(a,b))
+                / (|A| + |B|)
+
+    — the symmetric best-match measure (the practical approximation of
+    the paper's bipartite-matching similarity; members with no scored
+    counterpart contribute 0 because the denominator counts ALL
+    members, so sparse evidence is penalized, not hidden).  Output:
+    one row per group pair reachable through at least one scored
+    record pair: ``(group_id_1, group_id_2, n_members_1, n_members_2,
+    n_scored_pairs, group_sim)`` with ``group_id_1 < group_id_2``.
+
+    Scale shape: two membership equi-joins attach group ids to the
+    scored pairs (the pair table is the big side and stays keyed),
+    one (group pair, member) max groupBy per direction, one group-pair
+    sum, and a broadcast-size group census join — no UDF, no driver
+    materialization, no group×group enumeration (only group pairs
+    with candidate evidence exist).  ``pin`` materializes the
+    group-tagged pair table referenced by both directions.
+    """
+    from .dedup import _pin
+
+    m1 = membership.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("group_id").alias("g1")
+    )
+    m2 = membership.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("group_id").alias("g2")
+    )
+    tagged = _pin(
+        scored_pairs.select("doc_id_1", "doc_id_2", score_col)
+        .join(m1, "doc_id_1")
+        .join(m2, "doc_id_2")
+        .where(F.col("g1") != F.col("g2"))
+        .select(
+            F.least("g1", "g2").alias("group_id_1"),
+            F.greatest("g1", "g2").alias("group_id_2"),
+            # member/counterpart relative to the CANONICAL group order
+            F.when(F.col("g1") <= F.col("g2"), F.col("doc_id_1"))
+            .otherwise(F.col("doc_id_2"))
+            .alias("m_left"),
+            F.when(F.col("g1") <= F.col("g2"), F.col("doc_id_2"))
+            .otherwise(F.col("doc_id_1"))
+            .alias("m_right"),
+            F.col(score_col).alias("s"),
+        ),
+        pin,
+    )
+    gkeys = ["group_id_1", "group_id_2"]
+
+    def _direction(member_col: str, name: str):
+        return (
+            tagged.groupBy(*gkeys, member_col)
+            .agg(F.max("s").alias("best"))
+            .groupBy(*gkeys)
+            .agg(F.sum("best").alias(name))
+        )
+
+    sums = _direction("m_left", "sum_l").join(
+        _direction("m_right", "sum_r"), gkeys
+    )
+    counts = tagged.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n_scored_pairs")
+    )
+    sizes = membership.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        sums.join(counts, gkeys)
+        .join(
+            sizes.select(
+                F.col("group_id").alias("group_id_1"),
+                F.col("n_members").alias("n_members_1"),
+            ),
+            "group_id_1",
+        )
+        .join(
+            sizes.select(
+                F.col("group_id").alias("group_id_2"),
+                F.col("n_members").alias("n_members_2"),
+            ),
+            "group_id_2",
+        )
+        .select(
+            *gkeys,
+            "n_members_1",
+            "n_members_2",
+            "n_scored_pairs",
+            F.round(
+                (F.col("sum_l") + F.col("sum_r"))
+                / (F.col("n_members_1") + F.col("n_members_2")),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
 def soft_tfidf_scores(
     records: DataFrame,
     pairs: DataFrame,

@@ -253,6 +253,45 @@ def test_soft_tfidf_hand_computed(spark):
     assert out[("d1", "d3")] > 0.9
 
 
+def test_group_linkage_hand_computed(spark):
+    """Symmetric best-match group similarity (On et al. ICDE'07):
+    members align with their best scored counterpart, unmatched
+    members dilute via the denominator, canonical group order."""
+    from record_linkage_ldu_spark.operators.scoring import (
+        group_linkage_scores,
+    )
+
+    # groups: A={a1,a2}, B={b1,b2,b3}, C={c1}
+    membership = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B"),
+         ("c1", "C")],
+        "doc_id string, group_id string",
+    )
+    scored = spark.createDataFrame(
+        [
+            ("a1", "b1", 4.0), ("a1", "b2", 2.0),  # a1's best = 4.0
+            ("a2", "b1", 1.0),                      # a2's best = 1.0
+            # b1 best = 4.0, b2 best = 2.0, b3 unmatched (0)
+            ("b3", "c1", 6.0),                      # B x C via one pair
+            ("a1", "a2", 9.0),                      # intra-group: ignored
+        ],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    out = {
+        (r["group_id_1"], r["group_id_2"]): r
+        for r in group_linkage_scores(scored, membership, pin=False).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["n_members_1"], ab["n_members_2"], ab["n_scored_pairs"]) == (
+        2, 3, 3,
+    )
+    # (4+1 from A side) + (4+2+0 from B side) over |A|+|B|=5
+    assert ab["group_sim"] == round((4.0 + 1.0 + 4.0 + 2.0) / 5, 6)
+    bc = out[("B", "C")]
+    assert bc["group_sim"] == round((6.0 + 6.0) / 4, 6)
+    assert ("A", "A") not in out  # intra-group pair excluded
+
+
 
 def test_pprl_bloom_dice_semantics(spark):
     """CLK + Dice: identical names score 1.0, a one-char typo scores
