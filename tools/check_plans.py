@@ -251,6 +251,36 @@ def main(sf_dir: str) -> int:
         "CartesianProduct" not in ec_plan
         and "BroadcastNestedLoopJoin" not in ec_plan,
     )
+    from record_linkage_ldu_spark.operators.scoring import (
+        group_linkage_scores,
+        soft_tfidf_scores,
+    )
+
+    # production default pin=True: the weight table (whose build holds
+    # the single 1-row-N broadcast) and the JW grid are materialized
+    # once, so the final plan must be pure keyed equi-joins
+    st_plan = executed_plan(soft_tfidf_scores(recs_nm, some_pairs))
+    check(
+        "soft-tfidf: weighted JW grid via equi-joins, no cartesian",
+        "CartesianProduct" not in st_plan
+        and "BroadcastNestedLoopJoin" not in st_plan,
+        f"nested loops: {st_plan.count('BroadcastNestedLoopJoin')}",
+    )
+    fake_groups = recs_nm.select(
+        "doc_id", F.substring("doc_id", 2, 9).alias("group_id")
+    )
+    gl_plan = executed_plan(
+        group_linkage_scores(
+            some_pairs.withColumn("score", F.lit(1.0)),
+            fake_groups,
+            pin=False,
+        )
+    )
+    check(
+        "group linkage: membership joins keyed, no cartesian",
+        "CartesianProduct" not in gl_plan
+        and "BroadcastNestedLoopJoin" not in gl_plan,
+    )
 
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
