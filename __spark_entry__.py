@@ -64,6 +64,7 @@ from record_linkage_ldu_spark.operators.cc import (
     connected_components,
     edge_corroboration,
     repair_clusters,
+    star_clusters,
 )
 from record_linkage_ldu_spark.operators.multimodal import (
     extract_media_features,
@@ -1033,6 +1034,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _records(s, d),
         _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
     )
+    # star clustering (Hassanzadeh et al. VLDB'09 CENTER family):
+    # depth-1 stars around locally strongest centers — the published
+    # anti-chaining alternative to transitive closure, single pass
+    q["star_clusters"] = lambda s, d: star_clusters(
+        _matches(s, d).select("doc_id_1", "doc_id_2", "score"),
+        vertices=_records(s, d).select("doc_id"),
+    )
     # group linkage (On et al. ICDE'07): symmetric best-match member
     # alignment between the pipeline's OWN clusters over the candidate
     # scores — the cluster-merge review queue (high group_sim but not
@@ -1109,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "star_clusters",
     "group_linkage_scores",
     "soft_tfidf_scores",
     "pprl_dice_scores",
@@ -2696,6 +2705,52 @@ def oracle_sql() -> dict[str, str]:
         FROM sampled p
         LEFT JOIN me12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
         LEFT JOIN me21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+    """
+    sql["star_clusters"] = f"""
+        {_sql_chain("matches")},
+        e AS MATERIALIZED (
+            SELECT least(doc_id_1, doc_id_2) AS src,
+                   greatest(doc_id_1, doc_id_2) AS dst,
+                   max(score) AS s
+            FROM matches WHERE doc_id_1 != doc_id_2
+            GROUP BY 1, 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT src AS node, dst AS nbr, s FROM e
+            UNION ALL
+            SELECT dst AS node, src AS nbr, s FROM e
+        ),
+        strength AS MATERIALIZED (
+            SELECT node, round(sum(s), 6) AS str FROM sym GROUP BY 1
+        ),
+        nbr_rank AS MATERIALIZED (
+            SELECT s.node,
+                   struct_pack(str := st.str, node := s.nbr) AS nbr_rank
+            FROM sym s JOIN strength st ON st.node = s.nbr
+        ),
+        centers AS MATERIALIZED (
+            SELECT nr.node,
+                   struct_pack(str := st.str, node := nr.node)
+                       > max(nr.nbr_rank) AS is_center
+            FROM nbr_rank nr JOIN strength st USING (node)
+            GROUP BY nr.node, st.str
+        ),
+        assign AS (
+            SELECT s.node,
+                   (max(struct_pack(s := s.s, str := st.str,
+                                    node := s.nbr))).node AS center_id
+            FROM sym s
+            JOIN centers c ON c.node = s.nbr AND c.is_center
+            JOIN strength st ON st.node = s.nbr
+            GROUP BY s.node
+        )
+        SELECT n.doc_id,
+               CASE WHEN coalesce(c.is_center, FALSE) THEN n.doc_id
+                    ELSE coalesce(a.center_id, n.doc_id)
+               END AS cluster_id
+        FROM (SELECT doc_id FROM synth) n
+        LEFT JOIN centers c ON c.node = n.doc_id
+        LEFT JOIN assign a ON a.node = n.doc_id
     """
     sql["group_linkage_scores"] = f"""
         {_SQL_CC},

@@ -445,6 +445,129 @@ def edge_corroboration(edges: DataFrame, pin: bool = True) -> DataFrame:
     )
 
 
+def star_clusters(
+    scored_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    score_col: str = "score",
+    pin: bool = True,
+) -> DataFrame:
+    """Star clustering over the scored match graph — the published
+    single-pass alternative to transitive closure from the
+    duplicate-detection clustering framework of Hassanzadeh, Chiang,
+    Lee & Miller (VLDB'09, CENTER/star family).  CC is recall-maximal
+    and chains entities through any single spurious edge; star
+    clustering bounds every cluster at DEPTH ONE around a locally
+    strongest center, trading recall on long chains for immunity to
+    chaining — the other end of the precision/recall dial that
+    :func:`repair_clusters` tunes edge-wise.
+
+    Deterministic distributed variant (the paper's CENTER scans edges
+    in one global similarity order, which serializes; this keeps its
+    star shape with a parallel local rule):
+
+      1. node strength = sum of incident edge scores;
+      2. a node is a CENTER iff no neighbor has a greater
+         ``(strength, doc_id)`` (total order — ties break by id);
+      3. every non-center joins its best center neighbor (by
+         ``(edge score, strength, doc_id)``); a non-center with no
+         center neighbor stays a singleton (the parallel variant's
+         uncovered case — CC would chain it through a non-center);
+      4. isolated ``vertices`` are singletons.
+
+    Returns the ``(doc_id, cluster_id)`` contract of
+    :func:`connected_components`; every cluster is a star around its
+    center (cluster_id = the center's doc_id).
+
+    Scale shape: ONE symmetrized edge pass, a per-node strength
+    groupBy, a neighbor-max groupBy, and one keyed join per step — no
+    iteration, no recursion, every shuffle keyed on doc_id.
+    """
+    from .dedup import _pin
+
+    # canonicalize keeping the score (duplicate pair rows keep the max
+    # score — deterministic); self-loops dropped
+    e = _pin(
+        scored_edges.select(
+            F.least("doc_id_1", "doc_id_2").alias("src"),
+            F.greatest("doc_id_1", "doc_id_2").alias("dst"),
+            F.col(score_col).alias("_s"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("_s").alias("_s")),
+        pin,
+    )
+    sym = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "_s"
+    ).unionByName(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "_s")
+    )
+    # strength rounded to 6 decimals: the sum's addition order differs
+    # across partitions/engines, and the center rule COMPARES strengths
+    # — rounding removes last-ULP order sensitivity
+    strength = sym.groupBy("node").agg(
+        F.round(F.sum("_s"), 6).alias("str")
+    )
+    # rank = the total order (strength, doc_id) as a comparable struct
+    ranked = strength.select(
+        "node", F.struct(F.col("str"), F.col("node")).alias("rank")
+    )
+    nbr_rank = sym.join(
+        ranked.select(F.col("node").alias("nbr"), F.col("rank").alias("nbr_rank")),
+        "nbr",
+    )
+    centers = (
+        nbr_rank.groupBy("node")
+        .agg(F.max("nbr_rank").alias("best_nbr_rank"))
+        .join(ranked, "node")
+        .select("node", (F.col("rank") > F.col("best_nbr_rank")).alias("is_center"))
+    )
+    # non-centers pick their best CENTER neighbor by (score, rank, id)
+    assign = (
+        sym.join(
+            centers.select(
+                F.col("node").alias("nbr"), F.col("is_center").alias("nbr_center")
+            ),
+            "nbr",
+        )
+        .where(F.col("nbr_center"))
+        .join(
+            ranked.select(
+                F.col("node").alias("nbr"), F.col("rank").alias("nbr_rank")
+            ),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(
+            F.max(
+                F.struct(F.col("_s"), F.col("nbr_rank"), F.col("nbr"))
+            ).alias("best")
+        )
+        .select("node", F.col("best.nbr").alias("center_id"))
+    )
+    clustered = (
+        centers.join(assign, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.when(F.col("is_center"), F.col("node"))
+            .otherwise(F.coalesce(F.col("center_id"), F.col("node")))
+            .alias("cluster_id"),
+        )
+    )
+    if vertices is not None:
+        clustered = (
+            vertices.select("doc_id")
+            .join(clustered, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    return clustered
+
+
 def repair_clusters(
     scored_edges: DataFrame,
     vertices: DataFrame,

@@ -333,3 +333,39 @@ def test_threshold_curve_negative_labels_and_storage_order(spark):
     # true label missed; the 5 unreached negatives are not misses)
     assert (row["tp"], row["fp"], row["fn"]) == (1, 0, 0)
     assert (row["precision"], row["recall"], row["f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_star_clusters_depth_one_and_chain_break(spark):
+    """Star clustering: clusters are depth-1 stars around locally
+    strongest centers; a long chain does NOT collapse into one cluster
+    (the anti-chaining property CC lacks); isolated vertices are
+    singletons; cluster_id is always the center's doc_id."""
+    from record_linkage_ldu_spark.operators.cc import star_clusters
+
+    # triangle {a,b,c} with a heavy hub b + a 5-node chain v-w-x-y-z
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 1.0),
+            ("v", "w", 2.0), ("w", "x", 2.0), ("x", "y", 2.0),
+            ("y", "z", 2.0),
+        ],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    vertices = spark.createDataFrame(
+        [(d,) for d in "abcvwxyz"] + [("lonely",)], "doc_id string"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_clusters(edges, vertices=vertices).collect()
+    }
+    # triangle: b has strength 10 (a=6, c=6) -> center b, all join b
+    assert out["a"] == out["b"] == out["c"] == "b"
+    # chain strengths: v=2, w=4, x=4, y=4, z=2 -> center = y (max
+    # (strength, id)); x and z join y; w's only center-neighbor check:
+    # neighbors v,x are non-centers -> uncovered singleton; same v
+    assert out["x"] == out["y"] == out["z"] == "y"
+    assert out["w"] == "w" and out["v"] == "v"   # chain broken, not merged
+    assert out["lonely"] == "lonely"             # isolated vertex
+    # every cluster id is a member of its own cluster (star center)
+    for doc, cid in out.items():
+        assert out[cid] == cid
