@@ -266,6 +266,20 @@ def main(sf_dir: str) -> int:
         and "BroadcastNestedLoopJoin" not in st_plan,
         f"nested loops: {st_plan.count('BroadcastNestedLoopJoin')}",
     )
+    from record_linkage_ldu_spark.operators.cc import star_clusters
+
+    sc_plan = executed_plan(
+        star_clusters(
+            some_pairs.withColumn("score", F.lit(1.0)),
+            vertices=recs_nm.select("doc_id"),
+            pin=False,
+        )
+    )
+    check(
+        "star clustering: one pass, keyed joins, no cartesian",
+        "CartesianProduct" not in sc_plan
+        and "BroadcastNestedLoopJoin" not in sc_plan,
+    )
     fake_groups = recs_nm.select(
         "doc_id", F.substring("doc_id", 2, 9).alias("group_id")
     )
