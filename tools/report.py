@@ -200,6 +200,36 @@ def main(sf_dir: str, out_dir: str) -> None:
         )
     lines.append("")
 
+    # cluster-merge review queue: the group-linkage view — cluster
+    # pairs with strong member-level evidence the rules left apart
+    # (the complement of the cohesion triage: that flags over-merging,
+    # this flags under-merging)
+    merge_q = (
+        qs["group_linkage_scores"](spark, sf_dir)
+        .orderBy(F.col("group_sim").desc())
+        .limit(10)
+        .collect()
+    )
+    lines += [
+        "## Cluster-merge review queue (10 strongest unmerged group pairs)",
+        "",
+        "Group linkage (On et al.) over the pipeline's own clusters: "
+        "members aligned with their best scored counterpart, diluted "
+        "by total member count.  High `group_sim` here = candidate "
+        "evidence the match rules did not convert — the clerical "
+        "reviewer's merge queue.",
+        "",
+        "| cluster 1 | cluster 2 | members | scored pairs | group_sim |",
+        "|---|---|---|---|---|",
+    ]
+    for r in merge_q:
+        lines.append(
+            f"| `{r['group_id_1']}` | `{r['group_id_2']}` "
+            f"| {r['n_members_1']}+{r['n_members_2']} "
+            f"| {r['n_scored_pairs']} | {r['group_sim']:.4f} |"
+        )
+    lines.append("")
+
     # corpus cleaning report: the reject-reason histogram IS the
     # observable output of corpus_filter_flags (operators/corpus.py) —
     # a cleaning pass whose drops aren't reported is a silent filter
