@@ -300,6 +300,48 @@ def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "clusters", build)
 
 
+def merge_recompare(records: DataFrame, clusters: DataFrame) -> DataFrame:
+    """One merge-and-recompare iteration (the Swoosh family —
+    Benjelloun et al., "Swoosh: a generic approach to entity
+    resolution", VLDB J. 2009): merge each cluster into its golden
+    record, re-enter the golden records into the SAME blocking +
+    scoring + match rules, and transitively merge clusters whose
+    golden records now match.  This finds matches only VISIBLE after
+    merge — e.g. cluster A holds the phone, cluster B holds the email,
+    and no single record pair carries enough agreeing fields to fire a
+    rule, but the golden pair does (pytest plants exactly this).
+
+    Output: the :func:`connected_components` ``(doc_id, cluster_id)``
+    contract with the MERGED labels — always a coarsening of the input
+    clustering (every input cluster maps whole into one supercluster).
+
+    Scale shape: the golden table has one row per CLUSTER (orders of
+    magnitude smaller than the corpus), so the re-compare pass runs
+    the record-level machinery on the reduced table: same capped
+    blocking, same keyed joins, CC over the cluster graph.
+    """
+    golden = ev.golden_records(records, clusters, fields=_PAIR_FIELDS)
+    g = golden.select(F.col("cluster_id").alias("doc_id"), *_PAIR_FIELDS)
+    kept, _ = cap_blocks(block_keys(g, _BLK), _BLK)
+    scored = _native_scores(g, candidate_pairs(kept))
+    new_edges = scored.where(_self_match_pred()).select(
+        "doc_id_1", "doc_id_2"
+    )
+    sup = connected_components(
+        new_edges,
+        vertices=clusters.select(
+            F.col("cluster_id").alias("doc_id")
+        ).distinct(),
+    )
+    return clusters.join(
+        sup.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_super"),
+        ),
+        "cluster_id",
+    ).select("doc_id", F.col("_super").alias("cluster_id"))
+
+
 def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted ground truth: docs sharing the entity suffix (a/b/c
     copies of one customer) are true matches."""
@@ -1034,6 +1076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _records(s, d),
         _cand_pairs(s, d).where(_md5_mod_pick("doc_id_1", "doc_id_2", 43)),
     )
+    # merge-and-recompare (Swoosh family): golden records re-entered
+    # into the same blocking + scoring + rules; clusters whose golden
+    # records now match merge transitively
+    q["merge_recompare"] = lambda s, d: merge_recompare(
+        _records(s, d), _clusters(s, d)
+    )
     # star clustering (Hassanzadeh et al. VLDB'09 CENTER family):
     # depth-1 stars around locally strongest centers — the published
     # anti-chaining alternative to transitive closure, single pass
@@ -1117,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "merge_recompare",
     "star_clusters",
     "group_linkage_scores",
     "soft_tfidf_scores",
@@ -2705,6 +2754,88 @@ def oracle_sql() -> dict[str, str]:
         FROM sampled p
         LEFT JOIN me12 a ON a.doc_id_1 = p.doc_id_1 AND a.doc_id_2 = p.doc_id_2
         LEFT JOIN me21 b ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2
+    """
+    # merge-recompare twin: a SECOND keys/pairs/scored/matches chain
+    # over the golden-record table, built from the same CTE builders
+    # with renamed tables (parity with the Spark path is by
+    # construction — same SQL, different source), plus a second
+    # transitive closure over the cluster graph.
+    _g_melt = "\n            UNION ALL ".join(
+        f"SELECT cluster_id, '{f}' AS field, \"{f}\" AS value FROM gj"
+        for f in _PAIR_FIELDS
+    )
+    _g_cols = ",\n                   ".join(
+        f"max(CASE WHEN field = '{f}' THEN value END) AS \"{f}\""
+        for f in _PAIR_FIELDS
+    )
+    _g_sel = ", ".join(f'g."{f}"' for f in _PAIR_FIELDS)
+    _g_keys = _sql_keys_cte().replace("keys", "gkeys").replace(
+        "FROM norm", "FROM gnorm"
+    )
+    _g_pairs = (
+        _sql_pairs_cte()
+        .replace("pairs", "gpairs")
+        .replace("keys_capped", "gkeys_capped")
+    )
+    _g_scored = (
+        _sql_scored_cte()
+        .replace("sims", "gsims")
+        .replace("scored", "gscored")
+        .replace("FROM pairs p", "FROM gpairs p")
+        .replace("JOIN norm", "JOIN gnorm")
+    )
+    sql["merge_recompare"] = f"""
+        {_SQL_CC},
+        clus AS MATERIALIZED (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        gj AS (
+            SELECT c.cluster_id, {", ".join(f'n."{f}"' for f in _PAIR_FIELDS)}
+            FROM clus c JOIN norm n USING (doc_id)
+        ),
+        gmelt AS (
+            {_g_melt}
+        ),
+        gcounts AS (
+            SELECT cluster_id, field, value, count(*) AS n FROM gmelt
+            WHERE value IS NOT NULL AND value <> '' GROUP BY 1, 2, 3
+        ),
+        gtop AS (
+            SELECT cluster_id, field, value FROM gcounts
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster_id, field
+                ORDER BY n DESC, value ASC) = 1
+        ),
+        ggolden AS (
+            SELECT cluster_id,
+                   {_g_cols}
+            FROM gtop GROUP BY cluster_id
+        ),
+        gnorm AS MATERIALIZED (
+            SELECT dc.cluster_id AS doc_id, {_g_sel}
+            FROM (SELECT DISTINCT cluster_id FROM clus) dc
+            LEFT JOIN ggolden g USING (cluster_id)
+        ),
+        {_g_keys},
+        {_g_pairs},
+        {_g_scored},
+        gmatches AS (SELECT * FROM gscored WHERE {_SQL_MATCH_PRED}),
+        gedges AS MATERIALIZED (
+            SELECT doc_id_1 AS s, doc_id_2 AS d FROM gmatches
+            UNION
+            SELECT doc_id_2 AS s, doc_id_1 AS d FROM gmatches
+        ),
+        gnodes AS (SELECT DISTINCT cluster_id AS doc_id FROM clus),
+        reach2(a, b) AS (
+            SELECT doc_id, doc_id FROM gnodes
+            UNION
+            SELECT r.a, e.d FROM reach2 r JOIN gedges e ON r.b = e.s
+        ),
+        sup AS MATERIALIZED (
+            SELECT a AS doc_id, min(b) AS super FROM reach2 GROUP BY a
+        )
+        SELECT c.doc_id, s.super AS cluster_id
+        FROM clus c JOIN sup s ON s.doc_id = c.cluster_id
     """
     sql["star_clusters"] = f"""
         {_sql_chain("matches")},

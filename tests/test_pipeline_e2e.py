@@ -121,3 +121,49 @@ def test_cross_pipeline_golden(spark, tiny_gen):
     }
     got = {(r["doc_id"], r["cluster_id"]) for r in res.clusters.collect()}
     assert got == expected
+
+
+def test_merge_recompare_complementary_evidence(spark):
+    """Merge-and-recompare (Swoosh family): cluster A holds the phone,
+    cluster B holds the email variant — NO record pair fires a match
+    rule, but the golden pair (modal fields pooled per cluster) does,
+    so the two clusters merge.  Also a coarsening invariant: input
+    clusters map whole into one supercluster."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    none = {f: None for f in E._PAIR_FIELDS}
+    rows = [
+        # cluster r1: name+zip on r1, phone+email+zip on r2
+        {"doc_id": "r1", **none, "name": "acme corporation", "zip": "62704"},
+        {"doc_id": "r2", **none, "phone": "1112223333",
+         "email": "ac@xy.com", "zip": "62704"},
+        # cluster r3: near-variant name / phone / email, same zip
+        {"doc_id": "r3", **none, "name": "acme corporatin", "zip": "62704"},
+        {"doc_id": "r4", **none, "phone": "1112223334",
+         "email": "ac@xz.com", "zip": "62704"},
+        # unrelated singleton
+        {"doc_id": "r5", **none, "name": "zeta gmbh", "zip": "99999"},
+    ]
+    records = spark.createDataFrame(
+        rows, "doc_id string, " + ", ".join(f"`{f}` string" for f in E._PAIR_FIELDS)
+    )
+    clusters = spark.createDataFrame(
+        [("r1", "r1"), ("r2", "r1"), ("r3", "r3"), ("r4", "r3"),
+         ("r5", "r5")],
+        "doc_id string, cluster_id string",
+    )
+    # precondition: at RECORD level no candidate pair fires a rule
+    kept, _ = E.cap_blocks(E.block_keys(records, E._BLK), E._BLK)
+    scored = E._native_scores(records, E.candidate_pairs(kept))
+    assert scored.where(E._self_match_pred()).count() == 0
+    # golden level: r1-cluster's pooled (name, phone, email) vs
+    # r3-cluster's → mask 2 fires, clusters merge
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in E.merge_recompare(records, clusters).collect()
+    }
+    assert out["r1"] == out["r2"] == out["r3"] == out["r4"] == "r1"
+    assert out["r5"] == "r5"
