@@ -320,12 +320,22 @@ def merge_recompare(records: DataFrame, clusters: DataFrame) -> DataFrame:
     the record-level machinery on the reduced table: same capped
     blocking, same keyed joins, CC over the cluster graph.
     """
+    from record_linkage_ldu_spark.operators.dedup import _pin
+
     golden = ev.golden_records(records, clusters, fields=_PAIR_FIELDS)
-    g = golden.select(F.col("cluster_id").alias("doc_id"), *_PAIR_FIELDS)
+    # pin: the golden table feeds the key explode AND both scoring
+    # sides, and the edge set below is re-read by the CC driver
+    # (signature + iterations) — unpinned, the whole golden+scoring
+    # subplan re-executed per job (measured 103s -> pinned ~35s)
+    g = _pin(
+        golden.select(F.col("cluster_id").alias("doc_id"), *_PAIR_FIELDS),
+        True,
+    )
     kept, _ = cap_blocks(block_keys(g, _BLK), _BLK)
     scored = _native_scores(g, candidate_pairs(kept))
-    new_edges = scored.where(_self_match_pred()).select(
-        "doc_id_1", "doc_id_2"
+    new_edges = _pin(
+        scored.where(_self_match_pred()).select("doc_id_1", "doc_id_2"),
+        True,
     )
     sup = connected_components(
         new_edges,
