@@ -1058,6 +1058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # meta-blocking (Papadakis et al.): CBS-weight every candidate by
     # its shared-block count and keep the corroborated pairs
     q["meta_blocking_pairs"] = lambda s, d: _meta_block_pairs(s, d)
+    # dynamic hierarchical block refinement (McNeill et al. KDD'12
+    # workshop): oversized blocks get their key EXTENDED with the next
+    # component and re-censused instead of capped/salted/dropped —
+    # every record stays blocked at the finest level that fits
+    q["refined_block_keys"] = lambda s, d: _refined_keys(s, d)
     # survivorship: one canonical (golden) record per cluster — modal
     # non-empty value per field, ties by value asc
     q["golden_records"] = lambda s, d: ev.golden_records(
@@ -1175,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "refined_block_keys",
     "merge_recompare",
     "star_clusters",
     "group_linkage_scores",
@@ -1570,6 +1576,35 @@ _SQL_LINED = f"""
                    'footer copyright notice ' || (doc_id % 2) AS text
             FROM body
         )"""
+
+
+def _refined_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic hierarchical block refinement over the records view:
+    component hierarchy = first name letter -> 4-char name prefix ->
+    normalized zip, cap 16.  Deliberately coarse at level 1 (26-ish
+    letter blocks) so the sf0.01 oracle run exercises all three levels:
+    letter blocks refine into name-prefix blocks, the still-hot prefix
+    blocks refine into (prefix, zip) blocks.  Emitted key table tags
+    each doc with the level that fit; leftover (deepest-level still
+    oversized) blocks are pytest-gated, not part of this query."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        refined_block_keys,
+    )
+
+    rec = _records(spark, sf_dir)
+    compact = F.regexp_replace(F.coalesce(F.col("name"), F.lit("")), " ", "")
+    keys, _leftover = refined_block_keys(
+        rec,
+        [
+            F.substring(compact, 1, 1),
+            F.substring(compact, 1, 4),
+            F.col("zip"),
+        ],
+        max_block_size=16,
+    )
+    return keys.select(
+        "doc_id", "block_key", F.col("refine_level").cast("int").alias("refine_level")
+    )
 
 
 def _meta_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3062,6 +3097,37 @@ def oracle_sql() -> dict[str, str]:
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """
+    sql["refined_block_keys"] = f"""
+        {_sql_chain("norm")},
+        lv AS (
+            SELECT doc_id,
+                   'dy:' || substr(replace(coalesce(name, ''), ' ', ''), 1, 1)
+                       AS k0,
+                   'dy:' || substr(replace(coalesce(name, ''), ' ', ''), 1, 1)
+                       || chr(31)
+                       || substr(replace(coalesce(name, ''), ' ', ''), 1, 4)
+                       AS k1,
+                   'dy:' || substr(replace(coalesce(name, ''), ' ', ''), 1, 1)
+                       || chr(31)
+                       || substr(replace(coalesce(name, ''), ' ', ''), 1, 4)
+                       || chr(31) || coalesce(zip, '') AS k2
+            FROM norm
+            WHERE substr(replace(coalesce(name, ''), ' ', ''), 1, 1) <> ''
+        ),
+        l0 AS (SELECT *, count(*) OVER (PARTITION BY k0) AS n0 FROM lv),
+        r0 AS (SELECT * FROM l0 WHERE n0 > 16),
+        l1 AS (SELECT *, count(*) OVER (PARTITION BY k1) AS n1 FROM r0),
+        r1 AS (SELECT * FROM l1 WHERE n1 > 16),
+        l2 AS (SELECT *, count(*) OVER (PARTITION BY k2) AS n2 FROM r1)
+        SELECT doc_id, k0 AS block_key, 1 AS refine_level
+        FROM l0 WHERE n0 <= 16
+        UNION ALL
+        SELECT doc_id, k1 AS block_key, 2 AS refine_level
+        FROM l1 WHERE n1 <= 16
+        UNION ALL
+        SELECT doc_id, k2 AS block_key, 3 AS refine_level
+        FROM l2 WHERE n2 <= 16
     """
     sql["token_blocking_pairs"] = f"""
         {_sql_chain("norm")},

@@ -500,6 +500,114 @@ def candidate_pairs(
     return pairs.dropDuplicates([left_alias, right_alias]) if dedup else pairs
 
 
+def refined_block_keys(
+    records: DataFrame,
+    key_levels: list[Column] | tuple[Column, ...],
+    max_block_size: int = 1000,
+    prefix: str = "dy:",
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Dynamic hierarchical block refinement (the size-constrained
+    blocking of McNeill, Kardes & Borthwick, "Dynamic Record Blocking"
+    KDD'12 workshop / the eBay-scale variant): an oversized block is
+    not capped, salted, or dropped — its key is EXTENDED with the next
+    key component and re-censused, recursively, until every emitted
+    block fits ``max_block_size`` or the component hierarchy is
+    exhausted.  Where the cap/salt/drop tier trades recall for bounded
+    work on degenerate keys (the record survives only via its OTHER
+    key families), refinement keeps every record blocked at the finest
+    level that fits — the recall-preserving answer when a coarse key
+    family (first-letter, metro-area zip prefix, top-level domain) is
+    the only one a sparse record has.
+
+    ``key_levels`` is the component hierarchy: level-i's key is the
+    separator-joined concat of components 1..i (null components become
+    '' — two records null on a component still co-block on the
+    others).  Records whose LEVEL-1 component is null/empty emit no
+    key (same contract as block_keys).
+
+    Returns ``(keys, leftover_census)``:
+      * ``keys(doc_id, block_key, refine_level)`` — each record's
+        final key, tagged with the level that fit.  A record appears
+        at most once: refinement PARTITIONS each oversized block into
+        its children rather than multiplying membership, so
+        ``candidate_pairs(keys, dedup=False)`` is exact here (one key
+        per doc, same argument as single-probe LSH).
+      * ``leftover_census(block_key, block_size)`` — blocks still over
+        the cap at the deepest level (identical twins of a degenerate
+        record, e.g. one shared placeholder value in EVERY component).
+        Route them to the salt tier (``salted_candidate_pairs``) or
+        drop-with-report, exactly like candidate_pairs_capped's third
+        tier — refinement shrinks that tier, it does not replace the
+        reporting contract.
+
+    Scale shape: level i is ONE census groupBy on the level-i key plus
+    two joins against the oversized-key set; that set holds at most
+    ``n / max_block_size`` keys (every oversized key owns > cap
+    records) and only keys that were oversized at EVERY shallower
+    level, so it shrinks geometrically — broadcast here (consistent
+    with cap_blocks), switch to a keyed semi-join at corpus sizes
+    where n/cap outgrows the broadcast threshold.  The doc set
+    entering level i+1 is exactly the oversized blocks' members, so
+    per-level work decreases monotonically.  ``materialize=True`` pins
+    the shrinking remainder between levels (the lazy form stacks i
+    censuses + 2i joins of lineage into level i's plan; fine for the
+    2-4 levels a real hierarchy has, and what the oracle twin wants).
+
+    Reference parity: the reference has ONE implicit block (the full
+    cartesian, compare_ldu_hw.py:160-163); this operator exists for
+    the 10^12-doc regime where even good keys have heavy tails.
+    """
+    if not key_levels:
+        raise ValueError("key_levels must name at least one component")
+    # unit separator between components: without one, components
+    # ("ab","c") and ("a","bc") would collide into one block key
+    sep = F.lit("\x1f")
+    comps = [F.coalesce(c.cast("string"), F.lit("")) for c in key_levels]
+    cum: list[Column] = []
+    acc = comps[0]
+    cum.append(F.concat(F.lit(prefix), acc))
+    for c in comps[1:]:
+        acc = F.concat(acc, sep, c)
+        cum.append(F.concat(F.lit(prefix), acc))
+
+    first = comps[0]
+    keyed = records.where(first.isNotNull() & (first != "")).select(
+        "doc_id", *[k.alias(f"_k{i}") for i, k in enumerate(cum)]
+    )
+
+    emitted: list[DataFrame] = []
+    remaining = keyed
+    n_levels = len(cum)
+    for i in range(n_levels):
+        kcol = f"_k{i}"
+        census = remaining.groupBy(kcol).agg(
+            F.count("*").alias("block_size")
+        )
+        oversized = census.where(
+            F.col("block_size") > max_block_size
+        ).select(kcol)
+        emitted.append(
+            remaining.join(F.broadcast(oversized), kcol, "left_anti").select(
+                "doc_id",
+                F.col(kcol).alias("block_key"),
+                F.lit(i + 1).cast("int").alias("refine_level"),
+            )
+        )
+        remaining = remaining.join(F.broadcast(oversized), kcol, "left_semi")
+        if materialize and i < n_levels - 1:
+            remaining = remaining.localCheckpoint(eager=True)
+
+    leftover = remaining.groupBy(
+        F.col(f"_k{n_levels - 1}").alias("block_key")
+    ).agg(F.count("*").cast("long").alias("block_size"))
+
+    keys = emitted[0]
+    for part in emitted[1:]:
+        keys = keys.unionByName(part)
+    return keys, leftover
+
+
 def global_ranks(
     records: DataFrame,
     sort_key,

@@ -273,3 +273,91 @@ def test_blocking_family_stats_unique_contribution(spark):
     assert (ph["n_keys"], ph["n_pairs"], ph["n_true_pairs"], ph["n_unique_true"]) == (1, 3, 2, 1)
     assert ph["pair_efficiency"] == round(2 / 3, 6)
     assert (em["n_keys"], em["n_pairs"], em["n_unique_true"], em["pair_efficiency"]) == (1, 0, 0, 0.0)
+
+
+def test_refined_block_keys_partitions_and_bounds(spark):
+    """Dynamic refinement: (a) every emitted block fits the cap,
+    (b) each doc appears EXACTLY once (refinement partitions a block
+    into children, never multiplies membership), (c) small blocks stay
+    at level 1 while oversized ones carry the extended key, (d) blocks
+    oversized at the deepest level land in leftover_census, not in
+    the key table."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        refined_block_keys,
+    )
+
+    # 39 docs: 30 share c1='x' (oversized at level 1, split by c2 into
+    # three 10-doc blocks), 4 share c1='y' (fits at level 1), 5 share
+    # c1='z' AND c2 AND c3 (oversized at EVERY level -> leftover).
+    rows = (
+        [(f"dx{i}", "x", f"g{i % 3}", f"z{i}") for i in range(30)]
+        + [(f"dy{i}", "y", "h", "w") for i in range(4)]
+        + [(f"dz{i}", "z", "same", "same") for i in range(5)]
+    )
+    rec = spark.createDataFrame(rows, "doc_id string, c1 string, c2 string, c3 string")
+    keys, leftover = refined_block_keys(
+        rec,
+        [F.col("c1"), F.col("c2"), F.col("c3")],
+        max_block_size=4,
+    )
+    keys = keys.cache()
+
+    # (a) emitted blocks bounded by the cap — the 10-doc level-2
+    # blocks are still over cap 4, so they refine to level 3 (c3 is
+    # unique per doc in the x family -> singleton blocks)
+    max_sz = (
+        keys.groupBy("block_key").count().agg(F.max("count")).first()[0]
+    )
+    assert max_sz <= 4
+
+    # (b) one key per doc, and the z family is absent
+    assert keys.count() == keys.select("doc_id").distinct().count()
+    assert keys.where(F.col("doc_id").startswith("dz")).count() == 0
+    assert keys.count() == 34
+
+    # (c) the y family fits at level 1 with the UNEXTENDED key
+    y = keys.where(F.col("doc_id").startswith("dy")).select(
+        "block_key", "refine_level"
+    ).distinct().collect()
+    assert len(y) == 1 and y[0]["refine_level"] == 1
+    assert y[0]["block_key"] == "dy:y"
+    # x family refined past level 2 (10-doc c2 blocks still > 4)
+    x_lv = keys.where(F.col("doc_id").startswith("dx")).select(
+        "refine_level"
+    ).distinct().collect()
+    assert {r["refine_level"] for r in x_lv} == {3}
+
+    # (d) leftover census reports the z block at full size
+    left = leftover.collect()
+    assert len(left) == 1 and left[0]["block_size"] == 5
+
+
+def test_refined_keys_null_components_and_single_key_pairs(spark):
+    """Null level-1 component emits no key; null deeper components
+    co-block as '' (two docs null on c2 still meet on c1+c3); one key
+    per doc means candidate_pairs(dedup=False) has no duplicates."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        refined_block_keys,
+    )
+
+    rows = [
+        ("d1", None, "a", "p"),
+        ("d2", "k", None, "p"),
+        ("d3", "k", None, "p"),
+        ("d4", "k", "b", "p"),
+    ]
+    rec = spark.createDataFrame(rows, "doc_id string, c1 string, c2 string, c3 string")
+    keys, _ = refined_block_keys(
+        rec, [F.col("c1"), F.col("c2")], max_block_size=2
+    )
+    got = {r["doc_id"]: r["block_key"] for r in keys.collect()}
+    assert "d1" not in got
+    # k block has 3 docs > cap 2 -> refined by c2: d2,d3 share 'k\x1f'
+    assert got["d2"] == got["d3"] == "dy:k\x1f"
+    assert got["d4"] == "dy:k\x1fb"
+    pairs = candidate_pairs(keys, dedup=False)
+    assert (
+        pairs.groupBy("doc_id_1", "doc_id_2").count().where("count > 1").count()
+        == 0
+    )
+    assert pairs.count() == 1
