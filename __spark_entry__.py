@@ -772,6 +772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n=1,
         threshold=0.5,
     )
+    # prefix-filtered exact Jaccard self-join (All-Pairs WWW'07 /
+    # PPJoin family): rarest-first canonical token order, prefix +
+    # length filters, exact verify — no blocking metadata needed
+    q["prefix_filter_pairs"] = lambda s, d: dedup.prefix_filter_pairs(
+        _t(s, d, "documents"), threshold=0.7
+    )
     # winnowing (rolling-hash) fingerprints + containment-style
     # near-dups by shared-fingerprint count (dedup.py; SIGMOD'03)
     q["winnow_fingerprints"] = lambda s, d: dedup.winnow_fingerprint_table(
@@ -1180,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "prefix_filter_pairs",
     "refined_block_keys",
     "merge_recompare",
     "star_clusters",
@@ -2187,6 +2194,9 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY a
     """
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
+    sql["prefix_filter_pairs"] = dedup.sql_prefix_filter_pairs(
+        "documents", threshold=0.7
+    )
     sql["winnow_fingerprints"] = f"""
         WITH {T.sql_winnow_fingerprint_cte("documents")}
         SELECT doc_id, fingerprint FROM fp

@@ -827,6 +827,167 @@ def ngram_jaccard_pairs(
     return plain.unionByName(hot_pairs).where(F.col("jaccard") >= threshold)
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    pin: bool = True,
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity self-join (Bayardo et al.
+    "Scaling Up All Pairs Similarity Search" WWW'07 / the PPJoin
+    family, Xiao et al. WWW'08): all pairs of documents with word-set
+    Jaccard >= ``threshold``, EXACTLY, without blocking metadata and
+    without enumerating within-block pair sets.
+
+    The filter: order every document's distinct tokens by the GLOBAL
+    canonical order (document frequency asc, token asc — rarest
+    first); a pair with Jaccard >= t MUST share at least one token
+    within each side's first ``|x| - ceil(t*|x|) + 1`` tokens, so only
+    docs sharing a PREFIX token are candidates.  Because prefixes hold
+    each doc's rarest tokens, the candidate join's key blocks are
+    small by construction — the selectivity the rare-token blocking
+    family gets from a df window, derived here from the threshold
+    itself with zero recall loss.  The length filter (t*|x| <= |y| <=
+    |x|/t, applied both directions on the unordered pair) prunes
+    before verification; exact Jaccard on the full token sets decides.
+
+    Scale shape: one df census groupBy (keyed on token), one per-doc
+    sort-collect groupBy, the prefix-token equi-join, then a pair-
+    keyed verify against the pinned (doc, token-array) table — every
+    shuffle keyed, no driver state, no cartesian.  The verify stage
+    carries only prefix-corroborated, length-compatible pairs.
+    Adversarial corpora where even the rarest tokens are shared by
+    everyone (boilerplate-only docs) degrade the prefix blocks; the
+    MinHash path is the approximate fallback there.
+
+    Reference parity: none (the reference verifies ALL pairs); this is
+    the exact-similarity analogue of its full cross scoring for the
+    10^12-doc regime.
+    """
+    toks = ensure_width(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    per_doc = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("_ord"),
+            F.count("*").alias("sz"),
+        )
+    )
+    # pinned: referenced by the prefix explode AND both verify sides —
+    # unpinned, the census+sort-collect chain re-executes per reference
+    per_doc = _pin(
+        per_doc.select(
+            "doc_id",
+            "sz",
+            F.transform(F.col("_ord"), lambda s: s["tok"]).alias("toks"),
+        ),
+        pin,
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).cast("int")
+    pref = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice(F.col("toks"), F.lit(1), prefix_len)).alias("tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    t = F.lit(float(threshold))
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("b.sz") >= t * F.col("a.sz"))
+            & (F.col("a.sz") >= t * F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    g = per_doc.select("doc_id", "toks")
+    verified = (
+        cand.join(
+            g.select(F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("g1")),
+            "doc_id_1",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("g2")),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jaccard_col(F.col("g1"), F.col("g2")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def sql_prefix_filter_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of prefix_filter_pairs — same canonical order, same
+    prefix/length filters, same exact-Jaccard verify.  The ordered
+    CTE is MATERIALIZED: prefix + both verify sides reference it."""
+    from ..functions.text import sql_tokens
+
+    t = repr(float(threshold))
+    return f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                {sql_tokens(f"coalesce({text_col}, '')")})) AS tok
+            FROM {table}
+        ),
+        dfreq AS (
+            SELECT tok, count(*) AS df FROM tok GROUP BY tok
+        ),
+        ordered AS MATERIALIZED (
+            SELECT t.doc_id, t.tok,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+                   count(*) OVER (PARTITION BY t.doc_id) AS sz
+            FROM tok t JOIN dfreq d USING (tok)
+        ),
+        pref AS (
+            SELECT doc_id, tok, sz FROM ordered
+            WHERE rn <= sz - ceil({t} * sz) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM pref a JOIN pref b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            WHERE b.sz >= {t} * a.sz AND a.sz >= {t} * b.sz
+        ),
+        inter AS (
+            SELECT c.doc_id_1, c.doc_id_2,
+                   count(*) AS i,
+                   any_value(t1.sz) AS sz1, any_value(t2.sz) AS sz2
+            FROM cand c
+            JOIN ordered t1 ON t1.doc_id = c.doc_id_1
+            JOIN ordered t2 ON t2.doc_id = c.doc_id_2 AND t2.tok = t1.tok
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_1, doc_id_2,
+               round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) AS jaccard
+        FROM inter
+        WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= {t}
+    """
+
+
 # ------------------------------------------------------------------
 # Winnowing fingerprints (rolling-hash document fingerprinting)
 # ------------------------------------------------------------------

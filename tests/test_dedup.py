@@ -315,3 +315,52 @@ def test_minhash_cross_salt_tier_is_lossless(spark):
     assert census.count() == 0
     assert _pairs_set(salted) == _pairs_set(plain)
     assert salted.count() == plain.count()
+
+
+def test_prefix_filter_exactness_vs_brute_force(spark):
+    """The prefix + length filters are LOSSLESS: output equals the
+    brute-force all-pairs Jaccard >= t set, exactly — including pairs
+    whose only shared tokens are corpus-frequent (they must still meet
+    in a prefix) and excluding length-incompatible pairs."""
+    texts = [
+        ("d01", "the quick brown fox jumps over the lazy dog"),
+        ("d02", "the quick brown fox jumped over the lazy dog"),
+        ("d03", "the quick brown fox jumps over a lazy dog"),
+        ("d04", "lorem ipsum dolor sit amet consectetur"),
+        ("d05", "lorem ipsum dolor sit amet elit"),
+        ("d06", "completely unrelated words here entirely"),
+        ("d07", "the the the the"),  # collapses to one distinct token
+        ("d08", "the"),
+        ("d09", ""),
+        ("d10", "quick brown fox"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    t = 0.6
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.prefix_filter_pairs(df, threshold=t).collect()
+    }
+
+    from record_linkage_ldu_spark.functions.text import tokens
+
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(tokens(F.coalesce("text", F.lit("")))).alias("g"),
+    ).where(F.size("g") > 0)
+    a, b = toks.alias("a"), toks.alias("b")
+    brute = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            dedup.jaccard_col(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .where(F.round("j", 6) >= t)
+        .collect()
+    }
+    assert brute, "fixture must plant at least one true near-dup pair"
+    assert got == brute
+    # identical singleton-token docs meet via their (frequent) token
+    assert ("d07", "d08") in got
