@@ -1159,6 +1159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_common=1,
         min_score=5.0,
     )
+    # progressive (pay-as-you-go) ER schedule: rank candidates by
+    # pre-scoring evidence (shared-block count, rarest shared block)
+    # and report cumulative recall per budget decile — what a 10%/20%
+    # scoring budget buys when scoring is the 6-hour stage
+    q["progressive_recall_curve"] = lambda s, d: ev.progressive_recall_curve(
+        _capped_keys(s, d), _labels(s, d)
+    )
     # per-key-family blocking contribution (pairs / true pairs /
     # UNIQUE true pairs per family) — which families earn their cost
     q["blocking_family_stats"] = lambda s, d: blocking_family_stats(
@@ -1186,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "progressive_recall_curve",
     "prefix_filter_pairs",
     "refined_block_keys",
     "merge_recompare",
@@ -3107,6 +3115,65 @@ def oracle_sql() -> dict[str, str]:
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """
+    sql["progressive_recall_curve"] = f"""
+        {_sql_chain("keys")},
+        census AS (
+            SELECT block_key, count(*) AS block_size
+            FROM keys_capped GROUP BY 1
+        ),
+        perkey AS (
+            SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                   c.block_size
+            FROM keys_capped a
+            JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            JOIN census c ON c.block_key = a.block_key
+        ),
+        agg AS (
+            SELECT doc_id_1, doc_id_2,
+                   count(*) AS n_shared, min(block_size) AS min_bs
+            FROM perkey GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id_1, doc_id_2,
+                   row_number() OVER (
+                       ORDER BY (min_bs - n_shared * 1000000000),
+                                doc_id_1 || '|' || doc_id_2) AS rn,
+                   count(*) OVER () AS n
+            FROM agg
+        ),
+        labels AS MATERIALIZED (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        bucketed AS (
+            SELECT CAST(ceil(rn * 10.0 / greatest(n, 1)) AS INT)
+                       AS budget_bucket,
+                   r.doc_id_1, r.doc_id_2
+            FROM ranked r
+        ),
+        perb AS (
+            SELECT budget_bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(l.doc_id_1) AS BIGINT) AS n_true
+            FROM bucketed b
+            LEFT JOIN labels l USING (doc_id_1, doc_id_2)
+            GROUP BY 1
+        )
+        SELECT budget_bucket, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY budget_bucket) AS BIGINT)
+                   AS cum_pairs,
+               n_true,
+               CAST(sum(n_true) OVER (ORDER BY budget_bucket) AS BIGINT)
+                   AS cum_true,
+               round(CAST(sum(n_true) OVER (ORDER BY budget_bucket)
+                          AS DOUBLE)
+                     / (SELECT greatest(count(*), 1) FROM labels), 6)
+                   AS cum_recall
+        FROM perb
     """
     sql["refined_block_keys"] = f"""
         {_sql_chain("norm")},

@@ -369,3 +369,45 @@ def test_star_clusters_depth_one_and_chain_break(spark):
     # every cluster id is a member of its own cluster (star center)
     for doc, cid in out.items():
         assert out[cid] == cid
+
+
+def test_progressive_schedule_front_loads_true_matches(spark):
+    """Pay-as-you-go schedule: (a) a pair corroborated by TWO shared
+    blocks outranks single-block pairs; among single-block pairs the
+    rarer block outranks the crowd; (b) bucket counts partition the
+    full candidate set; (c) cum_recall is end-to-end (a labeled pair
+    blocking never saw keeps the curve below 1.0)."""
+    from record_linkage_ldu_spark.operators.evaluate import (
+        progressive_recall_curve,
+    )
+    from record_linkage_ldu_spark.operators.blocking import (
+        block_census,
+        global_ranks,
+    )
+    from pyspark.sql import functions as F
+
+    # t1/t2: share blocks K1 AND K2 (true match). r1/r2: share only
+    # rare block K3 (true match). crowd c0..c7: one 8-doc block KBIG
+    # (28 false pairs). m1/m2: labeled true but share NO block.
+    keys = spark.createDataFrame(
+        [("t1", "K1"), ("t2", "K1"), ("t1", "K2"), ("t2", "K2"),
+         ("r1", "K3"), ("r2", "K3")]
+        + [(f"c{i}", "KBIG") for i in range(8)],
+        "doc_id string, block_key string",
+    )
+    labeled = spark.createDataFrame(
+        [("t1", "t2", True), ("r1", "r2", True), ("m1", "m2", True)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    curve = progressive_recall_curve(keys, labeled, n_buckets=10).cache()
+    rows = {r["budget_bucket"]: r for r in curve.collect()}
+
+    # 30 candidate pairs total -> 3 per decile; the two true pairs
+    # (2-block corroborated, then rare-block) rank 1 and 2
+    assert sum(r["n_pairs"] for r in rows.values()) == 30
+    assert rows[1]["n_true"] == 2
+    # end-to-end denominator: m1/m2 was never blocked -> plateau 2/3
+    last = max(rows)
+    assert rows[last]["cum_true"] == 2
+    assert abs(rows[last]["cum_recall"] - round(2 / 3, 6)) < 1e-9
+    assert rows[last]["cum_pairs"] == 30
