@@ -257,6 +257,17 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("winnow_dedup", lambda: _force(qs["winnow_near_dups"](spark, sf_dir)))
     timed("ngram_jaccard", lambda: _force(qs["ngram_jaccard_dedup"](spark, sf_dir)))
     timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
+    # exact-similarity join via prefix filtering (no blocking metadata,
+    # no recall loss) — the exact counterpart of the minhash row above.
+    # t=0.9 here: the sf0.1 documents corpus is clique-dense (5.1M true
+    # pairs at the driver query's t=0.7) and the bench row should time
+    # the FILTER machinery, not the materialization of a 5M-row truth
+    timed("prefix_filter", lambda: _force(
+        dedup.prefix_filter_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            threshold=0.9,
+        )
+    ))
     timed("cosine_topk", lambda: _force(qs["cosine_topk"](spark, sf_dir)))
     timed("lsh_ann", lambda: _force(qs["lsh_ann_topk"](spark, sf_dir)))
     # IVF: the KMeans index build is the amortized one-time step (in

@@ -550,9 +550,14 @@ def refined_block_keys(
     where n/cap outgrows the broadcast threshold.  The doc set
     entering level i+1 is exactly the oversized blocks' members, so
     per-level work decreases monotonically.  ``materialize=True`` pins
-    the shrinking remainder between levels (the lazy form stacks i
-    censuses + 2i joins of lineage into level i's plan; fine for the
-    2-4 levels a real hierarchy has, and what the oracle twin wants).
+    the shrinking remainder between levels.  PLAN-SIZE HAZARD in the
+    lazy form: every level references ``remaining`` from THREE places
+    (census, anti join, semi join), so an unpinned input's logical
+    plan duplicates ~3^levels times — with a cheap scan input that is
+    harmless, but a records table carrying the full normalize chain
+    inflates analysis cost (and can OOM the driver building the plan
+    string).  Pin the input (localCheckpoint / the records memo) or
+    pass ``materialize=True`` when the input lineage is deep.
 
     Reference parity: the reference has ONE implicit block (the full
     cartesian, compare_ldu_hw.py:160-163); this operator exists for

@@ -296,6 +296,71 @@ def main(sf_dir: str) -> int:
         and "BroadcastNestedLoopJoin" not in gl_plan,
     )
 
+    # r4 late additions: dynamic refinement, prefix-filter join,
+    # progressive schedule — all must stay keyed (no cartesian /
+    # nested-loop) and JVM-side (no Python eval); the refinement's
+    # oversized-key tier joins must broadcast (the set is bounded by
+    # n / cap).
+    from record_linkage_ldu_spark.operators.blocking import (
+        refined_block_keys,
+    )
+
+    # pin the input: each refinement level references it from census +
+    # anti + semi joins, so an unpinned normalize chain duplicates
+    # ~3^levels in the plan (the OOM trap the operator docstring
+    # warns about; driver queries pin via the records memo)
+    rk_in = records.select(
+        "doc_id",
+        F.substring("name", 1, 1).alias("c1"),
+        F.substring("name", 1, 4).alias("c2"),
+        F.col("zip").alias("c3"),
+    ).localCheckpoint(eager=True)
+    rk, _left = refined_block_keys(
+        rk_in,
+        [F.col("c1"), F.col("c2"), F.col("c3")],
+        max_block_size=16,
+    )
+    rk_plan = executed_plan(rk)
+    check(
+        "refined keys: oversized-key tier joins broadcast, no cartesian",
+        "BroadcastHashJoin" in rk_plan
+        and "CartesianProduct" not in rk_plan
+        and "BatchEvalPython" not in rk_plan,
+    )
+
+    from record_linkage_ldu_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs_small = docs_tbl.limit(300).localCheckpoint(eager=True)
+    pf_plan = executed_plan(
+        prefix_filter_pairs(docs_small, threshold=0.8, pin=False)
+    )
+    check(
+        "prefix filter: token/pair equi-joins only, no cartesian",
+        "CartesianProduct" not in pf_plan
+        and "BroadcastNestedLoopJoin" not in pf_plan
+        and "BatchEvalPython" not in pf_plan,
+    )
+
+    from record_linkage_ldu_spark.operators.evaluate import (
+        progressive_recall_curve,
+    )
+
+    keys_small = block_keys(records, cfg.blocking).localCheckpoint(
+        eager=True
+    )
+    labels_small = some_pairs.withColumn("is_match", F.lit(True))
+    pr_plan = executed_plan(
+        progressive_recall_curve(keys_small, labels_small)
+    )
+    check(
+        "progressive schedule: distributed rank, keyed joins, no cartesian",
+        "CartesianProduct" not in pr_plan
+        and "BroadcastNestedLoopJoin" not in pr_plan
+        and "BatchEvalPython" not in pr_plan,
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
