@@ -778,6 +778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prefix_filter_pairs"] = lambda s, d: dedup.prefix_filter_pairs(
         _t(s, d, "documents"), threshold=0.7
     )
+    # ...and its cross-corpus form (new crawl vs existing corpus):
+    # canonical token order from the UNION df so both sides' prefixes
+    # live under one total order
+    q["prefix_filter_cross_pairs"] = lambda s, d: dedup.prefix_filter_cross_pairs(
+        _t(s, d, "documents").where(F.col("doc_id") % 3 == 0),
+        _t(s, d, "documents").where(F.col("doc_id") % 3 != 0),
+        threshold=0.7,
+    )
     # winnowing (rolling-hash) fingerprints + containment-style
     # near-dups by shared-fingerprint count (dedup.py; SIGMOD'03)
     q["winnow_fingerprints"] = lambda s, d: dedup.winnow_fingerprint_table(
@@ -1193,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "prefix_filter_cross_pairs",
     "progressive_recall_curve",
     "prefix_filter_pairs",
     "refined_block_keys",
@@ -2204,6 +2213,9 @@ def oracle_sql() -> dict[str, str]:
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
     sql["prefix_filter_pairs"] = dedup.sql_prefix_filter_pairs(
         "documents", threshold=0.7
+    )
+    sql["prefix_filter_cross_pairs"] = dedup.sql_prefix_filter_cross_pairs(
+        "doc_id % 3 = 0", "doc_id % 3 <> 0", "documents", threshold=0.7
     )
     sql["winnow_fingerprints"] = f"""
         WITH {T.sql_winnow_fingerprint_cte("documents")}

@@ -935,6 +935,193 @@ def prefix_filter_pairs(
     return verified
 
 
+def prefix_filter_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    pin: bool = True,
+) -> DataFrame:
+    """Cross-corpus prefix-filtered exact similarity join: all
+    (left, right) pairs with word-set Jaccard >= ``threshold`` —
+    the incremental-ingest shape (new crawl vs existing corpus),
+    exact counterpart of ``minhash_cross_near_duplicates``.
+
+    Same machinery as the self join with ONE cross-cutting rule: the
+    canonical token order must come from the UNION document frequency
+    of both sides.  Per-side orders disagree on rank, and the prefix
+    guarantee only holds when both sides expose prefixes under the
+    same total order — a token rare on the left but common on the
+    right must count as common for both.  The df census is therefore
+    one groupBy over the union'd token table; everything downstream
+    (prefix explode, length filter, exact verify) is per-side.
+
+    Output: (doc_id_1 from left, doc_id_2 from right, jaccard) —
+    oriented, no doc_id_1 < doc_id_2 canonicalization (ids may
+    collide across corpora; sides are kept distinct like the cross
+    linkage pipeline).
+    """
+
+    def _toks(df: DataFrame) -> DataFrame:
+        return ensure_width(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                )
+            ).alias("tok"),
+        )
+
+    tl, tr = _toks(left), _toks(right)
+    dfreq = (
+        tl.unionByName(tr).groupBy("tok").agg(F.count("*").alias("df"))
+    )
+
+    def _per_doc(t: DataFrame) -> DataFrame:
+        return _pin(
+            t.join(dfreq, "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ).alias("_ord"),
+                F.count("*").alias("sz"),
+            )
+            .select(
+                "doc_id",
+                "sz",
+                F.transform(F.col("_ord"), lambda s: s["tok"]).alias(
+                    "toks"
+                ),
+            ),
+            pin,
+        )
+
+    pl, pr = _per_doc(tl), _per_doc(tr)
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).cast("int")
+
+    def _pref(p: DataFrame) -> DataFrame:
+        return p.select(
+            "doc_id",
+            "sz",
+            F.explode(F.slice(F.col("toks"), F.lit(1), prefix_len)).alias(
+                "tok"
+            ),
+        )
+
+    t = F.lit(float(threshold))
+    cand = (
+        _pref(pl)
+        .select(
+            F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz1"), "tok"
+        )
+        .join(
+            _pref(pr).select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("sz").alias("sz2"),
+                "tok",
+            ),
+            "tok",
+        )
+        .where((F.col("sz2") >= t * F.col("sz1")) & (F.col("sz1") >= t * F.col("sz2")))
+        .select("doc_id_1", "doc_id_2")
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    verified = (
+        cand.join(
+            pl.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("g1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            pr.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("g2")
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jaccard_col(F.col("g1"), F.col("g2")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def sql_prefix_filter_cross_pairs(
+    left_pred: str,
+    right_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of prefix_filter_cross_pairs over one base table
+    split by two predicates (the driver twin splits ``documents``)."""
+    from ..functions.text import sql_tokens
+
+    t = repr(float(threshold))
+    return f"""
+        WITH tl AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                {sql_tokens(f"coalesce({text_col}, '')")})) AS tok
+            FROM {table} WHERE {left_pred}
+        ),
+        tr AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                {sql_tokens(f"coalesce({text_col}, '')")})) AS tok
+            FROM {table} WHERE {right_pred}
+        ),
+        dfreq AS (
+            SELECT tok, count(*) AS df
+            FROM (SELECT * FROM tl UNION ALL SELECT * FROM tr)
+            GROUP BY tok
+        ),
+        ol AS MATERIALIZED (
+            SELECT t.doc_id, t.tok,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+                   count(*) OVER (PARTITION BY t.doc_id) AS sz
+            FROM tl t JOIN dfreq d USING (tok)
+        ),
+        orr AS MATERIALIZED (
+            SELECT t.doc_id, t.tok,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+                   count(*) OVER (PARTITION BY t.doc_id) AS sz
+            FROM tr t JOIN dfreq d USING (tok)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM (SELECT * FROM ol
+                  WHERE rn <= sz - ceil({t} * sz) + 1) a
+            JOIN (SELECT * FROM orr
+                  WHERE rn <= sz - ceil({t} * sz) + 1) b
+              ON a.tok = b.tok
+            WHERE b.sz >= {t} * a.sz AND a.sz >= {t} * b.sz
+        ),
+        inter AS (
+            SELECT c.doc_id_1, c.doc_id_2,
+                   count(*) AS i,
+                   any_value(t1.sz) AS sz1, any_value(t2.sz) AS sz2
+            FROM cand c
+            JOIN ol t1 ON t1.doc_id = c.doc_id_1
+            JOIN orr t2 ON t2.doc_id = c.doc_id_2 AND t2.tok = t1.tok
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_1, doc_id_2,
+               round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) AS jaccard
+        FROM inter
+        WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= {t}
+    """
+
+
 def sql_prefix_filter_pairs(
     table: str = "documents",
     text_col: str = "text",

@@ -364,3 +364,37 @@ def test_prefix_filter_exactness_vs_brute_force(spark):
     assert got == brute
     # identical singleton-token docs meet via their (frequent) token
     assert ("d07", "d08") in got
+
+
+def test_prefix_filter_cross_equals_self_restricted(spark):
+    """The cross join (union-df canonical order) finds exactly the
+    self-join pairs that straddle the two sides: same corpus split in
+    two, cross output == self output restricted to cross pairs."""
+    texts = [
+        (i, f"alpha beta gamma delta epsilon token{i % 4}")
+        for i in range(12)
+    ] + [
+        (100 + i, "zeta eta theta iota kappa unique" + str(i))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    t = 0.6
+    self_pairs = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in dedup.prefix_filter_pairs(df, threshold=t).collect()
+    }
+    left = df.where(F.col("doc_id") % 2 == 0)
+    right = df.where(F.col("doc_id") % 2 != 0)
+    cross = {
+        # orient like the canonicalized self pair for comparison
+        (min(r["doc_id_1"], r["doc_id_2"]),
+         max(r["doc_id_1"], r["doc_id_2"]), r["jaccard"])
+        for r in dedup.prefix_filter_cross_pairs(
+            left, right, threshold=t
+        ).collect()
+    }
+    expected = {
+        (d1, d2, j) for (d1, d2, j) in self_pairs if (d1 % 2) != (d2 % 2)
+    }
+    assert expected, "fixture must produce at least one cross pair"
+    assert cross == expected
