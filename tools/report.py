@@ -260,6 +260,32 @@ def main(sf_dir: str, out_dir: str) -> None:
         "",
     ]
 
+    # progressive-ER budget curve: what a 10%/20%/... scoring budget
+    # buys — at 100 TB the pair-scoring stage is the spend, and this
+    # is the table that justifies stopping early (or not)
+    prog = (
+        qs["progressive_recall_curve"](spark, sf_dir)
+        .orderBy("budget_bucket")
+        .collect()
+    )
+    lines += [
+        "## Progressive-ER budget curve (pay-as-you-go scoring)",
+        "",
+        "Candidate pairs ranked by pre-scoring evidence (shared-block "
+        "count desc, rarest shared block asc); each row = one budget "
+        "decile.  Recall is end-to-end — a plateau below 1.0 is "
+        "blocking loss, not ranking loss.",
+        "",
+        "| budget | pairs scored (cum) | true found (cum) | recall |",
+        "|---|---|---|---|",
+    ]
+    for r in prog:
+        lines.append(
+            f"| {r['budget_bucket'] * 10}% | {r['cum_pairs']} "
+            f"| {r['cum_true']} | {r['cum_recall']:.4f} |"
+        )
+    lines.append("")
+
     # PNG artifacts (reference plot-sink parity, S6): same frames as
     # the tables above, rendered by the stdlib rasterizer
     from record_linkage_ldu_spark.functions.plotting import (
