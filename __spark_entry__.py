@@ -76,9 +76,12 @@ from record_linkage_ldu_spark.operators.multimodal import (
 )
 from record_linkage_ldu_spark.operators.scoring import (
     attach_pair_sides,
+    combined_score_col,
     group_linkage_scores,
     monge_elkan_scores,
+    one_to_one_assignment,
     soft_tfidf_scores,
+    sql_combined_score,
     tfidf_token_cosine,
 )
 from record_linkage_ldu_spark.operators.spans import (
@@ -1192,6 +1195,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pprl_dice_scores"] = lambda s, d: pprl.dice_pairs(
         pprl.bloom_encode(_records(s, d), "name"), _cand_pairs(s, d)
     )
+    # one-to-one constrained cross linkage: mutual-best-match
+    # (symmetric argmax) assignment over the rule-accepted LDU×HW
+    # pairs — each left record keeps at most one partner and vice
+    # versa (the reference leaves many-to-many links in place)
+    q["one_to_one_matches"] = lambda s, d: _one_to_one_matches(s, d)
+    # blocking design scorecard: the standard reduction-ratio /
+    # pairs-completeness / pairs-quality trio (Christen 2012 §7.5)
+    # in one pass — blocking_recall plus the cartesian-denominator
+    # view that says what the blocking SAVED
+    q["blocking_quality"] = lambda s, d: _blocking_quality(s, d)
     return _ordered(q)
 
 
@@ -1201,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "one_to_one_matches",
+    "blocking_quality",
     "prefix_filter_cross_pairs",
     "progressive_recall_curve",
     "prefix_filter_pairs",
@@ -1431,6 +1446,73 @@ def _ro_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ro_sim_col(F.col("a_address"), F.col("b_address")), 6).alias(
             "ro_address"
         ),
+    )
+
+
+# fields the cross-scored frame actually carries (CROSS_SCORE_FIELDS
+# minus 'group', which the target-max name score absorbs)
+_CROSS_O2O_FIELDS = (
+    "name", "company_name", "email", "phone", "address", "city",
+    "state", "zip", "country",
+)
+
+
+def _one_to_one_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best-match assignment over the cross-linkage matches:
+    the rule-accepted LDU×HW pairs with their combined weighted score,
+    constrained so each record appears in at most one surviving pair
+    (operators/scoring.py::one_to_one_assignment)."""
+    scored = (
+        rules.match(_cross_scored(spark, sf_dir), mode="cross")
+        .withColumn("score", combined_score_col(_CROSS_O2O_FIELDS))
+        .select("doc_id_1", "doc_id_2", "score")
+    )
+    return one_to_one_assignment(scored).select(
+        "doc_id_1", "doc_id_2", F.round("score", 6).alias("score")
+    )
+
+
+def _blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard blocking scorecard trio (Christen 2012 §7.5):
+    reduction ratio = 1 - candidates/cartesian (what blocking SAVED),
+    pairs completeness = covered/true (what it KEPT — recall), pairs
+    quality = covered/candidates (how dense in truth the survivors
+    are).  The cartesian denominator is computed from the record
+    COUNT, never materialized — the whole point is that n*(n-1)/2
+    pairs only ever exist as arithmetic."""
+    labels = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    cands = _cand_pairs(spark, sf_dir)
+    marked = labels.join(
+        cands.withColumn("_c", F.lit(1)), ["doc_id_1", "doc_id_2"], "left"
+    )
+    truth = marked.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_covered"),
+    )
+    vol = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    docs = _records(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    possible = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    return (
+        truth.crossJoin(vol)
+        .crossJoin(docs)
+        .select(
+            "n_docs",
+            possible.alias("n_possible_pairs"),
+            "n_candidates",
+            "n_true",
+            "n_covered",
+            F.round(
+                1 - F.col("n_candidates") / possible, 6
+            ).alias("reduction_ratio"),
+            F.round(F.col("n_covered") / F.col("n_true"), 6).alias(
+                "pairs_completeness"
+            ),
+            F.round(F.col("n_covered") / F.col("n_candidates"), 6).alias(
+                "pairs_quality"
+            ),
+        )
     )
 
 
@@ -2032,6 +2114,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id_1, doc_id_2, {cross_round}
         FROM csims WHERE {rules.sql_cross_rule_predicate()}
     """
+    sql["one_to_one_matches"] = f"""
+        {_sql_chain("pairs")},
+    cpairs AS (
+        SELECT * FROM pairs
+        WHERE substr(doc_id_1, 1, 1) = 'a' AND substr(doc_id_2, 1, 1) <> 'a'
+    ),
+    csims AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               greatest({sql_lev_sim('n1.name', 'n2.name')},
+                        {sql_lev_sim('n1.name', 'n2."group"')}) AS name,
+               CAST(0.0 AS DOUBLE) AS company_name,
+               {cross_sims}
+        FROM cpairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+    ),
+    cmatch AS (
+        SELECT doc_id_1, doc_id_2,
+               {sql_combined_score(_CROSS_O2O_FIELDS)} AS score
+        FROM csims WHERE {rules.sql_cross_rule_predicate()}
+    ),
+    ranked AS (
+        SELECT doc_id_1, doc_id_2, score,
+               row_number() OVER (PARTITION BY doc_id_1
+                                  ORDER BY score DESC, doc_id_2 ASC) AS rn1,
+               row_number() OVER (PARTITION BY doc_id_2
+                                  ORDER BY score DESC, doc_id_1 ASC) AS rn2
+        FROM cmatch
+    )
+        SELECT doc_id_1, doc_id_2, round(score, 6) AS score
+        FROM ranked WHERE rn1 = 1 AND rn2 = 1
+    """
     cross_masks = rules.sql_cross_rule_masks()
     cross_mask_aggs = []
     for i, m in enumerate(cross_masks):
@@ -2285,6 +2399,35 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_covered AS DOUBLE) / n_candidates, 6)
                    AS pair_efficiency
         FROM truth, vol
+    """
+    sql["blocking_quality"] = f"""
+        {_sql_chain("pairs")},
+    labels AS (
+        SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+        FROM synth s1 JOIN synth s2
+          ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+         AND s1.doc_id < s2.doc_id
+    ),
+    truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(count(p.doc_id_1) AS BIGINT) AS n_covered
+        FROM labels l LEFT JOIN pairs p
+          ON l.doc_id_1 = p.doc_id_1 AND l.doc_id_2 = p.doc_id_2
+    ),
+    vol AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs),
+    docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM norm)
+        SELECT n_docs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT)
+                   AS n_possible_pairs,
+               n_candidates, n_true, n_covered,
+               round(1 - CAST(n_candidates AS DOUBLE)
+                         / (n_docs * (n_docs - 1) // 2), 6)
+                   AS reduction_ratio,
+               round(CAST(n_covered AS DOUBLE) / n_true, 6)
+                   AS pairs_completeness,
+               round(CAST(n_covered AS DOUBLE) / n_candidates, 6)
+                   AS pairs_quality
+        FROM truth, vol, docs
     """
     sql["jw_pair_scores"] = f"""
         {_sql_chain("pairs")}

@@ -365,6 +365,54 @@ def monge_elkan_scores(
     )
 
 
+def one_to_one_assignment(
+    scored: DataFrame,
+    score_col: str = "score",
+    id_1: str = "doc_id_1",
+    id_2: str = "doc_id_2",
+) -> DataFrame:
+    """Mutual-best-match (symmetric argmax) one-to-one assignment over
+    a scored cross-linkage pair set: each left record nominates its
+    single best-scoring right partner and vice versa; a pair survives
+    only when both nominations agree.  This is the one-to-one
+    constraint of classical two-source linkage (Christen 2012 §6.11;
+    the reference's LDU×HW flow leaves many-to-many links in place —
+    `main_ldu_hw.py:384-420` groups whatever the rules fire on — so
+    this is the assignment-constrained variant a deduplicated-master
+    workflow needs on top of it).
+
+    Mutual-best is the distributed-friendly member of the assignment
+    family: greedy sequential assignment is inherently serial, and
+    optimal bipartite matching is superlinear, while every mutual-best
+    pair is IN the greedy solution's first round (both endpoints
+    prefer each other, so neither is taken earlier).  Cost: two
+    map-side-combinable groupBys + two equi-joins — never a window
+    over the full pair set and no per-key iteration.
+
+    Ties break deterministically: higher score first, then the
+    lexicographically smallest partner id — encoded as ONE
+    ``min(struct(-score, partner))`` so the aggregate keeps partial
+    aggregation (a window row_number would shuffle-sort every pair
+    per direction instead).
+    """
+    pick = F.struct(
+        (-F.col(score_col)).alias("_n"), F.col("_partner").alias("_p")
+    )
+    best_r = (
+        scored.select(id_1, F.col(id_2).alias("_partner"), score_col)
+        .groupBy(id_1)
+        .agg(F.min(pick).alias("_b"))
+        .select(id_1, F.col("_b._p").alias(id_2))
+    )
+    best_l = (
+        scored.select(F.col(id_1).alias("_partner"), id_2, score_col)
+        .groupBy(id_2)
+        .agg(F.min(pick).alias("_b"))
+        .select(F.col("_b._p").alias(id_1), id_2)
+    )
+    return scored.join(best_r, [id_1, id_2]).join(best_l, [id_1, id_2])
+
+
 def group_linkage_scores(
     scored_pairs: DataFrame,
     membership: DataFrame,

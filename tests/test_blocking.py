@@ -361,3 +361,26 @@ def test_refined_keys_null_components_and_single_key_pairs(spark):
         == 0
     )
     assert pairs.count() == 1
+
+
+def test_blocking_quality_consistency(spark):
+    """The RR/PC/PQ scorecard agrees with blocking_recall and its own
+    identities: PC == recall, PQ == pair_efficiency, RR matches the
+    count arithmetic, and the cartesian denominator is n*(n-1)/2."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    d = "/root/testdata/sf0.001"
+    bq = qs["blocking_quality"](spark, d).collect()[0].asDict()
+    br = qs["blocking_recall"](spark, d).collect()[0].asDict()
+    assert bq["n_true"] == br["n_true"]
+    assert bq["n_covered"] == br["n_covered"]
+    assert bq["n_candidates"] == br["n_candidates"]
+    assert bq["pairs_completeness"] == br["recall"]
+    assert bq["pairs_quality"] == br["pair_efficiency"]
+    n = bq["n_docs"]
+    assert bq["n_possible_pairs"] == n * (n - 1) // 2
+    assert 0 < bq["reduction_ratio"] < 1
+    assert bq["reduction_ratio"] == round(
+        1 - bq["n_candidates"] / bq["n_possible_pairs"], 6
+    )

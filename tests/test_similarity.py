@@ -346,3 +346,54 @@ def test_pprl_bloom_encode_short_field_large_q(spark):
     assert "d1" not in enc   # padded '#a$' (len 3) < q: no grams
     assert "d2" in enc       # padded '#ab$' (len 4) == q: one gram
     assert "d3" in enc
+
+
+def test_one_to_one_assignment_hand_computed(spark):
+    """Mutual-best semantics on a hand-built bipartite score set:
+    survivors are exactly the pairs where both endpoints nominate each
+    other; ties break to the smaller partner id; a record whose best
+    partner prefers someone else stays UNMATCHED (mutual-best, not
+    greedy: a2's best is b1, so a2 never falls back to b3)."""
+    from record_linkage_ldu_spark.operators.scoring import (
+        one_to_one_assignment,
+    )
+
+    rows = [
+        ("a1", "b1", 0.9),   # mutual best both ways -> survives
+        ("a1", "b2", 0.5),
+        ("a2", "b1", 0.8),   # a2 nominates b1, b1 nominates a1 -> out
+        ("a2", "b3", 0.7),   # never considered: a2 already nominated b1
+        ("a3", "b4", 0.6),   # tie with b5 -> smaller id b4 wins
+        ("a3", "b5", 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id_1 string, doc_id_2 string, score double"
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in one_to_one_assignment(df).collect()
+    }
+    assert out == {("a1", "b1"), ("a3", "b4")}
+
+
+def test_one_to_one_query_is_an_assignment(spark):
+    """Driver-query contract: each doc id appears at most once per
+    side, and the surviving pairs are a subset of the unconstrained
+    cross matches."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    d = "/root/testdata/sf0.001"
+    o2o = qs["one_to_one_matches"](spark, d).cache()
+    n = o2o.count()
+    assert n > 0
+    assert o2o.select("doc_id_1").distinct().count() == n
+    assert o2o.select("doc_id_2").distinct().count() == n
+    cross = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in qs["cross_match_rules"](spark, d).collect()
+    }
+    assert {
+        (r["doc_id_1"], r["doc_id_2"]) for r in o2o.collect()
+    } <= cross
+    o2o.unpersist()
