@@ -478,7 +478,7 @@ def _cluster_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_norm_cte() -> str:
-    return f"""norm AS (
+    return f"""norm AS MATERIALIZED (
         SELECT doc_id,
                {N.sql_normalize_name("name")} AS name,
                {N.sql_normalize_number("phone")} AS phone,
@@ -507,7 +507,7 @@ def _sql_keys_cte() -> str:
         SELECT doc_id, 'zp:' || zip FROM norm
         WHERE zip IS NOT NULL AND length(zip) >= 4
     ),
-    keys_capped AS (
+    keys_capped AS MATERIALIZED (
         SELECT * FROM keys
         QUALIFY count(*) OVER (PARTITION BY block_key) <= {MAX_BLOCK}
     )"""
@@ -540,7 +540,7 @@ def _sql_scored_cte() -> str:
         JOIN norm n1 ON p.doc_id_1 = n1.doc_id
         JOIN norm n2 ON p.doc_id_2 = n2.doc_id
     ),
-    scored AS (
+    scored AS MATERIALIZED (
         SELECT *, {total} AS total, {score} AS score FROM sims
     )"""
 
@@ -562,7 +562,7 @@ def _sql_chain(upto: str) -> str:
         "pairs": _sql_pairs_cte,
         "scored": _sql_scored_cte,
         "matches": lambda: (
-            f"matches AS (SELECT * FROM scored WHERE {_SQL_MATCH_PRED})"
+            f"matches AS MATERIALIZED (SELECT * FROM scored WHERE {_SQL_MATCH_PRED})"
         ),
     }
     for stage in order[1 : order.index(upto) + 1]:
@@ -3481,8 +3481,13 @@ def _sql_minhash_bands() -> str:
 
     toks = sql_shingles("text", 3)
     num_hashes, band_size = 12, 3
+    # reference the shingle list via a MATERIALIZED CTE column: DuckDB
+    # 1.0 inlines CTEs (and does no CSE across the 12 hash lanes), so
+    # the raw expression would tokenize every document ~48 times (12
+    # hashes x 4 union references of sigs) — measured 24s -> ~3s on
+    # the near_dup_keep_list twin
     sig = [
-        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        f"list_min(list_transform(_t, t -> md5('{s}:' || t)))"
         for s in range(num_hashes)
     ]
     n_bands = num_hashes // band_size
@@ -3496,7 +3501,12 @@ def _sql_minhash_bands() -> str:
         f"SELECT doc_id, CAST({b} AS BIGINT) AS band_idx, band{b} AS band_key FROM sigs"
         for b in range(n_bands)
     )
-    return f"WITH sigs AS (SELECT doc_id, {band_exprs} FROM documents) {unions}"
+    return (
+        f"WITH _shingled AS MATERIALIZED "
+        f"(SELECT doc_id, {toks} AS _t FROM documents), "
+        f"sigs AS MATERIALIZED "
+        f"(SELECT doc_id, {band_exprs} FROM _shingled) {unions}"
+    )
 
 
 def _sql_ngram_jaccard() -> str:

@@ -360,8 +360,13 @@ def sql_minhash_near_duplicates(
 ) -> str:
     """DuckDB twin of minhash_near_duplicates (same md5 draws)."""
     toks = sql_shingles(text_col, shingle_size)
+    # MATERIALIZED tokens/sigs/bands/tok: DuckDB 1.0 inlines CTEs per
+    # reference and runs no CSE across the hash lanes, so the raw
+    # shingle expression would otherwise evaluate ~13x per doc and the
+    # sigs subplan 4x (once per band union) — see the verify skill's
+    # CTE-inlining note
     sig = [
-        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        f"list_min(list_transform(_t, t -> md5('{s}:' || t)))"
         for s in range(num_hashes)
     ]
     n_bands = num_hashes // band_size
@@ -376,17 +381,22 @@ def sql_minhash_near_duplicates(
         for b in range(n_bands)
     )
     return f"""
-        WITH sigs AS (
-            SELECT {id_col} AS doc_id, {band_exprs} FROM {table}
+        WITH _shingled AS MATERIALIZED (
+            SELECT {id_col} AS doc_id, {toks} AS _t FROM {table}
         ),
-        bands AS ({unions}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, {band_exprs} FROM _shingled
+        ),
+        bands AS MATERIALIZED ({unions}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         ),
-        tok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table})
+        tok AS MATERIALIZED (
+            SELECT doc_id, _t AS toks FROM _shingled
+        )
         SELECT c.doc_id_1, c.doc_id_2,
                round(
                  CASE WHEN len(t1.toks) + len(t2.toks)
@@ -567,8 +577,10 @@ def sql_minhash_cross_near_duplicates(
     """DuckDB twin of minhash_cross_near_duplicates (same md5 draws;
     table args may be parenthesized subqueries)."""
     toks = sql_shingles(text_col, shingle_size)
+    # MATERIALIZED per-side shingle/sig/band CTEs — same DuckDB
+    # CTE-inlining/no-CSE workaround as sql_minhash_near_duplicates
     sig = [
-        f"list_min(list_transform({toks}, t -> md5('{s}:' || t)))"
+        f"list_min(list_transform(_t, t -> md5('{s}:' || t)))"
         for s in range(num_hashes)
     ]
     n_bands = num_hashes // band_size
@@ -586,8 +598,12 @@ def sql_minhash_cross_near_duplicates(
             for b in range(n_bands)
         )
         return (
-            f"sigs_{side} AS (SELECT {id_col} AS doc_id, {band_exprs} "
-            f"FROM {table} AS t_{side}), bands_{side} AS ({unions})"
+            f"shingled_{side} AS MATERIALIZED "
+            f"(SELECT {id_col} AS doc_id, {toks} AS _t "
+            f"FROM {table} AS t_{side}), "
+            f"sigs_{side} AS MATERIALIZED "
+            f"(SELECT doc_id, {band_exprs} FROM shingled_{side}), "
+            f"bands_{side} AS MATERIALIZED ({unions})"
         )
 
     return f"""
@@ -598,10 +614,8 @@ def sql_minhash_cross_near_duplicates(
             FROM bands_l a JOIN bands_r b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         ),
-        tok_l AS (SELECT {id_col} AS doc_id, {toks} AS toks
-                  FROM {left_table} AS tl),
-        tok_r AS (SELECT {id_col} AS doc_id, {toks} AS toks
-                  FROM {right_table} AS tr)
+        tok_l AS (SELECT doc_id, _t AS toks FROM shingled_l),
+        tok_r AS (SELECT doc_id, _t AS toks FROM shingled_r)
         SELECT c.doc_id_1, c.doc_id_2,
                round(
                  CASE WHEN len(t1.toks) + len(t2.toks)

@@ -82,10 +82,12 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[{time.time()-t0:.1f}s spark={t_spark:.1f}s]")
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -94,6 +96,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        t_duck = time.time() - t1
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_hash = frame_hash(scols, srows) == frame_hash(dcols, drows)
@@ -101,7 +104,8 @@ def main():
         print(
             f"{status}  {name}: spark={len(srows)} duck={len(drows)} "
             f"cols={'ok' if ok_cols else f'{scols} vs {dcols}'} "
-            f"hash={'ok' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+            f"hash={'ok' if ok_hash else 'MISMATCH'} "
+            f"[{time.time()-t0:.1f}s spark={t_spark:.1f}s duck={t_duck:.1f}s]"
         )
         if status == "FAIL":
             failures.append(name)
