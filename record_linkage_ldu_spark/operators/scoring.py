@@ -370,6 +370,7 @@ def one_to_one_assignment(
     score_col: str = "score",
     id_1: str = "doc_id_1",
     id_2: str = "doc_id_2",
+    pin: bool = True,
 ) -> DataFrame:
     """Mutual-best-match (symmetric argmax) one-to-one assignment over
     a scored cross-linkage pair set: each left record nominates its
@@ -395,6 +396,12 @@ def one_to_one_assignment(
     aggregation (a window row_number would shuffle-sort every pair
     per direction instead).
     """
+    from .dedup import _pin
+
+    # scored fans out three ways (both nomination aggregates + the
+    # final intersection join); pin it so the upstream rule/score
+    # subplan runs once
+    scored = _pin(scored, pin)
     pick = F.struct(
         (-F.col(score_col)).alias("_n"), F.col("_partner").alias("_p")
     )
