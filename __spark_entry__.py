@@ -82,7 +82,9 @@ from record_linkage_ldu_spark.operators.scoring import (
     one_to_one_assignment,
     soft_tfidf_scores,
     sql_combined_score,
+    sql_value_specific_odds,
     tfidf_token_cosine,
+    value_specific_odds,
 )
 from record_linkage_ldu_spark.operators.spans import (
     profile_fields,
@@ -116,6 +118,7 @@ _PAIR_FIELDS = (
 # city/state/country columns agree by chance too often to separate
 # the mixture)
 _FS_FIELDS = ("name", "phone", "email", "address")
+_VSO_FIELDS = ("name", "email", "phone", "zip")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1205,6 +1208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in one pass — blocking_recall plus the cartesian-denominator
     # view that says what the blocking SAVED
     q["blocking_quality"] = lambda s, d: _blocking_quality(s, d)
+    # value-specific (frequency-based) FS agreement odds: agreement on
+    # a rare value outweighs agreement on a common one — the classical
+    # refinement the reference's equal-weight rules lack
+    q["value_specific_odds"] = lambda s, d: value_specific_odds(
+        _records(s, d), _cand_pairs(s, d), _VSO_FIELDS
+    )
     return _ordered(q)
 
 
@@ -1214,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "value_specific_odds",
     "one_to_one_matches",
     "blocking_quality",
     "prefix_filter_cross_pairs",
@@ -3473,6 +3483,11 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS INT) AS keep
         FROM media
     """
+    sql["value_specific_odds"] = (
+        _sql_chain("pairs")
+        + ",\n    "
+        + sql_value_specific_odds(_VSO_FIELDS)
+    )
     return sql
 
 

@@ -666,3 +666,160 @@ def soft_tfidf_scores(
             ).alias(out_col),
         )
     )
+
+
+def value_specific_odds(
+    records: DataFrame,
+    pairs: DataFrame,
+    fields: tuple[str, ...],
+    m: float = 0.9,
+    pin: bool = True,
+) -> DataFrame:
+    """Value-specific (frequency-based) Fellegi-Sunter agreement odds
+    (Fellegi & Sunter 1969 §3.3.1 eq. 3.18-3.20; Winkler 1988):
+    agreement on a RARE value is stronger evidence than agreement on a
+    common one — two records sharing surname "Zimmerman" are far more
+    likely the same entity than two sharing "Smith".  The global
+    u-probability is replaced per value v by its chance-agreement
+    probability, the relative frequency f_v, so the agreement
+    likelihood ratio becomes m / f_v; disagreement keeps the global
+    ratio (1-m) / (1-u) with u = sum_v f_v^2 (the probability two
+    random draws agree at all).  The reference (and the engine's rule
+    layer) weights every agreement on a field equally — this is the
+    classical refinement on top.
+
+    No ``log``/``pow`` anywhere (libm results differ across engines —
+    same convention as fs_em): odds ratios, not log-weights.  The
+    chance-agreement sum is computed in EXACT integer arithmetic
+    (sum of squared counts as decimal(38,0)) before ONE division, so
+    the result is order-independent — a plain double sum over the
+    frequency table would make the output depend on partition order.
+
+    Missing data: a pair where either side is null/empty on a field
+    contributes odds 1.0 there (no evidence either way).
+
+    Output: (doc_id_1, doc_id_2, odds_<f> per field, total_odds), all
+    rounded to 6dp; total_odds is the product of the UNROUNDED
+    per-field odds in declared field order.
+
+    Scale shape: one map-side-combinable groupBy per field builds the
+    value-frequency table (THE persisted artifact at production scale
+    — pin it / write it next to the blocking index); each pair then
+    takes one equi-join per field on the agreeing value plus a 1-row
+    broadcast of the (N, sum c^2) scalars.  No window, no cartesian,
+    nothing driver-side.
+    """
+    from .dedup import _pin
+
+    wide = attach_pair_sides(pairs, records, fields)
+    out_cols: list[Column] = []
+    total = None
+    for f in fields:
+        vals = records.where(
+            F.col(f).isNotNull() & (F.col(f) != F.lit(""))
+        ).select(F.col(f).alias("v"))
+        freq = _pin(
+            vals.groupBy("v").agg(F.count("*").cast("long").alias("c")),
+            pin,
+        )
+        stats = freq.agg(
+            F.sum("c").cast("double").alias("n_f"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("double")
+            .alias("s2_f"),
+        )
+        a, b = F.col(f"a_{f}"), F.col(f"b_{f}")
+        present = (
+            a.isNotNull() & (a != F.lit("")) & b.isNotNull() & (b != F.lit(""))
+        )
+        wide = wide.join(
+            freq.select(
+                F.col("v").alias(f"a_{f}"), F.col("c").alias(f"_c_{f}")
+            ),
+            f"a_{f}",
+            "left",
+        ).crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.col("n_f").alias(f"_n_{f}"),
+                    F.col("s2_f").alias(f"_s2_{f}"),
+                )
+            )
+        )
+        c, n, s2 = F.col(f"_c_{f}"), F.col(f"_n_{f}"), F.col(f"_s2_{f}")
+        odds = (
+            F.when(present & (a == b), F.lit(m) / (c.cast("double") / n))
+            .when(present, F.lit(1.0 - m) / (F.lit(1.0) - s2 / (n * n)))
+            .otherwise(F.lit(1.0))
+        )
+        wide = wide.withColumn(f"_odds_{f}", odds)
+        out_cols.append(
+            F.round(F.col(f"_odds_{f}"), 6).alias(f"odds_{f}")
+        )
+        term = F.col(f"_odds_{f}")
+        total = term if total is None else total * term
+    return wide.select(
+        "doc_id_1",
+        "doc_id_2",
+        *out_cols,
+        F.round(total, 6).alias("total_odds"),
+    )
+
+
+def sql_value_specific_odds(
+    fields: tuple[str, ...],
+    m: float = 0.9,
+    norm_table: str = "norm",
+    pairs_table: str = "pairs",
+) -> str:
+    """DuckDB twin of :func:`value_specific_odds`: same frequency
+    tables, same exact-integer chance-agreement sum, same division and
+    multiplication order — composes onto a chain that already defines
+    ``norm`` and ``pairs`` CTEs.  Returns the CTE tail + final SELECT
+    (caller prepends ``WITH <chain>,``)."""
+    parts = []
+    odds_exprs = []
+    for f in fields:
+        nn = f'"{f}" IS NOT NULL AND "{f}" != \'\''
+        parts.append(
+            f'freq_{f} AS MATERIALIZED (SELECT "{f}" AS v, '
+            f"CAST(count(*) AS BIGINT) AS c FROM {norm_table} "
+            f"WHERE {nn} GROUP BY \"{f}\")"
+        )
+        parts.append(
+            f"st_{f} AS MATERIALIZED (SELECT "
+            f"CAST(sum(c) AS DOUBLE) AS n_f, "
+            f"CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2_f "
+            f"FROM freq_{f})"
+        )
+        pres = (
+            f'n1."{f}" IS NOT NULL AND n1."{f}" != \'\' AND '
+            f'n2."{f}" IS NOT NULL AND n2."{f}" != \'\''
+        )
+        odds_exprs.append(
+            f"CASE WHEN {pres} AND n1.\"{f}\" = n2.\"{f}\" "
+            f"THEN {m!r} / (CAST(f_{f}.c AS DOUBLE) / s_{f}.n_f) "
+            f"WHEN {pres} "
+            f"THEN {1.0 - m!r} / (1.0 - s_{f}.s2_f / (s_{f}.n_f * s_{f}.n_f)) "
+            f"ELSE 1.0 END"
+        )
+    joins = "\n        ".join(
+        f'LEFT JOIN freq_{f} f_{f} ON f_{f}.v = n1."{f}" '
+        f"CROSS JOIN st_{f} s_{f}"
+        for f in fields
+    )
+    sel = ", ".join(
+        f"round(({e}), 6) AS odds_{f}" for f, e in zip(fields, odds_exprs)
+    )
+    prod = " * ".join(f"({e})" for e in odds_exprs)
+    return (
+        ",\n    ".join(parts)
+        + f"""
+        SELECT p.doc_id_1, p.doc_id_2, {sel},
+               round(({prod}), 6) AS total_odds
+        FROM {pairs_table} p
+        JOIN {norm_table} n1 ON p.doc_id_1 = n1.doc_id
+        JOIN {norm_table} n2 ON p.doc_id_2 = n2.doc_id
+        {joins}
+    """
+    )

@@ -373,7 +373,12 @@ def synth_sql_cte(with_c_copy: bool = True) -> str:
     """
     parts = [a, b] + ([c] if with_c_copy else [])
     return (
-        f"synth_base AS ({base}),\n        synth AS ("
+        # MATERIALIZED: DuckDB 1.0 inlines CTEs per reference — the
+        # twins read synth_base 3x (a/b/c copies) and synth 2-6x, so
+        # the name/state array-indexing expressions would re-run per
+        # reference (byte-identical output either way)
+        f"synth_base AS MATERIALIZED ({base}),\n"
+        f"        synth AS MATERIALIZED ("
         + " UNION ALL ".join(parts)
         + ")"
     )

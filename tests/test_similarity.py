@@ -397,3 +397,46 @@ def test_one_to_one_query_is_an_assignment(spark):
         (r["doc_id_1"], r["doc_id_2"]) for r in o2o.collect()
     } <= cross
     o2o.unpersist()
+
+
+def test_value_specific_odds_hand_computed(spark):
+    """Frequency-weighted FS agreement on a hand-built corpus: the
+    rare-name agreement outweighs the common-name agreement, a
+    disagreement takes the global (1-m)/(1-u) ratio, and a missing
+    side contributes odds exactly 1.0."""
+    from record_linkage_ldu_spark.operators.scoring import (
+        value_specific_odds,
+    )
+
+    # name frequencies: smith x3, zimmerman x1 -> N=4, u = (9+1)/16
+    records = spark.createDataFrame(
+        [
+            ("d1", "smith"),
+            ("d2", "smith"),
+            ("d3", "smith"),
+            ("d4", "zimmerman"),
+            ("d5", None),
+        ],
+        "doc_id string, name string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d4"), ("d1", "d5"), ("d4", "d4b")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    # give d4b a zimmerman row too so the rare-agreement pair exists
+    records = records.union(
+        spark.createDataFrame([("d4b", "zimmerman")], records.schema)
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["odds_name"]
+        for r in value_specific_odds(
+            records, pairs, ("name",), m=0.9
+        ).collect()
+    }
+    n = 5.0  # non-null names: 3 smith + 2 zimmerman
+    u = (9.0 + 4.0) / 25.0
+    assert out[("d1", "d2")] == round(0.9 / (3.0 / n), 6)       # common
+    assert out[("d4", "d4b")] == round(0.9 / (2.0 / n), 6)      # rare
+    assert out[("d4", "d4b")] > out[("d1", "d2")]
+    assert out[("d1", "d4")] == round(0.1 / (1.0 - u), 6)       # disagree
+    assert out[("d1", "d5")] == 1.0                             # missing
