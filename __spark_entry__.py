@@ -59,6 +59,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     cap_blocks,
     sorted_neighborhood_pairs,
     sorted_neighborhood_pairs_cross,
+    sql_suffix_block_keys,
 )
 from record_linkage_ldu_spark.operators.cc import (
     connected_components,
@@ -1214,6 +1215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_specific_odds"] = lambda s, d: value_specific_odds(
         _records(s, d), _cand_pairs(s, d), _VSO_FIELDS
     )
+    # suffix-array blocking: shared df-pruned name suffixes as block
+    # keys — completes the classical blocking-family roster
+    q["suffix_block_pairs"] = lambda s, d: _suffix_block_pairs(s, d)
     return _ordered(q)
 
 
@@ -1223,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "suffix_block_pairs",
     "value_specific_odds",
     "one_to_one_matches",
     "blocking_quality",
@@ -1776,6 +1781,21 @@ def _token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = toks.join(selective, "tok", "left_semi").select(
         "doc_id", F.concat(F.lit("tk:"), F.col("tok")).alias("block_key")
+    )
+    return candidate_pairs(keys)
+
+
+def _suffix_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array blocking pairs (Aizawa & Oyama 2005): candidates
+    whose compacted names share any df-pruned suffix of length >= 5 —
+    the family that catches PREFIX damage (typos/truncation/OCR at
+    the string front) that prefix keys and token sets both miss."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        suffix_block_keys,
+    )
+
+    keys = suffix_block_keys(
+        _records(spark, sf_dir).select("doc_id", "name")
     )
     return candidate_pairs(keys)
 
@@ -3488,6 +3508,13 @@ def oracle_sql() -> dict[str, str]:
         + ",\n    "
         + sql_value_specific_odds(_VSO_FIELDS)
     )
+    sql["suffix_block_pairs"] = f"""
+        {_sql_chain("norm")},
+        {sql_suffix_block_keys()}
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM sxkeys a JOIN sxkeys b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
     return sql
 
 

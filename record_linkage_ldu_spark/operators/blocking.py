@@ -941,3 +941,96 @@ def blocking_family_stats(
             ).alias("pair_efficiency"),
         )
     )
+
+
+def suffix_block_keys(
+    records: DataFrame,
+    field: str = "name",
+    min_suffix_len: int = 5,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "sx:",
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005; Christen 2012 §4.5
+    lists it with standard / sorted-neighborhood / q-gram / canopy as
+    the canonical blocking families): every suffix of the compacted
+    field value with length >= ``min_suffix_len`` becomes a candidate
+    block key, so two values agreeing on ANY sufficiently long tail —
+    the common case for prefix typos, truncations, and OCR noise at
+    the front of a string ("mueller-schmidt" vs "ueller-schmidt") —
+    land in a shared block even when their standard prefix keys and
+    token sets differ.
+
+    Document-frequency pruning keeps only suffixes seen in [min_df,
+    max_df] docs: df-1 suffixes pair nothing, and frequent suffixes
+    ("...street") would be unselective mega-blocks — the df ceiling
+    bounds every emitted block at ``max_df`` docs BY CONSTRUCTION,
+    the same pre-bounded guarantee as rare-token blocking (no cap/salt
+    tier needed downstream).
+
+    Scale shape: one narrow explode (a value of length L emits
+    L - min_suffix_len + 1 suffixes — bounded, and suffixes of one
+    string are pairwise distinct so no per-doc dedup), one
+    map-combinable df census, one left-semi join back on the suffix
+    (both sides already hash-partition by it).  All native expressions
+    (whole plan JVM-side); output follows the (doc_id, block_key)
+    contract so census/candidate_pairs/salting compose unchanged.
+    """
+    compact = F.lower(
+        F.regexp_replace(F.coalesce(F.col(field), F.lit("")), " ", "")
+    )
+    sfx = (
+        records.select("doc_id", compact.alias("_v"))
+        .where(F.length("_v") >= F.lit(min_suffix_len))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_v) - {min_suffix_len} + 1),"
+                    " i -> substring(_v, i))"
+                )
+            ).alias("sfx"),
+        )
+    )
+    selective = (
+        sfx.groupBy("sfx")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("sfx")
+    )
+    return sfx.join(selective, "sfx", "left_semi").select(
+        "doc_id", F.concat(F.lit(prefix), F.col("sfx")).alias("block_key")
+    )
+
+
+def sql_suffix_block_keys(
+    norm_table: str = "norm",
+    field: str = "name",
+    min_suffix_len: int = 5,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "sx:",
+) -> str:
+    """DuckDB twin of :func:`suffix_block_keys` — CTE tail defining
+    ``sxkeys(doc_id, block_key)``; caller prepends the chain that
+    defines ``norm``."""
+    compact = (
+        f"lower(replace(coalesce(\"{field}\", ''), ' ', ''))"
+    )
+    return f"""sfx AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, length(_v) - {min_suffix_len} + 2),
+                       i -> substr(_v, CAST(i AS INT)))) AS sfx
+            FROM (SELECT doc_id, {compact} AS _v FROM {norm_table})
+            WHERE length(_v) >= {min_suffix_len}
+        ),
+        selective AS (
+            SELECT sfx FROM sfx
+            GROUP BY sfx
+            HAVING count(DISTINCT doc_id) BETWEEN {min_df} AND {max_df}
+        ),
+        sxkeys AS (
+            SELECT doc_id, '{prefix}' || sfx AS block_key FROM sfx
+            WHERE sfx IN (SELECT sfx FROM selective)
+        )"""

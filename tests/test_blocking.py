@@ -384,3 +384,55 @@ def test_blocking_quality_consistency(spark):
     assert bq["reduction_ratio"] == round(
         1 - bq["n_candidates"] / bq["n_possible_pairs"], 6
     )
+
+
+def test_suffix_blocking_catches_prefix_damage(spark):
+    """Suffix-array blocking pairs records whose names share a long
+    tail even when the string FRONT differs (prefix typo/truncation),
+    the case both prefix keys and whole-token keys miss; df pruning
+    keeps df-1 suffixes (pair nothing) and frequent suffixes out."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        suffix_block_keys,
+    )
+
+    rows = [
+        ("d1", "mueller schmidt"),    # compacted: muellerschmidt
+        ("d2", "xueller schmidt"),    # prefix typo, long shared tail
+        ("d3", "zzz"),                # too short: no suffixes at all
+        ("d4", "completely other"),   # df-1 suffixes only
+    ]
+    recs = spark.createDataFrame(rows, "doc_id string, name string")
+    keys = suffix_block_keys(recs, min_suffix_len=5)
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(keys).collect()
+    }
+    assert pairs == {("d1", "d2")}
+    # every surviving key starts with the prefix and respects min_len
+    for r in keys.collect():
+        assert r["block_key"].startswith("sx:")
+        assert len(r["block_key"]) - 3 >= 5
+
+
+def test_suffix_blocking_df_ceiling_bounds_blocks(spark):
+    """The df ceiling drops suffixes shared by more than max_df docs,
+    so every emitted block is pre-bounded by construction."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        suffix_block_keys,
+    )
+
+    rows = [(f"d{i}", "shared tail example") for i in range(5)] + [
+        ("e1", "rare tail pairs"),
+        ("e2", "bare tail pairs"),
+    ]
+    recs = spark.createDataFrame(rows, "doc_id string, name string")
+    keys = suffix_block_keys(recs, min_suffix_len=5, min_df=2, max_df=4)
+    census = (
+        keys.groupBy("block_key").count().select("count").collect()
+    )
+    assert census, "the e1/e2 shared suffixes must survive"
+    assert all(r["count"] <= 4 for r in census)
+    # the 5-doc shared-tail suffixes are gone
+    docs = {r["doc_id"] for r in keys.collect()}
+    assert docs == {"e1", "e2"}
