@@ -361,6 +361,40 @@ def main(sf_dir: str) -> int:
         and "BatchEvalPython" not in pr_plan,
     )
 
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        suffix_block_keys,
+    )
+
+    sx_plan = executed_plan(candidate_pairs(suffix_block_keys(records)))
+    check(
+        "suffix blocking: native explode + semi join, no cartesian, no Python",
+        "CartesianProduct" not in sx_plan
+        and "BroadcastNestedLoopJoin" not in sx_plan
+        and "BatchEvalPython" not in sx_plan
+        and ("LeftSemi" in sx_plan or "left_semi" in sx_plan),
+    )
+
+    from record_linkage_ldu_spark.operators.scoring import (
+        value_specific_odds,
+    )
+
+    vso_plan = executed_plan(
+        value_specific_odds(
+            records, some_pairs, ("name", "zip"), pin=False
+        )
+    )
+    # the ONLY nested-loop joins allowed are the 1-row scalar-stats
+    # broadcasts (one per field); the value joins must stay equi-joins
+    n_bnlj = vso_plan.count("BroadcastNestedLoopJoin")
+    check(
+        "value-specific odds: equi value joins, scalar-only broadcasts, no Python",
+        "CartesianProduct" not in vso_plan
+        and n_bnlj <= 2
+        and "BatchEvalPython" not in vso_plan,
+        f"nested-loop joins = {n_bnlj}",
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
