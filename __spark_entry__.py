@@ -56,9 +56,11 @@ from record_linkage_ldu_spark.operators.blocking import (
     block_keys,
     blocking_family_stats,
     candidate_pairs,
+    canopy_assignments,
     cap_blocks,
     sorted_neighborhood_pairs,
     sorted_neighborhood_pairs_cross,
+    sql_canopy_assignments,
     sql_suffix_block_keys,
 )
 from record_linkage_ldu_spark.operators.cc import (
@@ -1218,6 +1220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # suffix-array blocking: shared df-pruned name suffixes as block
     # keys — completes the classical blocking-family roster
     q["suffix_block_pairs"] = lambda s, d: _suffix_block_pairs(s, d)
+    # canopy clustering (deterministic order-free relaxation):
+    # overlapping cheap-metric candidate covers, centers = docs
+    # undominated at T1 by any smaller id
+    q["canopy_assignments"] = lambda s, d: canopy_assignments(
+        _records(s, d).select("doc_id", "name")
+    )
     return _ordered(q)
 
 
@@ -1227,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "canopy_assignments",
     "suffix_block_pairs",
     "value_specific_odds",
     "one_to_one_matches",
@@ -3515,6 +3524,9 @@ def oracle_sql() -> dict[str, str]:
         FROM sxkeys a JOIN sxkeys b
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
     """
+    sql["canopy_assignments"] = (
+        _sql_chain("norm") + ",\n    " + sql_canopy_assignments()
+    )
     return sql
 
 

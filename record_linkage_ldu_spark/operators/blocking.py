@@ -1034,3 +1034,193 @@ def sql_suffix_block_keys(
             SELECT doc_id, '{prefix}' || sfx AS block_key FROM sfx
             WHERE sfx IN (SELECT sfx FROM selective)
         )"""
+
+
+def canopy_assignments(
+    records: DataFrame,
+    field: str = "name",
+    t1: float = 0.8,
+    t2: float = 0.5,
+    min_df: int = 2,
+    max_df: int = 50,
+    pin: bool = True,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) as a
+    deterministic, fully-parallel relaxation — the last member of the
+    classical blocking-family roster (standard / sorted-neighborhood /
+    q-gram / suffix / canopy, Christen 2012 §4.6): overlapping
+    candidate groups built with a CHEAP metric (token Jaccard here) so
+    an expensive scorer only runs within canopies.
+
+    The original algorithm is inherently sequential (greedily pop a
+    random point, remove everything within the tight threshold T1);
+    distributed implementations (e.g. Mahout's) replace it with a
+    per-partition greedy pass whose output depends on partitioning.
+    This operator uses the order-free relaxation instead: a doc is a
+    CENTER iff no smaller-id doc lies within T1 of it.  That rule is
+    one anti-join, deterministic under any partitioning, and yields a
+    superset of a greedy pass's centers (every greedy center is
+    undominated at the moment it's popped; here domination is settled
+    globally by id), so canopy COVERAGE — the recall guarantee the
+    downstream scorer relies on — is preserved while losing the serial
+    dependency.  Overlap is intentional: canopies are candidate
+    covers, not a partition.
+
+    Output: ``(doc_id, canopy_id)`` — one row per membership, centers
+    belong to their own canopy, docs with no center within T2 (loose
+    threshold) survive as self-canopies, so every doc appears >= 1
+    time and downstream per-canopy scoring never silently drops rows.
+
+    Scale shape: the cheap-pair set is the df-pruned token-blocking
+    join (every block pre-bounded by ``max_df``); the center rule is
+    one broadcast-size anti-join against the T1-dominated id set; the
+    assignment is two projections of the same pair set + one
+    dedup-free union.  No window, no cartesian, nothing sequential.
+    """
+    from .dedup import _pin
+    from ..functions.text import tokens
+
+    toks = _pin(
+        records.select(
+            "doc_id",
+            F.array_distinct(
+                tokens(F.coalesce(F.col(field), F.lit("")))
+            ).alias("_t"),
+        ),
+        pin,
+    )
+    tok = toks.select("doc_id", F.explode("_t").alias("tok"))
+    selective = (
+        tok.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("tok")
+    )
+    keyed = tok.join(selective, "tok", "left_semi")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    t1c, t2c = toks.alias("t1c"), toks.alias("t2c")
+    inter = F.size(F.array_intersect(F.col("t1c._t"), F.col("t2c._t")))
+    union = (
+        F.size(F.col("t1c._t")) + F.size(F.col("t2c._t")) - inter
+    )
+    jac = F.when(
+        union > F.lit(0), inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(1.0))
+    pairs = _pin(
+        cand.join(t1c, F.col("doc_id_1") == F.col("t1c.doc_id"))
+        .join(t2c, F.col("doc_id_2") == F.col("t2c.doc_id"))
+        .select("doc_id_1", "doc_id_2", jac.alias("jac"))
+        .where(F.col("jac") >= F.lit(t2)),
+        pin,
+    )
+    dominated = (
+        pairs.where(F.col("jac") >= F.lit(t1))
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+    )
+    all_ids = records.select("doc_id")
+    centers = all_ids.join(dominated, "doc_id", "left_anti")
+    # memberships: center-side and member-side projections of the
+    # T2 pair set, restricted to pairs whose canopy end is a center
+    m1 = pairs.join(
+        centers.select(F.col("doc_id").alias("doc_id_1")), "doc_id_1"
+    ).select(
+        F.col("doc_id_2").alias("doc_id"),
+        F.col("doc_id_1").alias("canopy_id"),
+    )
+    m2 = pairs.join(
+        centers.select(F.col("doc_id").alias("doc_id_2")), "doc_id_2"
+    ).select(
+        F.col("doc_id_1").alias("doc_id"),
+        F.col("doc_id_2").alias("canopy_id"),
+    )
+    self_rows = centers.select(
+        "doc_id", F.col("doc_id").alias("canopy_id")
+    )
+    covered = m1.unionByName(m2).unionByName(self_rows).distinct()
+    uncovered = all_ids.join(
+        covered.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("canopy_id"))
+    return covered.unionByName(uncovered)
+
+
+def sql_canopy_assignments(
+    norm_table: str = "norm",
+    field: str = "name",
+    t1: float = 0.8,
+    t2: float = 0.5,
+    min_df: int = 2,
+    max_df: int = 50,
+) -> str:
+    """DuckDB twin of :func:`canopy_assignments` — full query body;
+    caller prepends the chain defining ``norm``."""
+    from ..functions.text import sql_tokens
+
+    toks = "list_distinct(" + sql_tokens(
+        'coalesce("' + field + '", ' + "''" + ")"
+    ) + ")"
+    return f"""ctoks AS MATERIALIZED (
+            SELECT doc_id, {toks} AS _t FROM {norm_table}
+        ),
+        ctok AS (SELECT doc_id, unnest(_t) AS tok FROM ctoks),
+        cselective AS (
+            SELECT tok FROM ctok GROUP BY tok
+            HAVING count(DISTINCT doc_id) BETWEEN {min_df} AND {max_df}
+        ),
+        ckeyed AS (
+            SELECT doc_id, tok FROM ctok
+            WHERE tok IN (SELECT tok FROM cselective)
+        ),
+        ccand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM ckeyed a JOIN ckeyed b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        cpairs AS MATERIALIZED (
+            SELECT doc_id_1, doc_id_2,
+                   CASE WHEN len(ta._t) + len(tb._t)
+                             - len(list_intersect(ta._t, tb._t)) > 0
+                        THEN CAST(len(list_intersect(ta._t, tb._t))
+                                  AS DOUBLE)
+                             / CAST(len(ta._t) + len(tb._t)
+                                    - len(list_intersect(ta._t, tb._t))
+                                    AS DOUBLE)
+                        ELSE 1.0 END AS jac
+            FROM ccand c
+            JOIN ctoks ta ON c.doc_id_1 = ta.doc_id
+            JOIN ctoks tb ON c.doc_id_2 = tb.doc_id
+            WHERE jac >= {t2!r}
+        ),
+        ccenters AS MATERIALIZED (
+            SELECT doc_id FROM {norm_table}
+            WHERE doc_id NOT IN (
+                SELECT doc_id_2 FROM cpairs WHERE jac >= {t1!r}
+            )
+        ),
+        ccovered AS MATERIALIZED (
+            SELECT DISTINCT doc_id, canopy_id FROM (
+                SELECT p.doc_id_2 AS doc_id, p.doc_id_1 AS canopy_id
+                FROM cpairs p
+                WHERE p.doc_id_1 IN (SELECT doc_id FROM ccenters)
+                UNION ALL
+                SELECT p.doc_id_1 AS doc_id, p.doc_id_2 AS canopy_id
+                FROM cpairs p
+                WHERE p.doc_id_2 IN (SELECT doc_id FROM ccenters)
+                UNION ALL
+                SELECT doc_id, doc_id AS canopy_id FROM ccenters
+            )
+        )
+        SELECT doc_id, canopy_id FROM ccovered
+        UNION ALL
+        SELECT doc_id, doc_id AS canopy_id FROM {norm_table}
+        WHERE doc_id NOT IN (SELECT doc_id FROM ccovered)
+    """

@@ -436,3 +436,35 @@ def test_suffix_blocking_df_ceiling_bounds_blocks(spark):
     # the 5-doc shared-tail suffixes are gone
     docs = {r["doc_id"] for r in keys.collect()}
     assert docs == {"e1", "e2"}
+
+
+def test_canopy_deterministic_relaxation(spark):
+    """Canopy semantics on a hand-built corpus: centers are exactly
+    the docs undominated at T1 by a smaller id, every doc is covered
+    (isolated docs as self-canopies), and canopies OVERLAP — a doc
+    within T2 of two centers belongs to both."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        canopy_assignments,
+    )
+
+    rows = [
+        # d1/d2 share all 3 tokens (jac=1 >= T1): d2 dominated by d1
+        ("d1", "alpha beta gamma"),
+        ("d2", "alpha beta gamma"),
+        # d3 shares 2/4 distinct-union tokens with d1 (jac=0.5 >= T2
+        # but < T1): separate center, and member of d1's canopy
+        ("d3", "alpha beta delta epsilon"),
+        # d5 isolated (tokens appear nowhere else): self-canopy
+        ("d5", "zeta eta theta"),
+    ]
+    recs = spark.createDataFrame(rows, "doc_id string, name string")
+    out = canopy_assignments(recs, t1=0.8, t2=0.4, min_df=2, max_df=10)
+    memb = {(r["doc_id"], r["canopy_id"]) for r in out.collect()}
+    centers = {c for _, c in memb}
+    assert centers == {"d1", "d3", "d5"}           # d2 dominated
+    assert ("d2", "d1") in memb                    # member of d1
+    assert ("d3", "d1") in memb and ("d3", "d3") in memb  # overlap
+    assert ("d1", "d3") in memb                    # symmetric overlap
+    assert ("d5", "d5") in memb                    # self-canopy
+    covered = {d for d, _ in memb}
+    assert covered == {"d1", "d2", "d3", "d5"}     # total coverage

@@ -375,6 +375,26 @@ def main(sf_dir: str) -> int:
         and ("LeftSemi" in sx_plan or "left_semi" in sx_plan),
     )
 
+    from record_linkage_ldu_spark.operators.blocking import (
+        canopy_assignments,
+    )
+
+    # pin=False exposes the raw join structure, so feed a CHECKPOINTED
+    # leaf: toks fans out 4 ways and the pair set 3, i.e. ~12 copies
+    # of whatever subplan sits upstream — with the live normalize
+    # chain underneath, plan CONSTRUCTION alone OOMs the driver (the
+    # same trap the refined-keys check documents; the operator's
+    # pin=True default exists exactly for this)
+    cp_in = records.select("doc_id", "name").localCheckpoint(eager=True)
+    cp_plan = executed_plan(canopy_assignments(cp_in, pin=False))
+    check(
+        "canopy: token-keyed joins + anti-join centers, no cartesian, no Python",
+        "CartesianProduct" not in cp_plan
+        and "BroadcastNestedLoopJoin" not in cp_plan
+        and "BatchEvalPython" not in cp_plan
+        and "LeftAnti" in cp_plan,
+    )
+
     from record_linkage_ldu_spark.operators.scoring import (
         value_specific_odds,
     )
