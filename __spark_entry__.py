@@ -64,6 +64,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     sql_suffix_block_keys,
 )
 from record_linkage_ldu_spark.operators.cc import (
+    cannot_link_audit,
     connected_components,
     edge_corroboration,
     repair_clusters,
@@ -1226,6 +1227,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["canopy_assignments"] = lambda s, d: canopy_assignments(
         _records(s, d).select("doc_id", "name")
     )
+    # cannot-link constraint audit (clerical-review feedback loop):
+    # the weakest rule-fired matches (score < 5.5; scores span
+    # ~5.0-6.1 on the synth corpus) stand in for reviewer
+    # rejections; drop them, re-cluster, and flag pairs STILL
+    # transitively connected — the silent-violation failure mode
+    q["cannot_link_audit"] = lambda s, d: cannot_link_audit(
+        _matches(s, d).select("doc_id_1", "doc_id_2"),
+        _matches(s, d)
+        .where(F.col("score") < 5.5)
+        .select("doc_id_1", "doc_id_2"),
+        _records(s, d).select("doc_id"),
+    )
     return _ordered(q)
 
 
@@ -1235,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "cannot_link_audit",
     "canopy_assignments",
     "suffix_block_pairs",
     "value_specific_odds",
@@ -3527,6 +3541,42 @@ def oracle_sql() -> dict[str, str]:
     sql["canopy_assignments"] = (
         _sql_chain("norm") + ",\n    " + sql_canopy_assignments()
     )
+    # cannot-link audit: CC over the constraint-filtered edge set,
+    # then each constraint pair checked for transitive reconnection
+    sql["cannot_link_audit"] = f"""
+{_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    cannot AS MATERIALIZED (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score < 5.5
+    ),
+    kept AS MATERIALIZED (
+        SELECT m.doc_id_1, m.doc_id_2 FROM matches m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cannot c
+            WHERE c.doc_id_1 = m.doc_id_1 AND c.doc_id_2 = m.doc_id_2
+        )
+    ),
+    nodes AS (SELECT doc_id FROM synth),
+    edges AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM kept
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM kept
+    ),
+    reach_rec(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach_rec r JOIN edges e ON r.b = e.s
+    ),
+    comp AS MATERIALIZED (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach_rec GROUP BY a
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           (c1.cluster_id = c2.cluster_id) AS violated,
+           c1.cluster_id AS cluster_id_1,
+           c2.cluster_id AS cluster_id_2
+    FROM cannot c
+    JOIN comp c1 ON c.doc_id_1 = c1.doc_id
+    JOIN comp c2 ON c.doc_id_2 = c2.doc_id
+    """
     return sql
 
 

@@ -608,3 +608,66 @@ def repair_clusters(
         keep = keep | (F.col(score_col) >= F.lit(min_score))
     strong = e.where(keep).select("doc_id_1", "doc_id_2")
     return connected_components(strong, vertices=vertices, method=method)
+
+
+def cannot_link_audit(
+    edges: DataFrame,
+    cannot: DataFrame,
+    vertices: DataFrame,
+    method: str = "auto",
+    pin: bool = True,
+) -> DataFrame:
+    """Negative-evidence constrained clustering (the clerical-review
+    feedback loop; cannot-link constraints in the Wagstaff et al.
+    2001 sense applied to ER graphs): a reviewer marks candidate
+    matches as NON-matches, the pipeline must honor them — drop every
+    match edge that directly contradicts a constraint, re-run
+    connected components, and AUDIT what transitivity does next:
+    constrained pairs can remain co-clustered through other edge
+    paths, and silently violating a reviewer decision is the one
+    thing the feedback loop must never do.
+
+    Input: ``edges(doc_id_1, doc_id_2)`` (ordered id1 < id2, the match
+    contract), ``cannot(doc_id_1, doc_id_2)`` (same order),
+    ``vertices(doc_id)``.  Output: ONE ROW PER CONSTRAINT —
+    ``(doc_id_1, doc_id_2, violated, cluster_id_1, cluster_id_2)``
+    where ``violated`` marks pairs still transitively connected after
+    the direct edge is removed (these need deeper repair — e.g.
+    :func:`repair_clusters` on the connecting path — or human
+    re-review of the corroborating edges).
+
+    Scale shape: one anti-join removes constrained edges, the
+    standard CC pass re-clusters, and the audit is two keyed joins of
+    the constraint table (bounded by review volume, tiny) against the
+    cluster map.  Nothing new materializes beyond CC itself.
+    """
+    from .dedup import _pin
+
+    cannot = _pin(cannot.select("doc_id_1", "doc_id_2"), pin)
+    kept = edges.select("doc_id_1", "doc_id_2").join(
+        cannot, ["doc_id_1", "doc_id_2"], "left_anti"
+    )
+    clusters = connected_components(
+        kept, vertices=vertices, method=method
+    )
+    c1 = clusters.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("cluster_id").alias("cluster_id_1"),
+    )
+    c2 = clusters.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("cluster_id").alias("cluster_id_2"),
+    )
+    return (
+        cannot.join(c1, "doc_id_1")
+        .join(c2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (F.col("cluster_id_1") == F.col("cluster_id_2")).alias(
+                "violated"
+            ),
+            "cluster_id_1",
+            "cluster_id_2",
+        )
+    )

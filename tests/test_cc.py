@@ -411,3 +411,44 @@ def test_progressive_schedule_front_loads_true_matches(spark):
     assert rows[last]["cum_true"] == 2
     assert abs(rows[last]["cum_recall"] - round(2 / 3, 6)) < 1e-9
     assert rows[last]["cum_pairs"] == 30
+
+
+def test_cannot_link_audit_violated_and_honored(spark):
+    """A constraint whose pair stays connected through an alternate
+    path is flagged violated; a constraint that actually separates the
+    pair is honored; constraint pairs land in the audit exactly once."""
+    from record_linkage_ldu_spark.operators.cc import cannot_link_audit
+
+    # a-b-c-a triangle (removing a-b leaves a-c-b path -> violated)
+    # d-e isolated edge (removing it separates d and e -> honored)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    cannot = spark.createDataFrame(
+        [("a", "b"), ("d", "e")], "doc_id_1 string, doc_id_2 string"
+    )
+    vertices = spark.createDataFrame(
+        [(x,) for x in "abcde"], "doc_id string"
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r
+        for r in cannot_link_audit(edges, cannot, vertices).collect()
+    }
+    assert set(out) == {("a", "b"), ("d", "e")}
+    assert out[("a", "b")]["violated"] is True
+    assert out[("a", "b")]["cluster_id_1"] == out[("a", "b")]["cluster_id_2"]
+    assert out[("d", "e")]["violated"] is False
+    assert out[("d", "e")]["cluster_id_1"] != out[("d", "e")]["cluster_id_2"]
+
+
+def test_cannot_link_audit_empty_constraints(spark):
+    """No constraints -> empty audit, no error."""
+    from record_linkage_ldu_spark.operators.cc import cannot_link_audit
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "doc_id_1 string, doc_id_2 string"
+    )
+    cannot = spark.createDataFrame([], "doc_id_1 string, doc_id_2 string")
+    vertices = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    assert cannot_link_audit(edges, cannot, vertices).count() == 0
