@@ -309,9 +309,33 @@ def main(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "evaluation.png"),
     )
 
+    # the reference's FINAL artifact: the 3-sheet review workbook
+    # ('all' / 'verified' / 'not verified', main_ldu_hw.py:468-471),
+    # emitted by the stdlib xlsx sink over the same hash-green
+    # presentation queries
+    from record_linkage_ldu_spark.sources.xlsx import (
+        export_presentation_xlsx,
+    )
+
+    pres = qs["cluster_presentation"](spark, sf_dir)
+    ver_ids = (
+        qs["verified_clusters"](spark, sf_dir).select("cluster_id").distinct()
+    )
+    export_presentation_xlsx(
+        {
+            "all": pres,
+            "verified": pres.join(ver_ids, "cluster_id", "left_semi"),
+            "not verified": pres.join(ver_ids, "cluster_id", "left_anti"),
+        },
+        os.path.join(out_dir, "matches.xlsx"),
+    )
+
     with open(os.path.join(out_dir, "REPORT.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out_dir}/REPORT.md (+3 CSV tables, 2 PNG plots)")
+    print(
+        f"wrote {out_dir}/REPORT.md "
+        "(+3 CSV tables, 2 PNG plots, matches.xlsx)"
+    )
     spark.stop()
 
 
