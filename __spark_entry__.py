@@ -68,6 +68,7 @@ from record_linkage_ldu_spark.operators.cc import (
     connected_components,
     edge_corroboration,
     repair_clusters,
+    stable_cluster_ids,
     star_clusters,
 )
 from record_linkage_ldu_spark.operators.multimodal import (
@@ -1239,6 +1240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id_1", "doc_id_2"),
         _records(s, d).select("doc_id"),
     )
+    # persistent entity ids across runs: "yesterday's run" is the CC
+    # over the stricter score>=5.5 edge subset (threshold re-tuning
+    # between runs — the common relabel trigger), today's is the
+    # standard clustering; ids carry by max member overlap
+    q["stable_cluster_ids"] = lambda s, d: stable_cluster_ids(
+        connected_components(
+            _matches(s, d)
+            .where(F.col("score") >= 5.5)
+            .select("doc_id_1", "doc_id_2"),
+            vertices=_records(s, d).select("doc_id"),
+            method="alternating-star",
+        ),
+        _clusters(s, d),
+    )
     return _ordered(q)
 
 
@@ -1248,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "stable_cluster_ids",
     "cannot_link_audit",
     "canopy_assignments",
     "suffix_block_pairs",
@@ -3576,6 +3592,60 @@ def oracle_sql() -> dict[str, str]:
     FROM cannot c
     JOIN comp c1 ON c.doc_id_1 = c1.doc_id
     JOIN comp c2 ON c.doc_id_2 = c2.doc_id
+    """
+    # stable ids: prev run = CC over the score>=5.5 edge subset,
+    # curr run = standard CC; carryover by max-overlap argmax with
+    # split resolution (one winner per prev id), minted new:<id> else
+    sql["stable_cluster_ids"] = f"""
+{_SQL_CC},
+    m2 AS (SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 5.5),
+    edges2 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM m2
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM m2
+    ),
+    reach2(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach2 r JOIN edges2 e ON r.b = e.s
+    ),
+    curr AS MATERIALIZED (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    prev AS MATERIALIZED (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach2 GROUP BY a
+    ),
+    ov AS MATERIALIZED (
+        SELECT c.cluster_id AS curr_id, p.cluster_id AS prev_id,
+               count(*) AS overlap
+        FROM curr c JOIN prev p USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT curr_id, prev_id, overlap,
+               row_number() OVER (
+                   PARTITION BY curr_id ORDER BY overlap DESC, prev_id
+               ) AS rn
+        FROM ov
+    ),
+    claimed AS (
+        SELECT curr_id, prev_id, overlap,
+               row_number() OVER (
+                   PARTITION BY prev_id ORDER BY overlap DESC, curr_id
+               ) AS rk
+        FROM best WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT cluster_id AS curr_id, count(*) AS n_members
+        FROM curr GROUP BY 1
+    )
+    SELECT s.curr_id AS cluster_id,
+           CASE WHEN c.rk = 1 THEN c.prev_id
+                ELSE 'new:' || s.curr_id END AS stable_id,
+           coalesce(c.rk = 1, FALSE) AS carried,
+           coalesce(c.overlap, 0) AS overlap,
+           s.n_members
+    FROM sizes s LEFT JOIN claimed c ON s.curr_id = c.curr_id
     """
     return sql
 

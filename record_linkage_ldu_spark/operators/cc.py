@@ -42,6 +42,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Driver-finish gates for method="auto": the edge list must clear BOTH
 # a row-count cap and a BYTE cap before the driver union-find runs —
@@ -670,4 +671,67 @@ def cannot_link_audit(
             "cluster_id_1",
             "cluster_id_2",
         )
+    )
+
+
+def stable_cluster_ids(
+    prev: DataFrame, curr: DataFrame, pin: bool = True
+) -> DataFrame:
+    """Persistent entity ids across linkage runs: CC labels are
+    min-member doc_ids, so ANY membership change relabels a cluster —
+    but downstream consumers (CRM keys, feature stores, the reference's
+    review workbook re-opened next quarter) need yesterday's entity id
+    to survive a re-run.  Standard id-carryover: assign each current
+    cluster the previous cluster id it max-overlaps (Jaccard argmax by
+    member count; ties -> min prev id), resolve SPLITS by letting only
+    the current cluster with the largest claim keep a previous id
+    (ties -> min curr id), and mint namespaced ``new:<cluster_id>`` ids
+    for brand-new or losing clusters so carried and minted ids can
+    never collide.
+
+    Input: ``prev(doc_id, cluster_id)`` from the earlier run,
+    ``curr(doc_id, cluster_id)`` from this run.  Output: one row per
+    CURRENT cluster — ``(cluster_id, stable_id, carried, overlap,
+    n_members)``.
+
+    Scale shape: one doc_id equi-join + a (curr, prev) count — the
+    overlap table is bounded by cluster count, not pair count — then
+    two row_number windows over it (argmax per curr, claim per prev).
+    Nothing touches the pair set; at 10^12 docs the window frames are
+    cluster-sized.
+    """
+    from .dedup import _pin
+
+    ov = _pin(
+        curr.select("doc_id", F.col("cluster_id").alias("curr_id"))
+        .join(
+            prev.select("doc_id", F.col("cluster_id").alias("prev_id")),
+            "doc_id",
+        )
+        .groupBy("curr_id", "prev_id")
+        .agg(F.count("*").alias("overlap")),
+        pin,
+    )
+    w_best = Window.partitionBy("curr_id").orderBy(
+        F.col("overlap").desc(), F.col("prev_id").asc()
+    )
+    w_claim = Window.partitionBy("prev_id").orderBy(
+        F.col("overlap").desc(), F.col("curr_id").asc()
+    )
+    claimed = (
+        ov.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .withColumn("rk", F.row_number().over(w_claim))
+    )
+    sizes = curr.groupBy(
+        F.col("cluster_id").alias("curr_id")
+    ).agg(F.count("*").alias("n_members"))
+    return sizes.join(claimed, "curr_id", "left").select(
+        F.col("curr_id").alias("cluster_id"),
+        F.when(F.col("rk") == 1, F.col("prev_id"))
+        .otherwise(F.concat(F.lit("new:"), F.col("curr_id")))
+        .alias("stable_id"),
+        F.coalesce(F.col("rk") == 1, F.lit(False)).alias("carried"),
+        F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+        "n_members",
     )

@@ -452,3 +452,60 @@ def test_cannot_link_audit_empty_constraints(spark):
     cannot = spark.createDataFrame([], "doc_id_1 string, doc_id_2 string")
     vertices = spark.createDataFrame([("a",), ("b",)], "doc_id string")
     assert cannot_link_audit(edges, cannot, vertices).count() == 0
+
+
+def test_stable_cluster_ids_carry_split_new(spark):
+    """Carryover on max overlap, split resolution (one winner per
+    previous id), and namespaced ids for losers/new clusters."""
+    from record_linkage_ldu_spark.operators.cc import stable_cluster_ids
+
+    # prev: one cluster {a,b,c} labeled 'a'; singleton {z}
+    prev = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")],
+        "doc_id string, cluster_id string",
+    )
+    # curr: prev cluster split into {a,b} ('a') and {c,d} ('c');
+    # {m,n} ('m') is brand new (no member in prev)
+    curr = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"),
+         ("m", "m"), ("n", "m")],
+        "doc_id string, cluster_id string",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in stable_cluster_ids(prev, curr).collect()
+    }
+    assert set(out) == {"a", "c", "m"}
+    # {a,b} overlaps prev 'a' by 2 -> wins the claim, keeps the id
+    assert out["a"]["stable_id"] == "a"
+    assert out["a"]["carried"] is True
+    assert out["a"]["overlap"] == 2
+    assert out["a"]["n_members"] == 2
+    # {c,d} overlaps prev 'a' by 1 -> loses the claim -> minted id
+    assert out["c"]["stable_id"] == "new:c"
+    assert out["c"]["carried"] is False
+    # {m,n} has no prev members at all -> minted id, overlap 0
+    assert out["m"]["stable_id"] == "new:m"
+    assert out["m"]["carried"] is False
+    assert out["m"]["overlap"] == 0
+    # stable ids stay unique
+    assert len({r["stable_id"] for r in out.values()}) == 3
+
+
+def test_stable_cluster_ids_merge_ties_break_deterministically(spark):
+    """A merge (two prev clusters -> one curr cluster) carries the
+    prev id with max overlap; equal overlaps break to the min prev id."""
+    from record_linkage_ldu_spark.operators.cc import stable_cluster_ids
+
+    prev = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")],
+        "doc_id string, cluster_id string",
+    )
+    curr = spark.createDataFrame(
+        [(x, "a") for x in "abcd"], "doc_id string, cluster_id string"
+    )
+    row = stable_cluster_ids(prev, curr).collect()[0]
+    assert row["stable_id"] == "a"  # 2-2 tie -> min prev id
+    assert row["carried"] is True
+    assert row["overlap"] == 2
+    assert row["n_members"] == 4
