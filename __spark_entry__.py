@@ -759,6 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # the pipeline-level dedup DECISION: connected components over the
     # near-dup pairs, canonical per component, keep-flag for filtering
+    # entity-aware train/valid/test split: assignment is a hash of
+    # the near-dup CLUSTER id, so near-duplicates never straddle
+    # train and test (the intra-corpus leak decontamination can't see)
+    q["leakage_safe_split"] = lambda s, d: corpus.leakage_safe_split(
+        _t(s, d, "documents"),
+        dedup.near_duplicate_keep_list(_t(s, d, "documents"), threshold=0.3),
+    )
     q["near_dup_keep_list"] = lambda s, d: dedup.near_duplicate_keep_list(
         _t(s, d, "documents"), threshold=0.3
     )
@@ -1263,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "leakage_safe_split",
     "stable_cluster_ids",
     "cannot_link_audit",
     "canopy_assignments",
@@ -2355,6 +2363,26 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
     )
+    sql["leakage_safe_split"] = f"""
+        WITH RECURSIVE np AS (
+            {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}
+        ),
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT doc_id_1 AS s, doc_id_2 AS d FROM np
+            UNION
+            SELECT doc_id_2 AS s, doc_id_1 AS d FROM np
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        ),
+        canon AS MATERIALIZED (
+            SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+        )
+        {corpus.sql_leakage_safe_split("canon")}
+    """
     sql["near_dup_keep_list"] = f"""
         WITH RECURSIVE np AS (
             {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}

@@ -1482,3 +1482,90 @@ def sql_bloom_decontaminate(
                     THEN 1 ELSE 0 END AS INT) AS contaminated
         FROM tot t LEFT JOIN ex e USING (doc_id)
     """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    keep_list: DataFrame,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("valid", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "split",
+    id_col: str = "doc_id",
+    group_col: str = "canonical_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Entity-aware train/valid/test split: the assignment draw is a
+    pure function of the near-dup CLUSTER id (the keep-list's
+    ``canonical_id``), so every member of a cluster lands in the same
+    split — near-duplicates can never straddle train and test, the
+    eval-contamination failure mode a doc-level random split is blind
+    to (the same reason decontamination exists; this closes the
+    intra-corpus leak the benchmark check can't see).
+
+    Input: ``docs`` (one row per doc) and a keep list
+    ``(doc_id, canonical_id, ...)`` from
+    :func:`~record_linkage_ldu_spark.operators.dedup.near_duplicate_keep_list`
+    or :func:`keep_list_from_pairs`.  ``splits`` are (name, fraction)
+    in declaration order; fractions must sum to 1.  Output: one row
+    per doc — ``(doc_id, cluster_id, split, draw)``.
+
+    Scale shape: one doc_id equi-join against the (doc-cardinality)
+    keep list, then a scan-level hash projection — no extra shuffle
+    beyond the join, no RNG state, reproducible across runs, engines,
+    and cluster sizes (same k/2^32 draw as :func:`stratified_sample`).
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    joined = docs.select(id_col).join(
+        keep_list.select(id_col, group_col), id_col
+    )
+    draw = _uniform_draw(F.col(group_col), seed, hash_fn)
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = draw < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(splits[-1][0])
+        if expr is not None
+        else F.lit(splits[-1][0])
+    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("cluster_id"),
+        expr.alias("split"),
+        F.round(draw, 6).alias("draw"),
+    )
+
+
+def sql_leakage_safe_split(
+    canon_cte: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("valid", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "split",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`: ``canon_cte`` must
+    expose ``(doc_id, canonical_id)``; cumulative cutoffs are the SAME
+    Python-accumulated floats the Spark side compares against (repr-
+    injected), so boundary draws agree bit-for-bit."""
+    draw = _sql_uniform_draw("canonical_id", seed)
+    case = "CASE"
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        case += f" WHEN {draw} < {cum!r} THEN '{name}'"
+    case += f" ELSE '{splits[-1][0]}' END"
+    return f"""
+        SELECT doc_id, canonical_id AS cluster_id,
+               {case} AS split,
+               round({draw}, 6) AS draw
+        FROM {canon_cte}
+    """

@@ -677,3 +677,41 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     # somewhere (otherwise the FP observability is untested)
     tiny = corpus.bloom_decontaminate(corp, bench, min_shared=2, m_bits=64)
     assert tiny.agg(F.sum("n_bloom_fp")).collect()[0][0] > 0
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every member of a near-dup cluster lands in the SAME split;
+    fractions honor the config; output is deterministic."""
+    from record_linkage_ldu_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # 50 clusters of 4 (canonical = floor(id/4)*4)
+    keep = spark.createDataFrame(
+        [(i, (i // 4) * 4) for i in range(200)],
+        "doc_id long, canonical_id long",
+    )
+    out = leakage_safe_split(docs, keep).collect()
+    assert len(out) == 200
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    names = {r["split"] for r in out}
+    assert names <= {"train", "valid", "test"}
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert n_train > 120  # ~90% of 200, loose hash-draw band
+    again = leakage_safe_split(docs, keep).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from record_linkage_ldu_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, docs.withColumn("canonical_id", docs.doc_id),
+                           splits=(("train", 0.5), ("test", 0.4)))
