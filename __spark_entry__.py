@@ -1100,6 +1100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["golden_records"] = lambda s, d: ev.golden_records(
         _records(s, d), _clusters(s, d)
     )
+    # the audit trail golden_records leaves behind: per conflicted
+    # (cluster, field), what survivorship chose vs what it overrode
+    q["survivorship_conflicts"] = lambda s, d: ev.survivorship_conflicts(
+        _records(s, d), _clusters(s, d)
+    )
     # cluster-level evaluation: B-cubed P/R/F1 + Adjusted Rand Index of
     # the pipeline clustering vs the synth gold partition — contingency
     # cells only, no pair materialization
@@ -1270,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "survivorship_conflicts",
     "leakage_safe_split",
     "stable_cluster_ids",
     "cannot_link_audit",
@@ -2741,6 +2747,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.cluster_id, s.cluster_size,
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
+    """
+    sql["survivorship_conflicts"] = f"""
+        {_SQL_CC},
+        clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        j AS (
+            SELECT c.cluster_id, n.name, n.phone, n.email, n.address
+            FROM clusters c JOIN norm n USING (doc_id)
+        ),
+        melt AS (
+            SELECT cluster_id, 'name' AS field, name AS value FROM j
+            UNION ALL SELECT cluster_id, 'phone', phone FROM j
+            UNION ALL SELECT cluster_id, 'email', email FROM j
+            UNION ALL SELECT cluster_id, 'address', address FROM j
+        ),
+        counts AS (
+            SELECT cluster_id, field, value, count(*) AS n FROM melt
+            WHERE value IS NOT NULL AND value <> '' GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT cluster_id, field, value, n,
+                   row_number() OVER (
+                       PARTITION BY cluster_id, field
+                       ORDER BY n DESC, value ASC) AS rn
+            FROM counts
+        )
+        SELECT cluster_id, field,
+               CAST(count(*) AS BIGINT) AS n_values,
+               max(CASE WHEN rn = 1 THEN value END) AS chosen,
+               max(CASE WHEN rn = 1 THEN n END) AS chosen_n,
+               max(CASE WHEN rn = 2 THEN value END) AS runner_up,
+               coalesce(max(CASE WHEN rn = 2 THEN n END), 0) AS runner_up_n
+        FROM ranked GROUP BY 1, 2
+        HAVING count(*) >= 2
     """
     sql["pprl_dice_scores"] = pprl.sql_bloom_dice(_sql_chain("pairs"))
     _prof_melt = "\n            UNION ALL ".join(

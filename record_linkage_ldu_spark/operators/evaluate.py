@@ -579,3 +579,68 @@ def progressive_recall_curve(
             F.sum("n_true").over(w) / F.lit(float(max(n_pos, 1))), 6
         ).alias("cum_recall"),
     )
+
+
+def survivorship_conflicts(
+    records: DataFrame,
+    clusters: DataFrame,
+    fields: tuple[str, ...] = ("name", "phone", "email", "address"),
+) -> DataFrame:
+    """The review queue :func:`golden_records` leaves behind: per
+    (cluster, field) with 2+ DISTINCT non-empty values, report what
+    the survivorship rule chose, what it overrode, and by how much —
+    the rows a data steward audits before trusting a golden record
+    (a silent modal pick over a 3-3 tie is exactly what they need to
+    see).  Output: ``(cluster_id, field, n_values, chosen, chosen_n,
+    runner_up, runner_up_n)``, one row per conflicted field.
+
+    Scale shape: identical to golden_records — melt (narrow Generate),
+    one groupBy on (cluster, field, value), one cluster-bounded
+    window; the conflict filter only SHRINKS the output.
+    """
+    from pyspark.sql.window import Window
+
+    joined = records.join(clusters, "doc_id").select(
+        "cluster_id", *[F.col(f).cast("string").alias(f) for f in fields]
+    )
+    melted = joined.select(
+        "cluster_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"), F.col(f).alias("value")
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv"),
+    ).select(
+        "cluster_id",
+        F.col("fv.field").alias("field"),
+        F.col("fv.value").alias("value"),
+    )
+    counts = (
+        melted.where(F.col("value").isNotNull() & (F.col("value") != ""))
+        .groupBy("cluster_id", "field", "value")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cluster_id", "field").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id", "field")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("chosen"),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("chosen_n"),
+            F.max(F.when(F.col("rn") == 2, F.col("value"))).alias(
+                "runner_up"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == 2, F.col("n"))), F.lit(0)
+            ).alias("runner_up_n"),
+        )
+        .where(F.col("n_values") >= 2)
+    )

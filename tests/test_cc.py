@@ -509,3 +509,47 @@ def test_stable_cluster_ids_merge_ties_break_deterministically(spark):
     assert row["carried"] is True
     assert row["overlap"] == 2
     assert row["n_members"] == 4
+
+
+def test_survivorship_conflicts_reports_overridden_values(spark):
+    """Only conflicted (cluster, field) cells surface; chosen matches
+    golden_records' modal-with-tiebreak rule; runner-up is reported."""
+    from record_linkage_ldu_spark.operators.evaluate import (
+        golden_records,
+        survivorship_conflicts,
+    )
+
+    records = spark.createDataFrame(
+        [
+            # c1: name 2-1 split (conflict), phone unanimous (no row)
+            ("a", "acme", "111", "", ""),
+            ("b", "acme", "111", "", ""),
+            ("c", "acme inc", "111", "", ""),
+            # c2: email 1-1 tie -> lexicographic winner, both reported
+            ("d", "", "", "x@y.z", ""),
+            ("e", "", "", "w@y.z", ""),
+        ],
+        "doc_id string, name string, phone string, email string, address string",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        "doc_id string, cluster_id string",
+    )
+    out = {
+        (r["cluster_id"], r["field"]): r
+        for r in survivorship_conflicts(records, clusters).collect()
+    }
+    assert set(out) == {("c1", "name"), ("c2", "email")}
+    r = out[("c1", "name")]
+    assert (r["chosen"], r["chosen_n"]) == ("acme", 2)
+    assert (r["runner_up"], r["runner_up_n"]) == ("acme inc", 1)
+    assert r["n_values"] == 2
+    tie = out[("c2", "email")]
+    assert (tie["chosen"], tie["runner_up"]) == ("w@y.z", "x@y.z")
+    assert tie["chosen_n"] == tie["runner_up_n"] == 1
+    # the chosen value always agrees with the golden record itself
+    golden = {
+        r["cluster_id"]: r for r in golden_records(records, clusters).collect()
+    }
+    assert golden["c1"]["name"] == "acme"
+    assert golden["c2"]["email"] == "w@y.z"
