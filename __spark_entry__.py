@@ -83,6 +83,8 @@ from record_linkage_ldu_spark.operators.scoring import (
     attach_pair_sides,
     combined_score_col,
     group_linkage_scores,
+    match_explanations,
+    sql_match_explanations,
     monge_elkan_scores,
     one_to_one_assignment,
     soft_tfidf_scores,
@@ -699,6 +701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["candidate_pairs"] = lambda s, d: _cand_pairs(s, d)
     q["pair_scores"] = lambda s, d: _round_pairs(_pair_scores(s, d))
     q["match_rules"] = lambda s, d: _round_pairs(_matches(s, d))
+    # per-field score decomposition of each match (the "why" table —
+    # Splink-waterfall analog); melts the MATCH set, not candidates
+    q["match_explanations"] = lambda s, d: match_explanations(
+        _matches(s, d)
+    )
     q["mask_stats"] = lambda s, d: _mask_stats_df(_pair_scores(s, d))
     q["cc_clusters"] = lambda s, d: _clusters(s, d)
     q["cluster_sizes"] = lambda s, d: (
@@ -1275,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "match_explanations",
     "survivorship_conflicts",
     "leakage_safe_split",
     "stable_cluster_ids",
@@ -2748,6 +2756,11 @@ def oracle_sql() -> dict[str, str]:
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
     """
+    sql["match_explanations"] = (
+        _sql_chain("matches")
+        + ",\n    "
+        + sql_match_explanations()
+    )
     sql["survivorship_conflicts"] = f"""
         {_SQL_CC},
         clusters AS (

@@ -823,3 +823,95 @@ def sql_value_specific_odds(
         {joins}
     """
     )
+
+
+def match_explanations(
+    matches: DataFrame,
+    fields: tuple[str, ...] | None = None,
+    mode: str = "self",
+) -> DataFrame:
+    """Per-field score decomposition for MATCHED pairs — the "why did
+    this pair match" view (the waterfall chart of the Splink family,
+    re-expressed as a table): for each (pair, field), the similarity,
+    its configured multiplier and firing threshold, whether it fired,
+    its additive contribution ``sim * mult * [sim >= thr]``
+    (main_ldu_hw.py:365-375 term-by-term), and its share of the
+    combined score.  The reference buries this in the combined-score
+    arithmetic; a clerical reviewer deciding whether to trust a match
+    needs it surfaced.
+
+    Scale shape: one narrow Generate (explode) over the MATCH set —
+    |fields| rows per matched pair, never over the candidate set; all
+    arithmetic native in whole-stage codegen.
+    """
+    fields = fields or (
+        CROSS_SCORE_FIELDS if mode == "cross" else SELF_SCORE_FIELDS
+    )
+    fv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("field"),
+                    F.col(f).cast("double").alias("sim"),
+                    F.lit(float(SCORE_MULTIPLIERS[f])).alias("weight"),
+                    F.lit(float(SCORE_THRESHOLDS[f])).alias("thr"),
+                )
+                for f in fields
+            ]
+        )
+    ).alias("fv")
+    base = matches.select("doc_id_1", "doc_id_2", "score", fv)
+    sim = F.col("fv.sim")
+    weight = F.col("fv.weight")
+    fired = sim >= F.col("fv.thr")
+    contribution = sim * weight * fired.cast("double")
+    return base.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.col("fv.field").alias("field"),
+        F.round(sim, 6).alias("sim"),
+        weight.alias("weight"),
+        fired.alias("fired"),
+        F.round(contribution, 6).alias("contribution"),
+        F.round(F.col("score"), 6).alias("score"),
+        F.round(
+            F.when(F.col("score") > 0, contribution / F.col("score"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("share"),
+    )
+
+
+def sql_match_explanations(
+    fields: tuple[str, ...] | None = None, src: str = "matches"
+) -> str:
+    """DuckDB twin of :func:`match_explanations`: ``src`` must expose
+    the raw per-field sims plus ``score`` (the `matches` chain CTE);
+    multipliers/thresholds are repr-injected from the same config."""
+    fields = fields or SELF_SCORE_FIELDS
+    arms = "\n            UNION ALL ".join(
+        f"SELECT doc_id_1, doc_id_2, '{f}' AS field, \"{f}\" AS sim, "
+        f"CAST({float(SCORE_MULTIPLIERS[f])!r} AS DOUBLE) AS weight, "
+        f"CAST({float(SCORE_THRESHOLDS[f])!r} AS DOUBLE) AS thr, score "
+        f"FROM {src}"
+        for f in fields
+    )
+    return f"""
+        melt AS (
+            {arms}
+        )
+        SELECT doc_id_1, doc_id_2, field,
+               round(sim, 6) AS sim,
+               weight,
+               (sim >= thr) AS fired,
+               round(sim * weight *
+                     (CASE WHEN sim >= thr THEN 1.0 ELSE 0.0 END),
+                     6) AS contribution,
+               round(score, 6) AS score,
+               round(CASE WHEN score > 0
+                     THEN (sim * weight *
+                           (CASE WHEN sim >= thr THEN 1.0 ELSE 0.0 END))
+                          / score
+                     ELSE 0.0 END, 6) AS share
+        FROM melt
+    """

@@ -440,3 +440,41 @@ def test_value_specific_odds_hand_computed(spark):
     assert out[("d4", "d4b")] > out[("d1", "d2")]
     assert out[("d1", "d4")] == round(0.1 / (1.0 - u), 6)       # disagree
     assert out[("d1", "d5")] == 1.0                             # missing
+
+
+def test_match_explanations_decomposes_combined_score(spark):
+    """Contributions sum back to the combined score; non-firing
+    fields contribute zero; shares sum to 1 for positive scores."""
+    from record_linkage_ldu_spark.config import (
+        SCORE_MULTIPLIERS,
+        SCORE_THRESHOLDS,
+        SELF_SCORE_FIELDS,
+    )
+    from record_linkage_ldu_spark.operators.scoring import (
+        combined_score_col,
+        match_explanations,
+    )
+
+    # one synthetic scored pair: name fires high, phone below its
+    # threshold (must contribute 0), rest at extremes
+    sims = {f: 0.0 for f in SELF_SCORE_FIELDS}
+    sims["name"] = 0.95
+    sims["phone"] = max(SCORE_THRESHOLDS["phone"] - 0.05, 0.01)
+    sims["email"] = 1.0
+    row = {"doc_id_1": "a", "doc_id_2": "b", **sims}
+    df = spark.createDataFrame([row]).withColumn(
+        "score", combined_score_col(SELF_SCORE_FIELDS)
+    )
+    out = match_explanations(df).collect()
+    assert len(out) == len(SELF_SCORE_FIELDS)
+    by_field = {r["field"]: r for r in out}
+    assert by_field["phone"]["fired"] is False
+    assert by_field["phone"]["contribution"] == 0.0
+    assert by_field["email"]["fired"] is True
+    assert abs(
+        by_field["email"]["contribution"] - SCORE_MULTIPLIERS["email"]
+    ) < 1e-6
+    total = sum(r["contribution"] for r in out)
+    score = out[0]["score"]
+    assert abs(total - score) < 1e-4
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
