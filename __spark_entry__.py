@@ -706,6 +706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_explanations"] = lambda s, d: match_explanations(
         _matches(s, d)
     )
+    # active-learning boundary sample: the k pairs nearest the
+    # decision threshold — where labeling effort buys the most
+    q["review_queue"] = lambda s, d: rules.review_queue(
+        _pair_scores(s, d)
+    )
     q["mask_stats"] = lambda s, d: _mask_stats_df(_pair_scores(s, d))
     q["cc_clusters"] = lambda s, d: _clusters(s, d)
     q["cluster_sizes"] = lambda s, d: (
@@ -1282,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "review_queue",
     "match_explanations",
     "survivorship_conflicts",
     "leakage_safe_split",
@@ -2756,6 +2762,9 @@ def oracle_sql() -> dict[str, str]:
                g.name, g.phone, g.email, g.address
         FROM sizes s LEFT JOIN golden g USING (cluster_id)
     """
+    sql["review_queue"] = (
+        _sql_chain("scored") + "\n" + rules.sql_review_queue()
+    )
     sql["match_explanations"] = (
         _sql_chain("matches")
         + ",\n    "

@@ -100,3 +100,85 @@ def sql_self_rule_predicate(prefix: str = "") -> str:
         f"{p}zip >= 0.9 AND {p}country >= 0.9 AND {p}address >= 1.0) OR "
         f"({p}name = 1.0 OR {p}email = 1.0 OR {p}phone = 1.0)"
     )
+
+
+def review_queue(
+    scored: DataFrame,
+    threshold: float = 4.9,
+    band: float = 1.0,
+    k: int = 200,
+    fields: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Clerical-review queue: the k candidate pairs whose combined
+    score sits CLOSEST to the decision threshold — the uncertainty
+    band where rules flip and labeling effort buys the most (the
+    active-learning/boundary-sampling step a production ER loop runs
+    between rounds; the cluster-level triage views flag merge errors
+    AFTER clustering, this samples the decision margin BEFORE it).
+
+    Output per pair: rounded score, margin ``|score - threshold|``,
+    the decision the threshold rule would take, and ``n_fired`` —
+    how many score fields cleared their firing threshold (a cheap
+    informativeness signal: a near-threshold pair with one strong
+    field is a different review than five weak ones).  Deterministic:
+    ordered by (margin, ids) so the same k pairs emerge on every
+    engine and run.
+
+    Scale shape: one scan-level filter on the scored set (the band
+    prunes to a sliver) + a global top-k (TakeOrderedAndProject — a
+    per-partition heap then one k-row merge, never a full sort).
+    """
+    from ..config import SCORE_THRESHOLDS, SELF_SCORE_FIELDS
+
+    fields = fields or SELF_SCORE_FIELDS
+    margin = F.round(F.abs(F.col("score") - F.lit(threshold)), 6)
+    n_fired = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f) >= F.lit(SCORE_THRESHOLDS[f])).cast("int")
+            for f in fields
+        ],
+    )
+    return (
+        scored.where(F.abs(F.col("score") - F.lit(threshold)) <= band)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(F.col("score"), 6).alias("score"),
+            margin.alias("margin"),
+            (F.col("score") >= threshold).alias("decided"),
+            n_fired.alias("n_fired"),
+        )
+        .orderBy("margin", "doc_id_1", "doc_id_2")
+        .limit(k)
+    )
+
+
+def sql_review_queue(
+    threshold: float = 4.9,
+    band: float = 1.0,
+    k: int = 200,
+    fields: tuple[str, ...] | None = None,
+    src: str = "scored",
+) -> str:
+    """DuckDB twin of :func:`review_queue` (same rounding, same
+    deterministic order)."""
+    from ..config import SCORE_THRESHOLDS, SELF_SCORE_FIELDS
+
+    fields = fields or SELF_SCORE_FIELDS
+    n_fired = " + ".join(
+        f'(CASE WHEN "{f}" >= {float(SCORE_THRESHOLDS[f])!r} '
+        "THEN 1 ELSE 0 END)"
+        for f in fields
+    )
+    return f"""
+        SELECT doc_id_1, doc_id_2,
+               round(score, 6) AS score,
+               round(abs(score - {threshold!r}), 6) AS margin,
+               (score >= {threshold!r}) AS decided,
+               CAST({n_fired} AS INT) AS n_fired
+        FROM {src}
+        WHERE abs(score - {threshold!r}) <= {band!r}
+        ORDER BY margin, doc_id_1, doc_id_2
+        LIMIT {k}
+    """

@@ -128,3 +128,33 @@ def test_fs_decisions_three_way(spark):
     assert out["link"]["avg_prob"] == 0.95
     assert out["possible"]["n_pairs"] == 1
     assert out["non-link"]["avg_prob"] == 0.05
+
+
+def test_review_queue_margin_order_and_band(spark):
+    """Queue holds only in-band pairs, nearest-to-threshold first,
+    with the would-be decision and fired-field count attached."""
+    from record_linkage_ldu_spark.config import (
+        SCORE_THRESHOLDS,
+        SELF_SCORE_FIELDS,
+    )
+    from record_linkage_ldu_spark.operators.rules import review_queue
+
+    base = {f: 0.0 for f in SELF_SCORE_FIELDS}
+    rows = [
+        {"doc_id_1": "a", "doc_id_2": "b", "score": 4.8, **base,
+         "email": 0.95},                     # margin 0.1
+        {"doc_id_1": "c", "doc_id_2": "d", "score": 5.3, **base},  # 0.4
+        {"doc_id_1": "e", "doc_id_2": "f", "score": 9.0, **base},  # out
+        {"doc_id_1": "g", "doc_id_2": "h", "score": 4.9, **base},  # 0.0
+    ]
+    out = review_queue(spark.createDataFrame(rows), k=10).collect()
+    assert [r["doc_id_1"] for r in out] == ["g", "a", "c"]
+    assert [r["margin"] for r in out] == [0.0, 0.1, 0.4]
+    assert out[0]["decided"] is True and out[1]["decided"] is False
+    # email cleared its 0.5 threshold; zero-threshold fields always fire
+    always_on = sum(
+        1 for f in SELF_SCORE_FIELDS if SCORE_THRESHOLDS[f] <= 0.0
+    )
+    assert out[1]["n_fired"] == always_on + 1
+    assert out[2]["n_fired"] == always_on  # all-zero sims row
+    assert review_queue(spark.createDataFrame(rows), k=2).count() == 2
