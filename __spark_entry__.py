@@ -55,6 +55,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     block_census,
     block_keys,
     blocking_family_stats,
+    blocking_plan,
     candidate_pairs,
     canopy_assignments,
     cap_blocks,
@@ -1214,6 +1215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["blocking_family_stats"] = lambda s, d: blocking_family_stats(
         _capped_keys(s, d), _labels(s, d)
     )
+    # exact key-subset optimizer: pair cost + recall for EVERY family
+    # subset via a mask histogram; chosen = cheapest meeting target
+    q["blocking_plan"] = lambda s, d: blocking_plan(
+        _capped_keys(s, d),
+        _labels(s, d),
+        families=("em", "ph", "sn", "zp"),
+        target_recall=0.98,
+    )
     # pre-linkage data profiling: fill rate / cardinality / length
     # stats per field — the measured form of the reference's informal
     # dataset description
@@ -1287,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "blocking_plan",
     "review_queue",
     "match_explanations",
     "survivorship_conflicts",
@@ -2831,6 +2841,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(CASE WHEN value IS NOT NULL AND value <> ''
                         THEN length(value) END) AS INT) AS max_len
         FROM melt GROUP BY field
+    """
+    from record_linkage_ldu_spark.operators.blocking import (
+        sql_blocking_plan,
+    )
+
+    sql["blocking_plan"] = f"""
+        {_sql_chain("keys")},
+        labels AS (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        {sql_blocking_plan(("em", "ph", "sn", "zp"), target_recall=0.98)}
     """
     sql["blocking_family_stats"] = f"""
         {_sql_chain("keys")},

@@ -1224,3 +1224,250 @@ def sql_canopy_assignments(
         SELECT doc_id, doc_id AS canopy_id FROM {norm_table}
         WHERE doc_id NOT IN (SELECT doc_id FROM ccovered)
     """
+
+
+def blocking_plan(
+    keys: DataFrame,
+    labeled: DataFrame,
+    families: tuple[str, ...] | None = None,
+    target_recall: float = 0.98,
+    pin: bool = True,
+) -> DataFrame:
+    """EXACT blocking-key-set optimizer: enumerate every non-empty
+    subset of the key families and report its candidate-pair cost and
+    labeled-pair recall, marking the cheapest subset that meets the
+    recall target.  At 100 TB the candidate volume each key family
+    generates IS the pair-scoring bill, and families overlap — summing
+    per-family stats (``blocking_family_stats``) over-counts shared
+    pairs, so subset selection needs the exact union cardinality this
+    computes.
+
+    The trick that makes exhaustive enumeration free: tag each
+    candidate pair with a FAMILY BITMASK (one bit per family that
+    generated it), collapse the pair set to a mask HISTOGRAM (at most
+    2^k rows), and evaluate all 2^k - 1 subsets against the histogram
+    with a bitwise AND — the exponential enumeration runs on a
+    k-bounded table, never on pairs.  Recall denominators count ALL
+    labeled true pairs, including ones no family reaches (mask 0), so
+    this is end-to-end blocking recall, comparable to
+    ``blocking_recall``.
+
+    Output: one row per subset — ``(subset, families, n_families,
+    n_pairs, n_true, recall, meets_target, chosen)``; ``chosen`` marks
+    the cheapest subset meeting the target (or, if none does, the
+    highest-recall one; ties -> fewer pairs, then lower subset id).
+
+    Scale shape: the per-family pair join is the same capped key join
+    the candidate stage runs; one (pair -> mask) groupBy; everything
+    after operates on <= 2^k + 2^k rows.  Design-time op: run on a
+    sample or at small SF, apply the chosen plan at full scale.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _pin
+
+    if families is None:
+        families = tuple(
+            sorted(
+                r[0]
+                for r in keys.select(
+                    F.substring_index("block_key", ":", 1).alias("f")
+                )
+                .distinct()
+                .collect()
+            )
+        )
+    k = len(families)
+    if not 0 < k <= 12:
+        raise ValueError(f"blocking_plan: need 1..12 families, got {k}")
+    bits = {f: 1 << i for i, f in enumerate(families)}
+
+    fam = F.substring_index(F.col("block_key"), ":", 1)
+    a, b = keys.alias("a"), keys.alias("b")
+    fam_pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            fam.alias("family"),
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["family", "doc_id_1", "doc_id_2"])
+    )
+    bit_expr = None
+    for f, v in bits.items():
+        c = F.when(F.col("family") == f, F.lit(v))
+        bit_expr = c if bit_expr is None else bit_expr.when(
+            F.col("family") == f, F.lit(v)
+        )
+    bit_expr = bit_expr.otherwise(F.lit(0))
+    pair_masks = _pin(
+        fam_pairs.groupBy("doc_id_1", "doc_id_2").agg(
+            F.sum(bit_expr).cast("long").alias("mask")
+        ),
+        pin,
+    )
+    hist = pair_masks.groupBy("mask").agg(F.count("*").alias("n"))
+    lab = (
+        labeled.where(F.col("is_match"))
+        .select(
+            F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+            F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    true_hist = (
+        lab.join(pair_masks, ["doc_id_1", "doc_id_2"], "left")
+        .select(F.coalesce("mask", F.lit(0)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n"))
+    )
+
+    subsets = keys.sparkSession.range(1, 1 << k).select(
+        F.col("id").alias("subset")
+    )
+    hit = F.col("mask").bitwiseAND(F.col("subset")) != 0
+    p = (
+        subsets.crossJoin(F.broadcast(hist))
+        .groupBy("subset")
+        .agg(
+            F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0)).alias(
+                "n_pairs"
+            )
+        )
+    )
+    t = (
+        subsets.crossJoin(F.broadcast(true_hist))
+        .groupBy("subset")
+        .agg(
+            F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0)).alias(
+                "n_true"
+            ),
+            F.sum("n").alias("total_true"),
+        )
+    )
+    fam_names = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col("subset").bitwiseAND(F.lit(v)) != 0, F.lit(f)
+            )
+            for f, v in bits.items()
+        ],
+    )
+    n_fams = None
+    for f, v in bits.items():
+        term = (F.col("subset").bitwiseAND(F.lit(v)) != 0).cast("int")
+        n_fams = term if n_fams is None else n_fams + term
+    recall_raw = F.col("n_true").cast("double") / F.col("total_true")
+    meets = recall_raw >= F.lit(float(target_recall))
+    scored = p.join(t, "subset").select(
+        "subset",
+        fam_names.alias("families"),
+        n_fams.alias("n_families"),
+        "n_pairs",
+        "n_true",
+        F.round(recall_raw, 6).alias("recall"),
+        meets.alias("meets_target"),
+        F.when(meets, F.lit(0.0)).otherwise(-recall_raw).alias("_k2"),
+    )
+    w = Window.orderBy(
+        F.col("meets_target").desc(),
+        F.col("_k2").asc(),
+        F.col("n_pairs").asc(),
+        F.col("subset").asc(),
+    )
+    return (
+        scored.withColumn("chosen", F.row_number().over(w) == 1)
+        .drop("_k2")
+    )
+
+
+def sql_blocking_plan(
+    families: tuple[str, ...],
+    target_recall: float = 0.98,
+    keys_src: str = "keys_capped",
+    labels_src: str = "labels",
+) -> str:
+    """DuckDB twin of :func:`blocking_plan` — ``keys_src`` exposes
+    (doc_id, block_key), ``labels_src`` canonical true pairs
+    (doc_id_1 < doc_id_2)."""
+    k = len(families)
+    bits = {f: 1 << i for i, f in enumerate(families)}
+    bit_case = (
+        "CASE family "
+        + " ".join(f"WHEN '{f}' THEN {v}" for f, v in bits.items())
+        + " ELSE 0 END"
+    )
+    fam_names = ", ".join(
+        f"CASE WHEN (subset & {v}) <> 0 THEN '{f}' END"
+        for f, v in bits.items()
+    )
+    n_fams = " + ".join(
+        f"(CASE WHEN (subset & {v}) <> 0 THEN 1 ELSE 0 END)"
+        for v in bits.values()
+    )
+    return f"""
+        fp AS (
+            SELECT DISTINCT split_part(a.block_key, ':', 1) AS family,
+                   a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM {keys_src} a JOIN {keys_src} b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        ),
+        pair_masks AS MATERIALIZED (
+            SELECT doc_id_1, doc_id_2,
+                   CAST(sum({bit_case}) AS BIGINT) AS mask
+            FROM fp GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT mask, CAST(count(*) AS BIGINT) AS n
+            FROM pair_masks GROUP BY 1
+        ),
+        true_hist AS (
+            SELECT coalesce(p.mask, 0) AS mask,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {labels_src} l
+            LEFT JOIN pair_masks p
+              ON l.doc_id_1 = p.doc_id_1 AND l.doc_id_2 = p.doc_id_2
+            GROUP BY 1
+        ),
+        subsets AS (
+            SELECT CAST(s AS BIGINT) AS subset
+            FROM range(1, {1 << k}) t(s)
+        ),
+        p AS (
+            SELECT subset,
+                   coalesce(sum(CASE WHEN (h.mask & s.subset) <> 0
+                                THEN h.n END), 0) AS n_pairs
+            FROM subsets s CROSS JOIN hist h GROUP BY 1
+        ),
+        t AS (
+            SELECT subset,
+                   coalesce(sum(CASE WHEN (h.mask & s.subset) <> 0
+                                THEN h.n END), 0) AS n_true,
+                   sum(h.n) AS total_true
+            FROM subsets s CROSS JOIN true_hist h GROUP BY 1
+        ),
+        scored AS (
+            SELECT p.subset,
+                   concat_ws(',', {fam_names}) AS families,
+                   CAST({n_fams} AS INT) AS n_families,
+                   p.n_pairs, t.n_true,
+                   round(CAST(t.n_true AS DOUBLE) / t.total_true, 6)
+                       AS recall,
+                   (CAST(t.n_true AS DOUBLE) / t.total_true
+                       >= {float(target_recall)!r}) AS meets_target,
+                   CASE WHEN CAST(t.n_true AS DOUBLE) / t.total_true
+                             >= {float(target_recall)!r}
+                        THEN 0.0
+                        ELSE -(CAST(t.n_true AS DOUBLE) / t.total_true)
+                   END AS _k2
+            FROM p JOIN t USING (subset)
+        )
+        SELECT subset, families, n_families, n_pairs, n_true, recall,
+               meets_target,
+               (row_number() OVER (
+                   ORDER BY meets_target DESC, _k2 ASC,
+                            n_pairs ASC, subset ASC) = 1) AS chosen
+        FROM scored
+    """

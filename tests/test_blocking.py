@@ -468,3 +468,63 @@ def test_canopy_deterministic_relaxation(spark):
     assert ("d5", "d5") in memb                    # self-canopy
     covered = {d for d, _ in memb}
     assert covered == {"d1", "d2", "d3", "d5"}     # total coverage
+
+
+def test_blocking_plan_exact_union_and_choice(spark):
+    """Subset pair counts are exact UNION cardinalities (overlapping
+    families not double-counted); recall counts unreached labeled
+    pairs in the denominator; chosen = cheapest subset meeting the
+    target."""
+    from record_linkage_ldu_spark.operators.blocking import blocking_plan
+
+    # family A blocks {1,2} and {3,4}; family B blocks {1,2} (overlap)
+    # and {5,6}
+    keys = spark.createDataFrame(
+        [("d1", "aa:x"), ("d2", "aa:x"), ("d3", "aa:y"), ("d4", "aa:y"),
+         ("d1", "bb:p"), ("d2", "bb:p"), ("d5", "bb:q"), ("d6", "bb:q")],
+        "doc_id string, block_key string",
+    )
+    # true pairs: (d1,d2) reached by both, (d3,d4) only A, (d5,d6)
+    # only B, (d7,d8) reached by nothing
+    labeled = spark.createDataFrame(
+        [("d1", "d2", True), ("d3", "d4", True), ("d5", "d6", True),
+         ("d7", "d8", True), ("d1", "d3", False)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    rows = {
+        r["families"]: r
+        for r in blocking_plan(
+            keys, labeled, families=("aa", "bb"), target_recall=0.5
+        ).collect()
+    }
+    assert set(rows) == {"aa", "bb", "aa,bb"}
+    assert rows["aa"]["n_pairs"] == 2 and rows["aa"]["n_true"] == 2
+    assert rows["bb"]["n_pairs"] == 2 and rows["bb"]["n_true"] == 2
+    # union: 3 distinct pairs, not 4 — the overlap is counted once
+    assert rows["aa,bb"]["n_pairs"] == 3 and rows["aa,bb"]["n_true"] == 3
+    # denominator includes the unreachable (d7,d8): 3/4, never 3/3
+    assert rows["aa,bb"]["recall"] == 0.75
+    assert rows["aa"]["recall"] == 0.5
+    # aa and bb both meet 0.5 at cost 2; tie breaks to lower subset id
+    assert rows["aa"]["chosen"] is True
+    assert rows["bb"]["chosen"] is False
+    assert rows["aa,bb"]["chosen"] is False
+
+
+def test_blocking_plan_falls_back_to_max_recall(spark):
+    """If no subset meets the target, chosen = highest recall."""
+    from record_linkage_ldu_spark.operators.blocking import blocking_plan
+
+    keys = spark.createDataFrame(
+        [("d1", "aa:x"), ("d2", "aa:x")], "doc_id string, block_key string"
+    )
+    labeled = spark.createDataFrame(
+        [("d1", "d2", True), ("d7", "d8", True)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    out = blocking_plan(
+        keys, labeled, families=("aa",), target_recall=0.99
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["meets_target"] is False
+    assert out[0]["chosen"] is True
