@@ -67,6 +67,7 @@ from record_linkage_ldu_spark.operators.blocking import (
 from record_linkage_ldu_spark.operators.cc import (
     cannot_link_audit,
     connected_components,
+    constrained_clusters,
     edge_corroboration,
     repair_clusters,
     stable_cluster_ids,
@@ -1277,6 +1278,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over the stricter score>=5.5 edge subset (threshold re-tuning
     # between runs — the common relabel trigger), today's is the
     # standard clustering; ids carry by max member overlap
+    # the APPLY step of the clerical loop (cannot_link_audit is the
+    # audit): must-link = labeled true pairs the rules missed,
+    # cannot-link = the weakest rule matches; re-cluster the corrected
+    # graph
+    q["constrained_clusters"] = lambda s, d: constrained_clusters(
+        _matches(s, d).select("doc_id_1", "doc_id_2"),
+        _labels(s, d)
+        .where(F.col("is_match"))
+        .select("doc_id_1", "doc_id_2")
+        .join(
+            _matches(s, d).select("doc_id_1", "doc_id_2"),
+            ["doc_id_1", "doc_id_2"],
+            "left_anti",
+        ),
+        _matches(s, d)
+        .where(F.col("score") < 5.2)
+        .select("doc_id_1", "doc_id_2"),
+        _records(s, d).select("doc_id"),
+    )
     q["stable_cluster_ids"] = lambda s, d: stable_cluster_ids(
         connected_components(
             _matches(s, d)
@@ -1296,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "constrained_clusters",
     "blocking_plan",
     "review_queue",
     "match_explanations",
@@ -3707,6 +3728,46 @@ def oracle_sql() -> dict[str, str]:
     FROM cannot c
     JOIN comp c1 ON c.doc_id_1 = c1.doc_id
     JOIN comp c2 ON c.doc_id_2 = c2.doc_id
+    """
+    sql["constrained_clusters"] = f"""
+{_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    labels AS (
+        SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+        FROM synth s1 JOIN synth s2
+          ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+         AND s1.doc_id < s2.doc_id
+    ),
+    must AS (
+        SELECT l.doc_id_1, l.doc_id_2 FROM labels l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM matches m
+            WHERE m.doc_id_1 = l.doc_id_1 AND m.doc_id_2 = l.doc_id_2
+        )
+    ),
+    cannotx AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score < 5.2
+    ),
+    keptx AS MATERIALIZED (
+        SELECT m.doc_id_1, m.doc_id_2 FROM matches m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cannotx c
+            WHERE c.doc_id_1 = m.doc_id_1 AND c.doc_id_2 = m.doc_id_2
+        )
+        UNION
+        SELECT doc_id_1, doc_id_2 FROM must
+    ),
+    nodes AS (SELECT doc_id FROM synth),
+    edgesx AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM keptx
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM keptx
+    ),
+    reach_c(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM reach_c r JOIN edgesx e ON r.b = e.s
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach_c GROUP BY a
     """
     # stable ids: prev run = CC over the score>=5.5 edge subset,
     # curr run = standard CC; carryover by max-overlap argmax with

@@ -735,3 +735,37 @@ def stable_cluster_ids(
         F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
         "n_members",
     )
+
+
+def constrained_clusters(
+    edges: DataFrame,
+    must: DataFrame,
+    cannot: DataFrame,
+    vertices: DataFrame,
+    method: str = "auto",
+) -> DataFrame:
+    """Constraint-folding re-cluster (the apply step of the clerical
+    loop; :func:`cannot_link_audit` is the audit step): reviewer
+    decisions enter as MUST-LINK pairs (confirmed matches the rules
+    missed — union them into the edge set) and CANNOT-LINK pairs
+    (rejected matches — anti-join them out), then connected components
+    re-runs over the corrected graph.  Must-link wins the direct
+    conflict (a pair in both lists stays linked: the union happens
+    after the anti-join), and cannot-link remains advisory against
+    transitivity — run the audit afterwards to catch pairs
+    reconnected through other paths.
+
+    Output: ``(doc_id, cluster_id)`` — same contract as
+    :func:`connected_components`, drop-in for every downstream group
+    op.  Scale shape: one anti-join + one union + the standard CC
+    pass; constraint tables are bounded by review volume.
+    """
+    e = edges.select("doc_id_1", "doc_id_2")
+    kept = e.join(
+        cannot.select("doc_id_1", "doc_id_2"),
+        ["doc_id_1", "doc_id_2"],
+        "left_anti",
+    ).unionByName(must.select("doc_id_1", "doc_id_2")).dropDuplicates(
+        ["doc_id_1", "doc_id_2"]
+    )
+    return connected_components(kept, vertices=vertices, method=method)

@@ -553,3 +553,32 @@ def test_survivorship_conflicts_reports_overridden_values(spark):
     }
     assert golden["c1"]["name"] == "acme"
     assert golden["c2"]["email"] == "w@y.z"
+
+
+def test_constrained_clusters_must_and_cannot(spark):
+    """Cannot-link removes the direct edge; must-link joins unlinked
+    docs; a pair in BOTH lists stays linked (must wins)."""
+    from record_linkage_ldu_spark.operators.cc import constrained_clusters
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    must = spark.createDataFrame(
+        [("g", "h"), ("e", "f")], "doc_id_1 string, doc_id_2 string"
+    )
+    cannot = spark.createDataFrame(
+        [("a", "b"), ("e", "f")], "doc_id_1 string, doc_id_2 string"
+    )
+    vertices = spark.createDataFrame(
+        [(x,) for x in "abcdefgh"], "doc_id string"
+    )
+    cl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in constrained_clusters(edges, must, cannot, vertices).collect()
+    }
+    assert cl["a"] != cl["b"]          # cannot-link honored
+    assert cl["c"] == cl["d"]          # untouched edge intact
+    assert cl["g"] == cl["h"]          # must-link applied
+    assert cl["e"] == cl["f"]          # must wins the direct conflict
+    assert len(cl) == 8

@@ -415,6 +415,55 @@ def main(sf_dir: str) -> int:
         f"nested-loop joins = {n_bnlj}",
     )
 
+    # --- round-4 ops ---
+    from record_linkage_ldu_spark.config import SELF_SCORE_FIELDS
+    from record_linkage_ldu_spark.operators.blocking import blocking_plan
+    from record_linkage_ldu_spark.operators.rules import review_queue
+    from record_linkage_ldu_spark.operators.scoring import (
+        match_explanations,
+    )
+
+    fake_scored = spark.createDataFrame(
+        [("a", "b", 4.8, *([0.5] * len(SELF_SCORE_FIELDS)))],
+        "doc_id_1 string, doc_id_2 string, score double, "
+        + ", ".join(f"{f} double" for f in SELF_SCORE_FIELDS),
+    ).localCheckpoint(eager=True)
+    rq_plan = executed_plan(review_queue(fake_scored))
+    check(
+        "review queue: global top-k via TakeOrderedAndProject, no full sort, no Python",
+        "TakeOrderedAndProject" in rq_plan
+        and "BatchEvalPython" not in rq_plan
+        and "Exchange rangepartitioning" not in rq_plan,
+    )
+    mx_plan = executed_plan(match_explanations(fake_scored))
+    check(
+        "match explanations: one narrow Generate, no shuffle, no Python",
+        "Generate explode" in mx_plan
+        and "Exchange" not in mx_plan
+        and "BatchEvalPython" not in mx_plan,
+    )
+    fake_keys = spark.createDataFrame(
+        [("d1", "aa:x"), ("d2", "aa:x"), ("d3", "bb:y")],
+        "doc_id string, block_key string",
+    ).localCheckpoint(eager=True)
+    fake_lab = spark.createDataFrame(
+        [("d1", "d2", True)], "doc_id_1 string, doc_id_2 string, is_match boolean"
+    ).localCheckpoint(eager=True)
+    bp_plan = executed_plan(
+        blocking_plan(fake_keys, fake_lab, families=("aa", "bb"), pin=False)
+    )
+    # the ONLY nested-loop joins allowed are the two broadcast
+    # mask-HISTOGRAM expansions (<= 2^k rows each); the pair-level
+    # join must stay a block_key equi-join
+    n_bnlj = bp_plan.count("BroadcastNestedLoopJoin")
+    check(
+        "blocking plan: subsets x histogram broadcasts only, pair join equi",
+        "CartesianProduct" not in bp_plan
+        and n_bnlj <= 2
+        and "BatchEvalPython" not in bp_plan,
+        f"nested loops: {n_bnlj}",
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
