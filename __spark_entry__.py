@@ -780,6 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         dedup.near_duplicate_keep_list(_t(s, d, "documents"), threshold=0.3),
     )
+    # soft dedup: weight = 1/cluster_size instead of drop — a cluster
+    # of n near-copies contributes one doc's worth of training mass
+    q["dedup_weights"] = lambda s, d: dedup.dedup_weights(
+        dedup.near_duplicate_keep_list(_t(s, d, "documents"), threshold=0.3)
+    )
     q["near_dup_keep_list"] = lambda s, d: dedup.near_duplicate_keep_list(
         _t(s, d, "documents"), threshold=0.3
     )
@@ -1316,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "dedup_weights",
     "constrained_clusters",
     "blocking_plan",
     "review_queue",
@@ -2414,6 +2420,32 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
     )
+    sql["dedup_weights"] = f"""
+        WITH RECURSIVE np AS (
+            {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}
+        ),
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT doc_id_1 AS s, doc_id_2 AS d FROM np
+            UNION
+            SELECT doc_id_2 AS s, doc_id_1 AS d FROM np
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+        ),
+        canon AS MATERIALIZED (
+            SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM canon GROUP BY 1
+        )
+        SELECT c.doc_id, c.canonical_id, s.cluster_size,
+               round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+        FROM canon c JOIN sizes s USING (canonical_id)
+    """
     sql["leakage_safe_split"] = f"""
         WITH RECURSIVE np AS (
             {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}

@@ -675,7 +675,10 @@ def cannot_link_audit(
 
 
 def stable_cluster_ids(
-    prev: DataFrame, curr: DataFrame, pin: bool = True
+    prev: DataFrame,
+    curr: DataFrame,
+    pin: bool = True,
+    mint_prefix: str = "new:",
 ) -> DataFrame:
     """Persistent entity ids across linkage runs: CC labels are
     min-member doc_ids, so ANY membership change relabels a cluster —
@@ -687,7 +690,10 @@ def stable_cluster_ids(
     the current cluster with the largest claim keep a previous id
     (ties -> min curr id), and mint namespaced ``new:<cluster_id>`` ids
     for brand-new or losing clusters so carried and minted ids can
-    never collide.
+    never collide (``mint_prefix`` callers that re-feed minted ids as
+    the next run's prev mapping must make the prefix unique per run —
+    e.g. a batch sequence number — or a later mint can collide with a
+    carried earlier mint).
 
     Input: ``prev(doc_id, cluster_id)`` from the earlier run,
     ``curr(doc_id, cluster_id)`` from this run.  Output: one row per
@@ -729,7 +735,7 @@ def stable_cluster_ids(
     return sizes.join(claimed, "curr_id", "left").select(
         F.col("curr_id").alias("cluster_id"),
         F.when(F.col("rk") == 1, F.col("prev_id"))
-        .otherwise(F.concat(F.lit("new:"), F.col("curr_id")))
+        .otherwise(F.concat(F.lit(mint_prefix), F.col("curr_id")))
         .alias("stable_id"),
         F.coalesce(F.col("rk") == 1, F.lit(False)).alias("carried"),
         F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),

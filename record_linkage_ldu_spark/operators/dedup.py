@@ -1579,3 +1579,45 @@ def sql_simhash_near_duplicates(
         JOIN sk s2 ON c.doc_id_2 = s2.doc_id
         WHERE bit_count(xor(s1.usk, s2.usk)) <= {max_hamming}
     """
+
+
+def dedup_weights(
+    keep_list: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates (keep list),
+    DOWNWEIGHT them — each doc gets sampling weight
+    ``1 / cluster_size^alpha``, so a cluster of n near-copies
+    contributes ~1 document's worth of training mass in expectation
+    (alpha=1; alpha<1 interpolates toward keeping duplicates, alpha=0
+    is no dedup).  The soft alternative pipelines reach for when hard
+    dedup costs too much recall on legitimately repeated content
+    (boilerplate-heavy domains, licensed corpora counted per copy).
+
+    Input: the ``(doc_id, canonical_id, keep)`` keep list from
+    :func:`near_duplicate_keep_list` / :func:`keep_list_from_pairs`.
+    Output: one row per doc — ``(doc_id, canonical_id, cluster_size,
+    weight)`` with weight rounded to 6 decimals.
+
+    Scale shape: ONE map-combinable groupBy on canonical_id (the
+    cluster-size census) + one keyed join back; integer exponents stay
+    in exact double arithmetic (n^alpha = exp-free for alpha=1, the
+    default), so weights agree bit-for-bit across engines.
+    """
+    sizes = keep_list.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    if alpha == 1.0:
+        w = F.lit(1.0) / F.col("cluster_size")
+    else:
+        w = F.lit(1.0) / F.pow(
+            F.col("cluster_size").cast("double"), F.lit(float(alpha))
+        )
+    return keep_list.select("doc_id", "canonical_id").join(
+        sizes, "canonical_id"
+    ).select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.round(w, 6).alias("weight"),
+    )

@@ -192,7 +192,7 @@ def sessionize_stream(
 
 
 BATCH_MANIFEST = "_batch_manifest.json"
-_STORE_APPEND_TABLES = ("records", "keys", "edges")
+_STORE_APPEND_TABLES = ("records", "keys", "edges", "entity_ids")
 
 
 def _data_files(path: str) -> list[str]:
@@ -339,7 +339,12 @@ def incremental_linkage_batch(
          components re-runs over the accumulated edge set (labels are
          min-doc_id, so labels of untouched components are stable);
       5. ``<store>/clusters`` is overwritten (the only non-append
-         store besides census — cluster labels are global).
+         store besides census — cluster labels are global);
+      6. ``<store>/entity_ids`` appends a seq-versioned stable-id
+         snapshot: CC labels relabel whenever a smaller-id member
+         joins, so per-batch id CARRYOVER (max-overlap assignment,
+         ``cc.stable_cluster_ids``) keeps entity ids persistent for
+         downstream consumers; current mapping = rows at max(seq).
 
     The whole store mutation is ONE atomic batch commit: an
     ``in-progress`` manifest (recording the pre-batch file set of every
@@ -363,8 +368,8 @@ def incremental_linkage_batch(
     generate_candidates' dropped_census reporting) and can trigger a
     batch rebuild when it goes nonzero.
 
-    Returns counters: docs in store, new docs, pairs scored this
-    batch, ``candidate_key_rows`` (key rows entering the pair join —
+    Returns counters: docs in store, new docs, distinct stable
+    ``entities``, pairs scored this batch, ``candidate_key_rows`` (key rows entering the pair join —
     the per-batch work bound: new keys + stored keys of touched
     blocks, ~flat as the store grows), total edges, clusters, and the
     drop-tier census (``dropped_blocks``, ``dropped_block_keys``).
@@ -384,7 +389,7 @@ def incremental_linkage_batch(
         salted_candidate_pairs_cross,
         sorted_neighborhood_pairs,
     )
-    from ..operators.cc import connected_components
+    from ..operators.cc import connected_components, stable_cluster_ids
     from ..operators.scoring import (
         attach_pair_sides,
         score_pairs_self,
@@ -401,6 +406,7 @@ def incremental_linkage_batch(
     census_path = os.path.join(store_dir, "census")
     edges_path = os.path.join(store_dir, "edges")
     clusters_path = os.path.join(store_dir, "clusters")
+    ids_path = os.path.join(store_dir, "entity_ids")
 
     new_records = records_view(
         new_documents.dropDuplicates(["doc_id"]), cfg
@@ -541,6 +547,39 @@ def incremental_linkage_batch(
         edges, vertices=all_records.select("doc_id"), method=cfg.cc_method
     )
 
+    # persistent entity ids: CC labels are min-member doc_ids, so a
+    # new member with a smaller id RELABELS its whole cluster —
+    # downstream consumers keyed on entity id need carryover.  The
+    # mapping is a seq-versioned APPEND table: current = rows at
+    # max(seq), and the generic manifest rollback restores the exact
+    # previous snapshot on a mid-commit crash (an overwrite table
+    # could not be rebuilt — the mapping is history-dependent).  Mint
+    # prefix e<seq>: is unique per batch, so a later mint can never
+    # collide with a carried earlier mint.  At scale, compact old seqs
+    # out on the same cadence as any other append-table maintenance.
+    if have_store and os.path.exists(ids_path):
+        stored_ids = spark.read.parquet(ids_path)
+        cur_seq = stored_ids.agg(F.max("seq")).collect()[0][0] or 0
+        prev_map = stored_ids.where(F.col("seq") == cur_seq).select(
+            "doc_id", F.col("stable_id").alias("cluster_id")
+        )
+        mapping = stable_cluster_ids(
+            prev_map, clusters, mint_prefix=f"e{cur_seq + 1}:"
+        )
+        entity_ids = clusters.join(
+            mapping.select("cluster_id", "stable_id"), "cluster_id"
+        ).select("doc_id", "stable_id", F.lit(cur_seq + 1).alias("seq"))
+    else:
+        cur_seq = 0
+        entity_ids = clusters.select(
+            "doc_id",
+            F.col("cluster_id").alias("stable_id"),
+            F.lit(1).alias("seq"),
+        )
+    # materialize before the commit: the append below writes into the
+    # same path the prev mapping was read from
+    entity_ids = entity_ids.localCheckpoint(eager=True)
+
     n_new = new_records.count()
     n_dropped = dropped.count()
     if n_new > 0 or not have_store:
@@ -564,6 +603,7 @@ def incremental_linkage_batch(
         new_records.write.mode("append").parquet(records_path)
         new_keys.write.mode("append").parquet(keys_path)
         new_edges.write.mode("append").parquet(edges_path)
+        entity_ids.write.mode("append").parquet(ids_path)
         _atomic_overwrite(census, census_path)
         _write_batch_manifest(
             store_dir, {"status": "complete", "new_docs": n_new}
@@ -578,6 +618,7 @@ def incremental_linkage_batch(
         .select("cluster_id")
         .distinct()
         .count(),
+        "entities": entity_ids.select("stable_id").distinct().count(),
         "dropped_blocks": n_dropped,
         # bounded sample of the dropped census (the count above is the
         # signal; the keys are for triage)

@@ -398,3 +398,26 @@ def test_prefix_filter_cross_equals_self_restricted(spark):
     }
     assert expected, "fixture must produce at least one cross pair"
     assert cross == expected
+
+
+def test_dedup_weights_mass_per_cluster(spark):
+    """Each near-dup cluster contributes ~1 doc of mass at alpha=1;
+    alpha=0 disables; alpha=0.5 interpolates."""
+    from record_linkage_ldu_spark.operators.dedup import dedup_weights
+
+    keep = spark.createDataFrame(
+        [("a", "a", 1), ("b", "a", 0), ("c", "a", 0), ("d", "d", 1)],
+        "doc_id string, canonical_id string, keep int",
+    )
+    out = {r["doc_id"]: r for r in dedup_weights(keep).collect()}
+    assert out["a"]["cluster_size"] == 3
+    assert out["a"]["weight"] == out["b"]["weight"] == round(1 / 3, 6)
+    assert out["d"]["weight"] == 1.0
+    mass = sum(r["weight"] for r in out.values())
+    assert abs(mass - 2.0) < 1e-5  # 2 clusters -> 2 docs of mass
+    flat = {r["doc_id"]: r["weight"]
+            for r in dedup_weights(keep, alpha=0.0).collect()}
+    assert set(flat.values()) == {1.0}
+    half = {r["doc_id"]: r["weight"]
+            for r in dedup_weights(keep, alpha=0.5).collect()}
+    assert abs(half["a"] - 1 / 3**0.5) < 1e-6

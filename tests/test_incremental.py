@@ -456,3 +456,55 @@ def test_crash_mid_commit_rolls_back_and_replays(spark, tmp_path, monkeypatch):
     recs = spark.read.parquet(f"{store}/records").select("doc_id")
     keyed = spark.read.parquet(f"{store}/keys").select("doc_id").distinct()
     assert recs.join(keyed, "doc_id", "left_anti").count() == 0
+
+
+def test_incremental_entity_ids_survive_relabeling(spark, tmp_path):
+    """Stable ids persist across batches even when CC labels change:
+    batch 2 adds the 'a' copies, whose smaller doc_ids RELABEL every
+    cluster — the stable ids must stay the batch-1 ids."""
+    docs = _docs(spark).localCheckpoint(eager=True)
+    batch1 = docs.where(F.substring("doc_id", 1, 1) != "a")
+    batch2 = docs.where(F.substring("doc_id", 1, 1) == "a")
+    store = str(tmp_path / "store")
+
+    incremental_linkage_batch(spark, batch1, store)
+    ids1 = {
+        r["doc_id"]: r["stable_id"]
+        for r in spark.read.parquet(f"{store}/entity_ids")
+        .where(F.col("seq") == 1)
+        .collect()
+    }
+    incremental_linkage_batch(spark, batch2, store)
+    stored = spark.read.parquet(f"{store}/entity_ids")
+    ids2 = {
+        r["doc_id"]: r["stable_id"]
+        for r in stored.where(F.col("seq") == 2).collect()
+    }
+    clusters2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{store}/clusters").collect()
+    }
+    # every batch-1 doc keeps its batch-1 stable id
+    changed = {d for d in ids1 if ids2[d] != ids1[d]}
+    assert changed == set()
+    # ...even though the CC label of linked 'b' docs moved to the new
+    # 'a' member (the relabel the carryover exists to absorb)
+    relabeled = {
+        d for d in ids1
+        if d in clusters2 and clusters2[d] != ids1[d]
+        and clusters2[d].startswith("a")
+    }
+    assert relabeled, "fixture should relabel at least one cluster"
+    # new 'a' docs joining an existing cluster adopt its carried id
+    a_in_b_cluster = [
+        d for d, c in clusters2.items()
+        if d.startswith("a") and not ids2[d].startswith("a")
+    ]
+    assert a_in_b_cluster, "a-docs should join existing entities"
+    # stable ids partition docs exactly like the clusters do
+    by_cluster = {}
+    for d, c in clusters2.items():
+        by_cluster.setdefault(c, set()).add(ids2[d])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # distinct stable ids = distinct clusters (bijection)
+    assert len(set(ids2.values())) == len(by_cluster)
