@@ -782,6 +782,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # soft dedup: weight = 1/cluster_size instead of drop — a cluster
     # of n near-copies contributes one doc's worth of training mass
+    # dataset-version audit: added/removed/changed docs between two
+    # snapshots (v2 = deterministic derivative of the documents table)
+    q["corpus_snapshot_diff"] = lambda s, d: corpus.snapshot_diff(
+        _t(s, d, "documents"),
+        _t(s, d, "documents")
+        .where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            _t(s, d, "documents")
+            .where(F.col("doc_id") % 13 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        ),
+    )
     q["dedup_weights"] = lambda s, d: dedup.dedup_weights(
         dedup.near_duplicate_keep_list(_t(s, d, "documents"), threshold=0.3)
     )
@@ -1321,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "corpus_snapshot_diff",
     "dedup_weights",
     "constrained_clusters",
     "blocking_plan",
@@ -2420,6 +2443,30 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
     )
+    sql["corpus_snapshot_diff"] = """
+        WITH newv AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        n AS (SELECT doc_id, md5(text) AS new_fp FROM newv)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+               END AS status,
+               o.old_fp, n.new_fp
+        FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+               END) IS NOT NULL
+    """
     sql["dedup_weights"] = f"""
         WITH RECURSIVE np AS (
             {dedup.sql_minhash_near_duplicates("documents", threshold=0.3)}

@@ -1569,3 +1569,42 @@ def sql_leakage_safe_split(
                round({draw}, 6) AS draw
         FROM {canon_cte}
     """
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-version diff: what changed between two corpus
+    snapshots — the audit table behind every retrain decision
+    ("crawl v2 swapped 3% of the corpus — which 3%?").  One row per
+    doc that is ``added`` (only in new), ``removed`` (only in old), or
+    ``changed`` (same id, different content fingerprint); unchanged
+    docs — the bulk — are filtered out before anything materializes.
+
+    Output: ``(doc_id, status, old_fp, new_fp)`` with md5 content
+    fingerprints for triage (NULL on the missing side).
+
+    Scale shape: two scan-level fingerprint projections + ONE
+    full-outer equi-join on the id + a filter.  No text leaves the
+    scan — only 32-byte fingerprints shuffle.
+    """
+    o = old_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("old_fp"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("new_fp"),
+    )
+    j = o.join(n, "doc_id", "full")
+    status = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+    )
+    return j.select(
+        "doc_id", status.alias("status"), "old_fp", "new_fp"
+    ).where(F.col("status").isNotNull())

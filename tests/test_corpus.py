@@ -715,3 +715,24 @@ def test_leakage_safe_split_rejects_bad_fractions(spark):
     with pytest.raises(ValueError):
         leakage_safe_split(docs, docs.withColumn("canonical_id", docs.doc_id),
                            splits=(("train", 0.5), ("test", 0.4)))
+
+
+def test_snapshot_diff_statuses(spark):
+    from record_linkage_ldu_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    # unchanged doc 1 is filtered out
+    assert set(out) == {2, 3, 4}
+    assert out[2]["status"] == "changed"
+    assert out[2]["old_fp"] is not None and out[2]["new_fp"] is not None
+    assert out[2]["old_fp"] != out[2]["new_fp"]
+    assert out[3]["status"] == "removed" and out[3]["new_fp"] is None
+    assert out[4]["status"] == "added" and out[4]["old_fp"] is None
