@@ -1150,6 +1150,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the pipeline clustering vs the synth gold partition — contingency
     # cells only, no pair materialization
     q["cluster_metrics"] = lambda s, d: _cluster_metrics_q(s, d)
+    # the error TAXONOMY behind those scalars: per gold entity, pure /
+    # fragmented (fix blocking-recall) / merged (fix precision) / both
+    q["cluster_error_taxonomy"] = lambda s, d: ev.cluster_error_taxonomy(
+        _clusters(s, d),
+        _records(s, d).select(
+            "doc_id", F.substring(F.col("doc_id"), 2, 9).alias("entity")
+        ),
+    )
     # TF-IDF token cosine over the candidate pairs: the token-set
     # scorer (Magellan family) that survives word reorder and
     # down-weights corpus-frequent tokens
@@ -1343,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "cluster_error_taxonomy",
     "corpus_snapshot_diff",
     "dedup_weights",
     "constrained_clusters",
@@ -3807,6 +3816,37 @@ def oracle_sql() -> dict[str, str]:
     FROM cannot c
     JOIN comp c1 ON c.doc_id_1 = c1.doc_id
     JOIN comp c2 ON c.doc_id_2 = c2.doc_id
+    """
+    sql["cluster_error_taxonomy"] = f"""
+        {_SQL_CC},
+        clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        cells AS MATERIALIZED (
+            SELECT c.cluster_id, substr(c.doc_id, 2, 9) AS entity,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM clusters c GROUP BY 1, 2
+        ),
+        per_cluster AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS k_entities
+            FROM cells GROUP BY 1
+        ),
+        per_entity AS (
+            SELECT c.entity,
+                   CAST(sum(c.n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(max(p.k_entities) AS BIGINT)
+                       AS max_cluster_entities
+            FROM cells c JOIN per_cluster p USING (cluster_id)
+            GROUP BY 1
+        )
+        SELECT entity, n_docs, n_clusters, max_cluster_entities,
+               CASE WHEN n_clusters > 1 AND max_cluster_entities > 1
+                        THEN 'fragmented+merged'
+                    WHEN n_clusters > 1 THEN 'fragmented'
+                    WHEN max_cluster_entities > 1 THEN 'merged'
+                    ELSE 'pure' END AS status
+        FROM per_entity
     """
     sql["constrained_clusters"] = f"""
 {_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},

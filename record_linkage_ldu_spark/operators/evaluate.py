@@ -644,3 +644,59 @@ def survivorship_conflicts(
         )
         .where(F.col("n_values") >= 2)
     )
+
+
+def cluster_error_taxonomy(
+    clusters: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """The actionable error view the scalar metrics summarize away:
+    per GOLD entity, is it resolved ``pure`` (one cluster, nothing
+    else in it), ``fragmented`` (split across clusters — a recall
+    problem: blocking miss or under-firing rules), ``merged`` (its
+    cluster also holds other entities — a precision problem:
+    over-firing rules or transitive chaining), or
+    ``fragmented+merged``?  B-cubed/ARI (:func:`cluster_metrics`) say
+    HOW GOOD; this says WHAT KIND of wrong, which decides whether to
+    fix blocking or thresholds.
+
+    Input: ``clusters(doc_id, cluster_id)``, ``gold(doc_id, entity)``.
+    Output: one row per entity — ``(entity, n_docs, n_clusters,
+    max_cluster_entities, status)``.
+
+    Scale shape: contingency CELLS only (the cluster_metrics recipe) —
+    one doc_id join, a (cluster, entity) groupBy, a per-cluster
+    entity-count groupBy, one keyed join back; never materializes
+    pairs, works at 10^12 docs.
+    """
+    cells = (
+        clusters.join(gold, "doc_id")
+        .groupBy("cluster_id", "entity")
+        .agg(F.count("*").alias("n"))
+    )
+    from .dedup import _pin
+
+    cells = _pin(cells, True)
+    per_cluster = cells.groupBy("cluster_id").agg(
+        F.count("*").alias("k_entities")
+    )
+    enriched = cells.join(per_cluster, "cluster_id")
+    per_entity = enriched.groupBy("entity").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_clusters"),
+        F.max("k_entities").alias("max_cluster_entities"),
+    )
+    frag = F.col("n_clusters") > 1
+    merg = F.col("max_cluster_entities") > 1
+    status = (
+        F.when(frag & merg, "fragmented+merged")
+        .when(frag, "fragmented")
+        .when(merg, "merged")
+        .otherwise("pure")
+    )
+    return per_entity.select(
+        "entity",
+        "n_docs",
+        "n_clusters",
+        "max_cluster_entities",
+        status.alias("status"),
+    )

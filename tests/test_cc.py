@@ -582,3 +582,38 @@ def test_constrained_clusters_must_and_cannot(spark):
     assert cl["g"] == cl["h"]          # must-link applied
     assert cl["e"] == cl["f"]          # must wins the direct conflict
     assert len(cl) == 8
+
+
+def test_cluster_error_taxonomy_four_statuses(spark):
+    from record_linkage_ldu_spark.operators.evaluate import (
+        cluster_error_taxonomy,
+    )
+
+    # e1 pure in c1; e2 fragmented (c2,c3); e3+e4 merged in c4;
+    # e5 fragmented AND merged (c4 and c5, c4 shared with e3/e4)
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"),
+         ("c", "c2"), ("d", "c3"),
+         ("e", "c4"), ("f", "c4"),
+         ("g", "c4"), ("h", "c5")],
+        "doc_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "e1"), ("b", "e1"), ("c", "e2"), ("d", "e2"),
+         ("e", "e3"), ("f", "e4"), ("g", "e5"), ("h", "e5")],
+        "doc_id string, entity string",
+    )
+    out = {
+        r["entity"]: r
+        for r in cluster_error_taxonomy(clusters, gold).collect()
+    }
+    assert out["e1"]["status"] == "pure"
+    assert out["e1"]["n_clusters"] == 1
+    assert out["e1"]["max_cluster_entities"] == 1
+    assert out["e2"]["status"] == "fragmented"
+    assert out["e2"]["n_clusters"] == 2
+    assert out["e3"]["status"] == "merged"
+    assert out["e3"]["max_cluster_entities"] == 3
+    assert out["e4"]["status"] == "merged"
+    assert out["e5"]["status"] == "fragmented+merged"
+    assert out["e5"]["n_docs"] == 2
