@@ -309,6 +309,60 @@ def main(sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "evaluation.png"),
     )
 
+    # clerical-loop views (r4): the boundary review queue, the chosen
+    # blocking plan, and the per-entity error taxonomy — the three
+    # tables that turn the metrics above into actions
+    rq = qs["review_queue"](spark, sf_dir).orderBy("margin").limit(10).collect()
+    lines += [
+        "## Review queue (10 pairs nearest the decision threshold)",
+        "",
+        "| pair | score | margin | decided | fields fired |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rq:
+        lines.append(
+            f"| `{r['doc_id_1']}`/`{r['doc_id_2']}` | {r['score']:.3f} "
+            f"| {r['margin']:.3f} | {r['decided']} | {r['n_fired']} |"
+        )
+    lines.append("")
+
+    plan_rows = (
+        qs["blocking_plan"](spark, sf_dir).orderBy("subset").collect()
+    )
+    lines += [
+        "## Blocking plan (exact cost/recall per key-family subset)",
+        "",
+        "| families | pairs | true reached | recall | meets 0.98 | chosen |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in plan_rows:
+        mark = "**chosen**" if r["chosen"] else ""
+        lines.append(
+            f"| {r['families']} | {r['n_pairs']} | {r['n_true']} "
+            f"| {r['recall']:.4f} | {r['meets_target']} | {mark} |"
+        )
+    lines.append("")
+
+    tax = (
+        qs["cluster_error_taxonomy"](spark, sf_dir)
+        .groupBy("status")
+        .count()
+        .orderBy("status")
+        .collect()
+    )
+    lines += [
+        "## Cluster error taxonomy (per gold entity)",
+        "",
+        "fragmented = fix blocking recall / under-firing rules; "
+        "merged = fix precision / chaining.",
+        "",
+        "| status | entities |",
+        "|---|---|",
+    ]
+    for r in tax:
+        lines.append(f"| {r['status']} | {r['count']} |")
+    lines.append("")
+
     # the reference's FINAL artifact: the 3-sheet review workbook
     # ('all' / 'verified' / 'not verified', main_ldu_hw.py:468-471),
     # emitted by the stdlib xlsx sink over the same hash-green
