@@ -56,6 +56,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     block_keys,
     blocking_family_stats,
     blocking_plan,
+    capture_recapture_estimate,
     candidate_pairs,
     canopy_assignments,
     cap_blocks,
@@ -1253,6 +1254,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # exact key-subset optimizer: pair cost + recall for EVERY family
     # subset via a mask histogram; chosen = cheapest meeting target
+    # unsupervised recall estimate: two orthogonal key families as
+    # independent captures of the match population (Chapman)
+    q["capture_recapture"] = lambda s, d: capture_recapture_estimate(
+        _capped_keys(s, d),
+        _matches(s, d).select("doc_id_1", "doc_id_2"),
+        "em",
+        "zp",
+    )
     q["blocking_plan"] = lambda s, d: blocking_plan(
         _capped_keys(s, d),
         _labels(s, d),
@@ -1351,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "capture_recapture",
     "cluster_error_taxonomy",
     "corpus_snapshot_diff",
     "dedup_weights",
@@ -2955,6 +2965,57 @@ def oracle_sql() -> dict[str, str]:
         sql_blocking_plan,
     )
 
+    sql["capture_recapture"] = f"""
+        {_sql_chain("matches")},
+        fa_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM keys_capped a JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            WHERE split_part(a.block_key, ':', 1) = 'em'
+        ),
+        fb_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM keys_capped a JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            WHERE split_part(a.block_key, ':', 1) = 'zp'
+        ),
+        fam AS (
+            SELECT f.doc_id_1, f.doc_id_2, 1 AS hit FROM fa_pairs f
+            WHERE EXISTS (SELECT 1 FROM matches m
+                WHERE m.doc_id_1 = f.doc_id_1 AND m.doc_id_2 = f.doc_id_2)
+        ),
+        fbm AS (
+            SELECT f.doc_id_1, f.doc_id_2, 1 AS hit FROM fb_pairs f
+            WHERE EXISTS (SELECT 1 FROM matches m
+                WHERE m.doc_id_1 = f.doc_id_1 AND m.doc_id_2 = f.doc_id_2)
+        ),
+        flags AS (
+            SELECT coalesce(a.hit, 0) AS a, coalesce(b.hit, 0) AS b
+            FROM fam a FULL JOIN fbm b
+              ON a.doc_id_1 = b.doc_id_1 AND a.doc_id_2 = b.doc_id_2
+        ),
+        agg AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(b) AS BIGINT) AS n_b,
+                   CAST(sum(a * b) AS BIGINT) AS n_both,
+                   CAST(count(*) AS BIGINT) AS n_union
+            FROM flags
+        )
+        SELECT n_a, n_b, n_both, n_union,
+               round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                     / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE), 6)
+                   AS est_total,
+               round(n_a / (CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                     / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE)), 6)
+                   AS est_recall_a,
+               round(n_b / (CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                     / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE)), 6)
+                   AS est_recall_b,
+               round(n_union / (CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+                     / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE)), 6)
+                   AS est_recall_union
+        FROM agg
+    """
     sql["blocking_plan"] = f"""
         {_sql_chain("keys")},
         labels AS (

@@ -1471,3 +1471,88 @@ def sql_blocking_plan(
                             n_pairs ASC, subset ASC) = 1) AS chosen
         FROM scored
     """
+
+
+def capture_recapture_estimate(
+    keys: DataFrame,
+    matched_pairs: DataFrame,
+    family_a: str,
+    family_b: str,
+    pin: bool = True,
+) -> DataFrame:
+    """UNSUPERVISED match-recall estimation by capture-recapture
+    (Chapman's bias-corrected Lincoln-Petersen estimator, the
+    dual-system estimation used for census coverage): treat two
+    blocking families as independent "captures" of the true match
+    population — matches found by A, by B, and by both give
+    ``est_total = (n_a+1)(n_b+1)/(n_both+1) - 1``, and with it an
+    estimated recall for each family and their union, WITHOUT labeled
+    data.  The production question this answers: "we found 2.1M
+    matches — how many are we missing?"  Validity rests on the
+    independence assumption (families keyed on unrelated fields —
+    phone vs zip, not name-prefix vs name-soundex); correlated
+    families bias est_total LOW, so pick the two most orthogonal
+    families you run.
+
+    Input: ``keys(doc_id, block_key)`` (family = prefix before ':'),
+    ``matched_pairs(doc_id_1, doc_id_2)`` — the RULE-PASSING match
+    set, so the estimate targets true-match recall, not candidate
+    recall.  Output: ONE row — ``(n_a, n_b, n_both, n_union,
+    est_total, est_recall_a, est_recall_b, est_recall_union)``.
+
+    Scale shape: two per-family pair joins (the same capped key join
+    the candidate stage runs) semi-restricted to the match set, one
+    pair-keyed outer join for the flags, one scalar aggregate.
+    """
+    from .dedup import _pin
+
+    fam = F.substring_index(F.col("block_key"), ":", 1)
+    m = _pin(
+        matched_pairs.select("doc_id_1", "doc_id_2").dropDuplicates(
+            ["doc_id_1", "doc_id_2"]
+        ),
+        pin,
+    )
+
+    def fam_matched(f: str) -> DataFrame:
+        k = keys.where(fam == f)
+        a, b = k.alias("a"), k.alias("b")
+        return (
+            a.join(b, "block_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+            )
+            .dropDuplicates(["doc_id_1", "doc_id_2"])
+            .join(m, ["doc_id_1", "doc_id_2"], "left_semi")
+            .withColumn("_hit", F.lit(1))
+        )
+    fa = fam_matched(family_a).withColumnRenamed("_hit", "_a")
+    fb = fam_matched(family_b).withColumnRenamed("_hit", "_b")
+    flags = fa.join(fb, ["doc_id_1", "doc_id_2"], "full").select(
+        F.coalesce("_a", F.lit(0)).alias("a"),
+        F.coalesce("_b", F.lit(0)).alias("b"),
+    )
+    agg = flags.agg(
+        F.sum("a").alias("n_a"),
+        F.sum("b").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        F.count("*").alias("n_union"),
+    )
+    est = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1).cast("double")
+        / (F.col("n_both") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.round(est, 6).alias("est_total"),
+        F.round(F.col("n_a") / est, 6).alias("est_recall_a"),
+        F.round(F.col("n_b") / est, 6).alias("est_recall_b"),
+        F.round(F.col("n_union") / est, 6).alias("est_recall_union"),
+    )

@@ -528,3 +528,31 @@ def test_blocking_plan_falls_back_to_max_recall(spark):
     assert len(out) == 1
     assert out[0]["meets_target"] is False
     assert out[0]["chosen"] is True
+
+
+def test_capture_recapture_chapman_arithmetic(spark):
+    """Hand-computed Chapman estimate: A finds 3 matches, B finds 2,
+    both find 1 -> est_total = 4*3/2 - 1 = 5."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        capture_recapture_estimate,
+    )
+
+    # family aa blocks: (1,2) (3,4) (5,6); family bb: (1,2) (7,8)
+    keys = spark.createDataFrame(
+        [("d1", "aa:k1"), ("d2", "aa:k1"), ("d3", "aa:k2"), ("d4", "aa:k2"),
+         ("d5", "aa:k3"), ("d6", "aa:k3"),
+         ("d1", "bb:p1"), ("d2", "bb:p1"), ("d7", "bb:p2"), ("d8", "bb:p2")],
+        "doc_id string, block_key string",
+    )
+    matched = spark.createDataFrame(
+        [("d1", "d2"), ("d3", "d4"), ("d5", "d6"), ("d7", "d8"),
+         ("d9", "d10")],  # d9/d10 matched but reached by neither family
+        "doc_id_1 string, doc_id_2 string",
+    )
+    row = capture_recapture_estimate(keys, matched, "aa", "bb").collect()[0]
+    assert (row["n_a"], row["n_b"], row["n_both"], row["n_union"]) == (
+        3, 2, 1, 4
+    )
+    assert row["est_total"] == 5.0  # (3+1)(2+1)/(1+1) - 1
+    assert row["est_recall_a"] == 0.6
+    assert row["est_recall_union"] == 0.8
