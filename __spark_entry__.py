@@ -54,6 +54,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     BlockingConfig,
     block_census,
     block_keys,
+    block_filtering,
     blocking_family_stats,
     blocking_plan,
     capture_recapture_estimate,
@@ -1256,6 +1257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # subset via a mask histogram; chosen = cheapest meeting target
     # unsupervised recall estimate: two orthogonal key families as
     # independent captures of the match population (Chapman)
+    # Block Filtering (Papadakis et al.): keep each doc in its r most
+    # selective blocks — per-doc key budgeting; pairs from the subset
+    q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
+        block_filtering(_capped_keys(s, d), r=2)
+    )
     q["capture_recapture"] = lambda s, d: capture_recapture_estimate(
         _capped_keys(s, d),
         _matches(s, d).select("doc_id_1", "doc_id_2"),
@@ -1360,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "block_filtered_pairs",
     "capture_recapture",
     "cluster_error_taxonomy",
     "corpus_snapshot_diff",
@@ -2965,6 +2972,17 @@ def oracle_sql() -> dict[str, str]:
         sql_blocking_plan,
     )
 
+    from record_linkage_ldu_spark.operators.blocking import (
+        sql_block_filtering,
+    )
+
+    sql["block_filtered_pairs"] = f"""
+        {_sql_chain("keys")},
+        {sql_block_filtering("keys_capped", r=2)}
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bf_keys a JOIN bf_keys b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
     sql["capture_recapture"] = f"""
         {_sql_chain("matches")},
         fa_pairs AS (

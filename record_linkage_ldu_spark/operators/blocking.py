@@ -1556,3 +1556,59 @@ def capture_recapture_estimate(
         F.round(F.col("n_b") / est, 6).alias("est_recall_b"),
         F.round(F.col("n_union") / est, 6).alias("est_recall_union"),
     )
+
+
+def block_filtering(
+    keys: DataFrame,
+    r: int = 2,
+    pin: bool = True,
+) -> DataFrame:
+    """Block Filtering (Papadakis et al., "Meta-Blocking: Taking
+    Entity Resolution to the Next Level" family; the pre-meta-blocking
+    step of JedAI): keep each doc only in its ``r`` most SELECTIVE
+    blocks (smallest census count, ties -> block_key asc).  A doc in a
+    mega-block contributes pairs there only if it has no smaller home,
+    so pair volume drops superlinearly while recall stays near-full —
+    the per-DOC complement of the per-BLOCK census tiers (cap/salt/
+    drop act on whole blocks; this budgets each doc's key fan-out).
+
+    Input/output: ``(doc_id, block_key)`` -> the filtered subset.
+
+    Scale shape: one map-combinable census groupBy + one broadcast-able
+    census join + one per-doc window bounded by the doc's key count
+    (a handful of families, never corpus-sized frames).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _pin
+
+    census = keys.groupBy("block_key").agg(
+        F.count("*").alias("_bsize")
+    )
+    joined = _pin(keys.join(census, "block_key"), pin)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_bsize").asc(), F.col("block_key").asc()
+    )
+    return (
+        joined.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= r)
+        .select("doc_id", "block_key")
+    )
+
+
+def sql_block_filtering(keys_src: str = "keys_capped", r: int = 2) -> str:
+    """DuckDB twin of :func:`block_filtering` (same census, same
+    deterministic rank)."""
+    return f"""
+        bf_census AS (
+            SELECT block_key, count(*) AS _bsize
+            FROM {keys_src} GROUP BY 1
+        ),
+        bf_keys AS (
+            SELECT k.doc_id, k.block_key
+            FROM {keys_src} k JOIN bf_census c USING (block_key)
+            QUALIFY row_number() OVER (
+                PARTITION BY k.doc_id
+                ORDER BY c._bsize ASC, k.block_key ASC) <= {r}
+        )
+    """

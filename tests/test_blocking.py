@@ -556,3 +556,39 @@ def test_capture_recapture_chapman_arithmetic(spark):
     assert row["est_total"] == 5.0  # (3+1)(2+1)/(1+1) - 1
     assert row["est_recall_a"] == 0.6
     assert row["est_recall_union"] == 0.8
+
+
+def test_block_filtering_keeps_r_most_selective(spark):
+    """Each doc keeps its r smallest blocks (ties by key); pair
+    volume drops while pairs with a small shared home survive."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        block_filtering,
+        candidate_pairs,
+    )
+
+    # d1/d2 share tiny block t (size 2) AND the mega block m (size 5);
+    # d3..d5 only share m
+    keys = spark.createDataFrame(
+        [("d1", "t:x"), ("d2", "t:x"),
+         ("d1", "m:y"), ("d2", "m:y"), ("d3", "m:y"), ("d4", "m:y"),
+         ("d5", "m:y"),
+         ("d1", "q:z")],  # d1 has 3 keys: t(2) < q(1)?? q size 1 < t
+        "doc_id string, block_key string",
+    )
+    out = block_filtering(keys, r=2)
+    kept = {(r["doc_id"], r["block_key"]) for r in out.collect()}
+    # d1's blocks by size: q:z(1), t:x(2), m:y(5) -> keeps q,t drops m
+    assert ("d1", "q:z") in kept and ("d1", "t:x") in kept
+    assert ("d1", "m:y") not in kept
+    # d2 keeps t(2) and m(5) — only two keys
+    assert ("d2", "t:x") in kept and ("d2", "m:y") in kept
+    # r=1: every doc exactly one key
+    one = block_filtering(keys, r=1).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in one)
+    # the (d1,d2) pair survives r=1 via the tiny block?? d1 keeps q:z,
+    # d2 keeps t:x -> pair lost at r=1 but present at r=2
+    pairs2 = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(block_filtering(keys, r=2)).collect()
+    }
+    assert ("d1", "d2") in pairs2
