@@ -1520,8 +1520,16 @@ def leakage_safe_split(
     total = sum(f for _, f in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    joined = docs.select(id_col).join(
-        keep_list.select(id_col, group_col), id_col
+    # LEFT join + identity fallback: a doc absent from the keep list
+    # (caller passed a partial mapping) must still land in a split —
+    # silently dropping corpus rows is the one failure mode a split
+    # op can't have.  Keep lists from near_duplicate_keep_list /
+    # keep_list_from_pairs cover every doc, so the fallback is a
+    # no-op on the standard path (and on every oracle-checked hash).
+    joined = (
+        docs.select(id_col)
+        .join(keep_list.select(id_col, group_col), id_col, "left")
+        .withColumn(group_col, F.coalesce(F.col(group_col), F.col(id_col)))
     )
     draw = _uniform_draw(F.col(group_col), seed, hash_fn)
     expr = None

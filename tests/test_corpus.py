@@ -736,3 +736,20 @@ def test_snapshot_diff_statuses(spark):
     assert out[2]["old_fp"] != out[2]["new_fp"]
     assert out[3]["status"] == "removed" and out[3]["new_fp"] is None
     assert out[4]["status"] == "added" and out[4]["old_fp"] is None
+
+
+def test_leakage_safe_split_partial_keep_list_falls_back(spark):
+    """Docs missing from the keep list still get a split (identity
+    cluster fallback) — never silently dropped."""
+    from record_linkage_ldu_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    keep = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, canonical_id long"
+    )
+    out = leakage_safe_split(docs, keep).collect()
+    assert len(out) == 3
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["cluster_id"] == 3  # identity fallback
+    assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 10
+    assert by_id[1]["split"] == by_id[2]["split"]
