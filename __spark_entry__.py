@@ -1259,6 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # independent captures of the match population (Chapman)
     # Block Filtering (Papadakis et al.): keep each doc in its r most
     # selective blocks — per-doc key budgeting; pairs from the subset
+    # two-source coverage: per side, matched fraction + multi-match
+    # surface (the prose table of the reference's README, quantified)
+    q["cross_coverage"] = lambda s, d: _cross_coverage(s, d)
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1366,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "cross_coverage",
     "block_filtered_pairs",
     "capture_recapture",
     "cluster_error_taxonomy",
@@ -1637,6 +1641,43 @@ def _one_to_one_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one_to_one_assignment(scored).select(
         "doc_id_1", "doc_id_2", F.round("score", 6).alias("score")
+    )
+
+
+def _cross_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source coverage report — the first table a cross-linkage
+    user reads (the reference reports it in prose, README.md:217-230):
+    per source side, how many records exist, how many found at least
+    one counterpart, the match rate, and how many matched 2+
+    counterparts (the many-to-many surface one_to_one_assignment then
+    resolves).  One partner-count groupBy per side + one side groupBy;
+    nothing beyond the match set materializes."""
+    recs = _records(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.substring("doc_id", 1, 1) == "a", "left")
+        .otherwise("right")
+        .alias("side"),
+    )
+    m = _cross_matches(spark, sf_dir)
+    partners = (
+        m.select(F.col("doc_id_1").alias("doc_id"))
+        .unionAll(m.select(F.col("doc_id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_partners"))
+    )
+    return (
+        recs.join(partners, "doc_id", "left")
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("n_partners").alias("n_matched"),
+            F.coalesce(
+                F.sum((F.col("n_partners") >= 2).cast("int")), F.lit(0)
+            ).cast("long").alias("n_multi"),
+            F.round(
+                F.count("n_partners").cast("double") / F.count("*"), 6
+            ).alias("match_rate"),
+        )
     )
 
 
@@ -2328,6 +2369,49 @@ def oracle_sql() -> dict[str, str]:
     )
         SELECT doc_id_1, doc_id_2, round(score, 6) AS score
         FROM ranked WHERE rn1 = 1 AND rn2 = 1
+    """
+    sql["cross_coverage"] = f"""
+        {_sql_chain("pairs")},
+    cpairs AS (
+        SELECT * FROM pairs
+        WHERE substr(doc_id_1, 1, 1) = 'a' AND substr(doc_id_2, 1, 1) <> 'a'
+    ),
+    csims AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               greatest({sql_lev_sim('n1.name', 'n2.name')},
+                        {sql_lev_sim('n1.name', 'n2."group"')}) AS name,
+               CAST(0.0 AS DOUBLE) AS company_name,
+               {cross_sims}
+        FROM cpairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+    ),
+    cm AS MATERIALIZED (
+        SELECT doc_id_1, doc_id_2 FROM csims
+        WHERE {rules.sql_cross_rule_predicate()}
+    ),
+    partners AS (
+        SELECT doc_id, count(*) AS n_partners FROM (
+            SELECT doc_id_1 AS doc_id FROM cm
+            UNION ALL
+            SELECT doc_id_2 AS doc_id FROM cm
+        ) GROUP BY 1
+    ),
+    sides AS (
+        SELECT s.doc_id,
+               CASE WHEN substr(s.doc_id, 1, 1) = 'a'
+                    THEN 'left' ELSE 'right' END AS side
+        FROM synth s
+    )
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.n_partners) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(CASE WHEN p.n_partners >= 2
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_multi,
+           round(CAST(count(p.n_partners) AS DOUBLE) / count(*), 6)
+               AS match_rate
+    FROM sides LEFT JOIN partners p USING (doc_id)
+    GROUP BY 1
     """
     cross_masks = rules.sql_cross_rule_masks()
     cross_mask_aggs = []

@@ -167,3 +167,24 @@ def test_merge_recompare_complementary_evidence(spark):
     }
     assert out["r1"] == out["r2"] == out["r3"] == out["r4"] == "r1"
     assert out["r5"] == "r5"
+
+
+def test_cross_coverage_sides_and_rates(spark):
+    """Coverage rows = one per side; counts tie out to the records
+    and the cross match set."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["side"]: r for r in E.queries()["cross_coverage"](spark, sf).collect()}
+    assert set(out) == {"left", "right"}
+    recs = E._records(spark, sf)
+    n_left = recs.where(F.substring("doc_id", 1, 1) == "a").count()
+    assert out["left"]["n_docs"] == n_left
+    assert out["left"]["n_docs"] + out["right"]["n_docs"] == recs.count()
+    for side in out.values():
+        assert 0.0 <= side["match_rate"] <= 1.0
+        assert side["n_matched"] <= side["n_docs"]
+        assert side["n_multi"] <= side["n_matched"]
+    # every a-doc has a planted b counterpart: left coverage is full
+    assert out["left"]["match_rate"] > 0.95
