@@ -667,3 +667,50 @@ def stream_documents_to_clusters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_store(
+    spark, store_dir: str, files_per_table: int = 4
+) -> dict:
+    """Store maintenance: every micro-batch appends small part files
+    to records/keys/edges and a full stable-id snapshot to entity_ids,
+    so scan cost (and the per-batch touched-blocks join) degrades with
+    batch COUNT rather than data size.  Compaction rewrites each
+    append table into ``files_per_table`` files and drops all but the
+    CURRENT entity_ids seq — content-identical for every reader
+    (current mapping = max(seq) rows, which is all that survives).
+
+    Crash-safe without a manifest: each table is materialized
+    (localCheckpoint) BEFORE its temp-write + rename, tables are
+    independent (compaction changes layout, never content), and a
+    half-compacted store is still fully consistent — recover_store
+    runs first so a dead batch can't be baked into the rewrite.
+
+    On a real deployment this is Iceberg ``rewrite_data_files`` +
+    ``expire_snapshots``; the local parquet layout gets the same
+    effect from the StageStore temp+rename commit.  Run it on the
+    same cadence as any other table maintenance (every N batches).
+
+    Returns per-table ``{files_before, files_after, rows}``.
+    """
+    recover_store(spark, store_dir)
+    stats: dict = {}
+    for name in _STORE_APPEND_TABLES:
+        path = os.path.join(store_dir, name)
+        if not os.path.isdir(path):
+            continue
+        before = len(_data_files(path))
+        df = spark.read.parquet(path)
+        if name == "entity_ids":
+            cur = df.agg(F.max("seq")).collect()[0][0]
+            if cur is not None:
+                df = df.where(F.col("seq") == cur)
+        df = df.repartition(files_per_table).localCheckpoint(eager=True)
+        n = df.count()
+        _atomic_overwrite(df, path)
+        stats[name] = {
+            "files_before": before,
+            "files_after": len(_data_files(path)),
+            "rows": n,
+        }
+    return stats

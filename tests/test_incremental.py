@@ -508,3 +508,56 @@ def test_incremental_entity_ids_survive_relabeling(spark, tmp_path):
     assert all(len(s) == 1 for s in by_cluster.values())
     # distinct stable ids = distinct clusters (bijection)
     assert len(set(ids2.values())) == len(by_cluster)
+
+
+def test_compact_store_preserves_content(spark, tmp_path):
+    """Compaction shrinks file counts, keeps every reader's view
+    byte-identical (clusters, current entity ids), and the store
+    keeps ingesting afterwards."""
+    import os
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        compact_store,
+    )
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    b1 = docs.where(F.substring("doc_id", 1, 1) == "b")
+    b2 = docs.where(F.substring("doc_id", 1, 1) == "c")
+    b3 = docs.where(F.substring("doc_id", 1, 1) == "a")
+    store = str(tmp_path / "store")
+    incremental_linkage_batch(spark, b1, store)
+    incremental_linkage_batch(spark, b2, store)
+
+    pre_clusters = _cluster_set(spark.read.parquet(f"{store}/clusters"))
+    pre_ids = {
+        (r["doc_id"], r["stable_id"])
+        for r in spark.read.parquet(f"{store}/entity_ids")
+        .where(F.col("seq") == 2)
+        .collect()
+    }
+    stats = compact_store(spark, store, files_per_table=2)
+    for name, s in stats.items():
+        assert s["files_after"] <= max(2, s["files_before"]), name
+    # entity_ids history dropped to the current seq only
+    seqs = {
+        r["seq"]
+        for r in spark.read.parquet(f"{store}/entity_ids")
+        .select("seq").distinct().collect()
+    }
+    assert seqs == {2}
+    post_ids = {
+        (r["doc_id"], r["stable_id"])
+        for r in spark.read.parquet(f"{store}/entity_ids").collect()
+    }
+    assert post_ids == pre_ids
+    assert _cluster_set(spark.read.parquet(f"{store}/clusters")) == pre_clusters
+    # the store still ingests; id carryover still works off seq 2
+    incremental_linkage_batch(spark, b3, store)
+    ids3 = {
+        r["doc_id"]: r["stable_id"]
+        for r in spark.read.parquet(f"{store}/entity_ids")
+        .where(F.col("seq") == 3)
+        .collect()
+    }
+    pre_map = dict(pre_ids)
+    assert all(ids3[d] == sid for d, sid in pre_map.items())
