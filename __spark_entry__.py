@@ -1262,6 +1262,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # two-source coverage: per side, matched fraction + multi-match
     # surface (the prose table of the reference's README, quantified)
     q["cross_coverage"] = lambda s, d: _cross_coverage(s, d)
+    # product quantization (Jégou et al.): m-byte codes + ADC top-k on
+    # an exact integer grid — the memory side of 10^12-vector ANN
+    q["pq_codes"] = lambda s, d: ann.pq_encode(
+        _t(s, d, "embeddings"),
+        ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
+    )
+    q["pq_topk"] = lambda s, d: ann.pq_topk(
+        _t(s, d, "embeddings").where(F.col("vec_id") % 100 == 0),
+        ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
+        ann.pq_encode(
+            _t(s, d, "embeddings"),
+            ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
+        ),
+    )
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1369,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "pq_topk",
+    "pq_codes",
     "cross_coverage",
     "block_filtered_pairs",
     "capture_recapture",
@@ -2369,6 +2385,98 @@ def oracle_sql() -> dict[str, str]:
     )
         SELECT doc_id_1, doc_id_2, round(score, 6) AS score
         FROM ranked WHERE rn1 = 1 AND rn2 = 1
+    """
+    sql["pq_codes"] = f"""
+        WITH elems AS MATERIALIZED (
+            SELECT vec_id AS vid, j.j - 1 AS j,
+                   CAST(round(CAST(embedding[j.j] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS val
+            FROM embeddings, range(1, 65) j(j)
+        ),
+        low AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid ASC) - 1
+                        AS INT) AS code
+            FROM (SELECT vec_id AS vid FROM embeddings
+                  ORDER BY vec_id ASC LIMIT 16)
+        ),
+        cb AS MATERIALIZED (
+            SELECT l.code, e.j, e.val AS cval
+            FROM elems e JOIN low l USING (vid)
+        ),
+        codes AS MATERIALIZED (
+            SELECT vid AS vec_id, subspace, code FROM (
+                SELECT e.vid,
+                       CAST(floor(e.j / 8.0) AS INT) AS subspace,
+                       c.code,
+                       CAST(sum((e.val - c.cval) * (e.val - c.cval))
+                            AS BIGINT) AS _d,
+                       row_number() OVER (
+                           PARTITION BY e.vid, CAST(floor(e.j / 8.0) AS INT)
+                           ORDER BY CAST(sum((e.val - c.cval)
+                                    * (e.val - c.cval)) AS BIGINT) ASC,
+                                    c.code ASC) AS _r
+                FROM elems e JOIN cb c USING (j)
+                GROUP BY e.vid, CAST(floor(e.j / 8.0) AS INT), c.code
+            ) WHERE _r = 1
+        )
+        SELECT vec_id, subspace, code FROM codes
+    """
+    sql["pq_topk"] = f"""
+        WITH elems AS MATERIALIZED (
+            SELECT vec_id AS vid, j.j - 1 AS j,
+                   CAST(round(CAST(embedding[j.j] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS val
+            FROM embeddings, range(1, 65) j(j)
+        ),
+        low AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid ASC) - 1
+                        AS INT) AS code
+            FROM (SELECT vec_id AS vid FROM embeddings
+                  ORDER BY vec_id ASC LIMIT 16)
+        ),
+        cb AS MATERIALIZED (
+            SELECT l.code, e.j, e.val AS cval
+            FROM elems e JOIN low l USING (vid)
+        ),
+        codes AS MATERIALIZED (
+            SELECT vid AS vec_id, subspace, code FROM (
+                SELECT e.vid,
+                       CAST(floor(e.j / 8.0) AS INT) AS subspace,
+                       c.code,
+                       CAST(sum((e.val - c.cval) * (e.val - c.cval))
+                            AS BIGINT) AS _d,
+                       row_number() OVER (
+                           PARTITION BY e.vid, CAST(floor(e.j / 8.0) AS INT)
+                           ORDER BY CAST(sum((e.val - c.cval)
+                                    * (e.val - c.cval)) AS BIGINT) ASC,
+                                    c.code ASC) AS _r
+                FROM elems e JOIN cb c USING (j)
+                GROUP BY e.vid, CAST(floor(e.j / 8.0) AS INT), c.code
+            ) WHERE _r = 1
+        ),
+        lut AS (
+            SELECT e.vid AS query_id,
+                   CAST(floor(e.j / 8.0) AS INT) AS subspace,
+                   c.code,
+                   CAST(sum((e.val - c.cval) * (e.val - c.cval))
+                        AS BIGINT) AS _d
+            FROM elems e JOIN cb c USING (j)
+            WHERE e.vid % 100 = 0
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT l.query_id, k.vec_id AS neighbor_id,
+                   CAST(sum(l._d) AS BIGINT) AS pq_dist
+            FROM codes k JOIN lut l USING (subspace, code)
+            GROUP BY 1, 2
+            HAVING l.query_id <> k.vec_id
+        )
+        SELECT query_id, neighbor_id, pq_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY pq_dist ASC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
     """
     sql["cross_coverage"] = f"""
         {_sql_chain("pairs")},

@@ -891,3 +891,219 @@ def sql_semdedup(
                ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
         FROM assigned a JOIN comp c ON a.vid = c.vid
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., PAMI'11): the memory side of the
+# 10^12-vector story.  IVF shrinks the SEARCH (probe a few cells); PQ
+# shrinks the VECTORS (m byte-codes instead of d floats, ~32x for
+# 64-dim float -> 8 codes), and ADC scores candidates from a per-query
+# lookup table without ever touching raw vectors.  Deterministic
+# variant: codebook entries are the subvectors of the k lowest-id
+# corpus vectors (the fixed_ivf_index trick — KMeans-trained codebooks
+# drop in behind the same contract), and ALL distances live on a
+# 1e6-scaled integer grid, so sums are exact and order-independent in
+# any engine (the value_specific_odds decimal-sum trick) — the whole
+# encode/ADC path is DuckDB hash-gatable.
+# ---------------------------------------------------------------------------
+
+
+def _pq_elems(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+) -> DataFrame:
+    """(vid, j, val): one row per vector element, values snapped to the
+    integer grid ``round(x * scale)``."""
+    return corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "j", "_x"
+        ),
+    ).select(
+        "vid", "j", F.round(F.col("_x") * scale, 0).cast("long").alias("val")
+    )
+
+
+def pq_fixed_codebooks(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Element-level PQ codebooks: code c of every subspace = the
+    subvector of the (c+1)-th lowest-id corpus vector.  Output:
+    ``(code, j, cval)`` — tiny (k x dim rows), broadcast everywhere.
+    """
+    # top-k FIRST (TakeOrderedAndProject — per-partition heap, no
+    # global sort), THEN rank: the single-partition window only ever
+    # sees k rows, never the corpus
+    low = (
+        corpus.select(F.col(id_col).alias("vid"))
+        .orderBy(F.col("vid").asc())
+        .limit(k)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(F.col("vid").asc())) - 1,
+        )
+    )
+    return (
+        _pq_elems(corpus, id_col, vec_col, scale)
+        .join(low, "vid")
+        .select("code", "j", F.col("val").alias("cval"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the code whose codebook
+    subvector is L2-nearest on the integer grid (ties -> min code).
+    Output: ``(vec_id, subspace, code)`` — the m-byte representation.
+
+    Scale shape: one narrow posexplode, one broadcast join against the
+    (k x dim)-row codebook, one map-combinable (vid, subspace, code)
+    sum, one per-(vid, subspace) argmin window bounded by k.
+    """
+    subdim = dim // m
+    elems = _pq_elems(corpus, id_col, vec_col, scale)
+    d2 = (
+        elems.join(F.broadcast(codebook), "j")
+        .select(
+            "vid",
+            F.floor(F.col("j") / F.lit(float(subdim)))
+            .cast("int")
+            .alias("subspace"),
+            "code",
+            ((F.col("val") - F.col("cval"))
+             * (F.col("val") - F.col("cval"))).alias("_sq"),
+        )
+        .groupBy("vid", "subspace", "code")
+        .agg(F.sum("_sq").alias("_d"))
+    )
+    w = Window.partitionBy("vid", "subspace").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    return (
+        d2.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("vid").alias(id_col), "subspace", "code"
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """ADC top-k (asymmetric distance computation): per query, a
+    (subspace, code) lookup table of integer-grid L2 distances to every
+    codebook entry; a candidate's approximate distance is the sum of m
+    LUT hits on its codes — raw corpus vectors are never touched.
+    Output: ``(query_id, neighbor_id, pq_dist, rank)``, self excluded.
+
+    Scale shape: the LUT is (queries x m x k) rows — broadcast; the
+    scoring join is keyed on (subspace, code) and aggregates m rows
+    per (query, candidate); exact integer arithmetic end to end.
+    """
+    subdim = dim // m
+    q_elems = _pq_elems(queries, id_col, vec_col, scale).withColumnRenamed(
+        "vid", "query_id"
+    )
+    lut = (
+        q_elems.join(F.broadcast(codebook), "j")
+        .select(
+            "query_id",
+            F.floor(F.col("j") / F.lit(float(subdim)))
+            .cast("int")
+            .alias("subspace"),
+            "code",
+            ((F.col("val") - F.col("cval"))
+             * (F.col("val") - F.col("cval"))).alias("_sq"),
+        )
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum("_sq").alias("_d"))
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("pq_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+    )
+
+
+def pq_trained_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Production PQ codebooks: one KMeans per subspace over the
+    corpus subvectors (pyspark.ml, fixed seed), centers snapped to the
+    same integer grid the encoder uses — drop-in for
+    :func:`pq_fixed_codebooks` (same ``(code, j, cval)`` contract, so
+    encode/ADC are shared).  Not SQL-expressible (like
+    :func:`ivf_index`) — the fixed variant carries the hash gate, this
+    one the recall.
+
+    At 10^12 vectors the fits run on a driver-bounded SAMPLE (k*1000
+    rows per subspace trains a k-codebook fine — standard FAISS
+    practice); the full corpus only ever sees the one-pass encode.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    subdim = dim // m
+    base = ensure_width(corpus).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
+    spark = corpus.sparkSession
+    rows = []
+    for s in range(m):
+        sub = base.select(
+            array_to_vector(
+                F.slice(F.col("v"), s * subdim + 1, subdim)
+            ).alias("_fv")
+        )
+        model = KMeans(
+            k=k, seed=seed + s, featuresCol="_fv", predictionCol="_c"
+        ).fit(sub)
+        # deterministic code order: centers sorted lexicographically
+        centers = sorted(
+            [list(c) for c in model.clusterCenters()]
+        )
+        for code, c in enumerate(centers):
+            for jj, x in enumerate(c):
+                rows.append(
+                    (code, s * subdim + jj, int(round(x * scale)))
+                )
+    return spark.createDataFrame(rows, "code int, j int, cval long")
