@@ -1268,14 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"),
         ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
     )
-    q["pq_topk"] = lambda s, d: ann.pq_topk(
-        _t(s, d, "embeddings").where(F.col("vec_id") % 100 == 0),
-        ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
-        ann.pq_encode(
-            _t(s, d, "embeddings"),
-            ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
-        ),
-    )
+    q["pq_topk"] = lambda s, d: _pq_topk_q(s, d)
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1657,6 +1650,22 @@ def _one_to_one_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one_to_one_assignment(scored).select(
         "doc_id_1", "doc_id_2", F.round("score", 6).alias("score")
+    )
+
+
+def _pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k driver entry: the codebook feeds BOTH the LUT and the
+    encoder, and the codes table feeds the scoring join — build each
+    once and pin (the codebook/encode subplans would otherwise
+    re-execute per reference; same fan-out rule as every other multi-
+    referenced derived table in this file)."""
+    from record_linkage_ldu_spark.operators.dedup import _pin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _pin(ann.pq_fixed_codebooks(emb), True)
+    codes = _pin(ann.pq_encode(emb, cb), True)
+    return ann.pq_topk(
+        emb.where(F.col("vec_id") % 100 == 0), cb, codes
     )
 
 
@@ -2671,18 +2680,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 1000000 AS doc_id, text
             FROM documents WHERE doc_id % 13 = 0
         ),
-        o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
-        n AS (SELECT doc_id, md5(text) AS new_fp FROM newv)
+        o AS (SELECT doc_id, md5(text) AS old_fp, 1 AS in_old
+              FROM documents),
+        n AS (SELECT doc_id, md5(text) AS new_fp, 1 AS in_new FROM newv)
         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-               CASE WHEN o.doc_id IS NULL THEN 'added'
-                    WHEN n.doc_id IS NULL THEN 'removed'
-                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+               CASE WHEN o.in_old IS NULL THEN 'added'
+                    WHEN n.in_new IS NULL THEN 'removed'
+                    WHEN o.old_fp IS DISTINCT FROM n.new_fp
+                        THEN 'changed'
                END AS status,
                o.old_fp, n.new_fp
         FROM o FULL JOIN n ON o.doc_id = n.doc_id
-        WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
-                    WHEN n.doc_id IS NULL THEN 'removed'
-                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+        WHERE (CASE WHEN o.in_old IS NULL THEN 'added'
+                    WHEN n.in_new IS NULL THEN 'removed'
+                    WHEN o.old_fp IS DISTINCT FROM n.new_fp
+                        THEN 'changed'
                END) IS NOT NULL
     """
     sql["dedup_weights"] = f"""
@@ -4081,12 +4093,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach_rec GROUP BY a
     )
     SELECT c.doc_id_1, c.doc_id_2,
-           (c1.cluster_id = c2.cluster_id) AS violated,
+           coalesce(c1.cluster_id = c2.cluster_id, FALSE) AS violated,
            c1.cluster_id AS cluster_id_1,
            c2.cluster_id AS cluster_id_2
     FROM cannot c
-    JOIN comp c1 ON c.doc_id_1 = c1.doc_id
-    JOIN comp c2 ON c.doc_id_2 = c2.doc_id
+    LEFT JOIN comp c1 ON c.doc_id_1 = c1.doc_id
+    LEFT JOIN comp c2 ON c.doc_id_2 = c2.doc_id
     """
     sql["cluster_error_taxonomy"] = f"""
         {_SQL_CC},

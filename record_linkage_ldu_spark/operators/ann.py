@@ -915,8 +915,11 @@ def _pq_elems(
     scale: float,
 ) -> DataFrame:
     """(vid, j, val): one row per vector element, values snapped to the
-    integer grid ``round(x * scale)``."""
-    return corpus.select(
+    integer grid ``round(x * scale)``.  ensure_width: the codebook
+    join is a broadcast, and a broadcast probe side KEEPS the input
+    partitioning — a one-split parquet corpus would run the whole
+    |corpus| x k x dim expansion in a single task."""
+    return ensure_width(corpus).select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias(
             "j", "_x"
@@ -1083,8 +1086,14 @@ def pq_trained_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     subdim = dim // m
-    base = ensure_width(corpus).select(
-        F.col(vec_col).cast("array<double>").alias("v")
+    # bounded slice: a k-codebook trains fine on ~k*1000 subvectors
+    # (standard FAISS practice) — never iterate KMeans over the full
+    # corpus m times
+    base = (
+        ensure_width(corpus)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(k * 1000)
+        .localCheckpoint(eager=True)
     )
     spark = corpus.sparkSession
     rows = []

@@ -1327,8 +1327,11 @@ def blocking_plan(
         F.col("id").alias("subset")
     )
     hit = F.col("mask").bitwiseAND(F.col("subset")) != 0
+    # LEFT join on true, not a cross join: an empty histogram (no
+    # candidate pairs / no labeled true pairs) must still yield the
+    # full 2^k - 1 subset rows with zero counts, never an empty frame
     p = (
-        subsets.crossJoin(F.broadcast(hist))
+        subsets.join(F.broadcast(hist), F.lit(True), "left")
         .groupBy("subset")
         .agg(
             F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0)).alias(
@@ -1337,13 +1340,13 @@ def blocking_plan(
         )
     )
     t = (
-        subsets.crossJoin(F.broadcast(true_hist))
+        subsets.join(F.broadcast(true_hist), F.lit(True), "left")
         .groupBy("subset")
         .agg(
             F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0)).alias(
                 "n_true"
             ),
-            F.sum("n").alias("total_true"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total_true"),
         )
     )
     fam_names = F.concat_ws(
@@ -1359,7 +1362,10 @@ def blocking_plan(
     for f, v in bits.items():
         term = (F.col("subset").bitwiseAND(F.lit(v)) != 0).cast("int")
         n_fams = term if n_fams is None else n_fams + term
-    recall_raw = F.col("n_true").cast("double") / F.col("total_true")
+    recall_raw = F.when(
+        F.col("total_true") > 0,
+        F.col("n_true").cast("double") / F.col("total_true"),
+    ).otherwise(F.lit(0.0))
     meets = recall_raw >= F.lit(float(target_recall))
     scored = p.join(t, "subset").select(
         "subset",

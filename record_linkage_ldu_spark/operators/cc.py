@@ -638,9 +638,12 @@ def cannot_link_audit(
     re-review of the corroborating edges).
 
     Scale shape: one anti-join removes constrained edges, the
-    standard CC pass re-clusters, and the audit is two keyed joins of
-    the constraint table (bounded by review volume, tiny) against the
-    cluster map.  Nothing new materializes beyond CC itself.
+    standard CC pass re-clusters, and the audit is two keyed LEFT
+    joins of the constraint table (bounded by review volume, tiny)
+    against the cluster map — left, so a constraint naming a doc_id
+    absent from ``vertices`` (stale id, removed doc) still gets its
+    audit row (NULL cluster ids, ``violated`` false) instead of
+    silently vanishing.  Nothing new materializes beyond CC itself.
     """
     from .dedup import _pin
 
@@ -660,14 +663,15 @@ def cannot_link_audit(
         F.col("cluster_id").alias("cluster_id_2"),
     )
     return (
-        cannot.join(c1, "doc_id_1")
-        .join(c2, "doc_id_2")
+        cannot.join(c1, "doc_id_1", "left")
+        .join(c2, "doc_id_2", "left")
         .select(
             "doc_id_1",
             "doc_id_2",
-            (F.col("cluster_id_1") == F.col("cluster_id_2")).alias(
-                "violated"
-            ),
+            F.coalesce(
+                F.col("cluster_id_1") == F.col("cluster_id_2"),
+                F.lit(False),
+            ).alias("violated"),
             "cluster_id_1",
             "cluster_id_2",
         )

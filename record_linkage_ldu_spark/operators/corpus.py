@@ -1599,19 +1599,24 @@ def snapshot_diff(
     full-outer equi-join on the id + a filter.  No text leaves the
     scan — only 32-byte fingerprints shuffle.
     """
+    # presence is keyed on explicit side flags, NOT fingerprint
+    # nullity: md5(NULL text) is NULL, and conflating that with a
+    # missing row misclassifies NULL-text docs as added/removed
     o = old_docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col).cast("binary")).alias("old_fp"),
+        F.lit(1).alias("_in_old"),
     )
     n = new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col).cast("binary")).alias("new_fp"),
+        F.lit(1).alias("_in_new"),
     )
     j = o.join(n, "doc_id", "full")
     status = (
-        F.when(F.col("old_fp").isNull(), "added")
-        .when(F.col("new_fp").isNull(), "removed")
-        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), "changed")
     )
     return j.select(
         "doc_id", status.alias("status"), "old_fp", "new_fp"

@@ -224,6 +224,48 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _safe_swap(df: DataFrame, path: str) -> None:
+    """Crash-safe overwrite for PRIMARY (non-rebuildable) tables:
+    write temp, rename live -> .compact_old, rename temp -> live,
+    drop .compact_old.  Every crash window leaves either the old or
+    the new COMPLETE table recoverable by `_recover_compaction`
+    (unlike `_atomic_overwrite`, whose rmtree-then-replace window is
+    tolerable only for derived tables a manifest rollback rebuilds)."""
+    import shutil
+
+    tmp = path + ".compact_tmp"
+    old = path + ".compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+
+
+def _recover_compaction(store_dir: str) -> bool:
+    """Finish or roll back a compaction swap that died mid-rename: if
+    the live table is missing, promote the completed .compact_tmp
+    (new) or fall back to .compact_old (previous); then clear
+    leftovers.  Returns True if anything was repaired."""
+    import shutil
+
+    repaired = False
+    for name in _STORE_APPEND_TABLES:
+        path = os.path.join(store_dir, name)
+        tmp, old = path + ".compact_tmp", path + ".compact_old"
+        if not os.path.isdir(path):
+            if os.path.isdir(tmp):
+                os.replace(tmp, path)
+                repaired = True
+            elif os.path.isdir(old):
+                os.replace(old, path)
+                repaired = True
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    return repaired
+
+
 def recover_store(spark, store_dir: str, cfg=None) -> bool:
     """Roll back a half-committed micro-batch (ADVICE r3: the commit
     spanned four separate writes, and a crash between the records
@@ -246,13 +288,14 @@ def recover_store(spark, store_dir: str, cfg=None) -> bool:
     from ..operators.cc import connected_components
     from ..plans.linkage import LinkageConfig
 
+    compact_fixed = _recover_compaction(store_dir)
     mpath = os.path.join(store_dir, BATCH_MANIFEST)
     if not os.path.exists(mpath):
-        return False
+        return compact_fixed
     with open(mpath) as f:
         manifest = json.load(f)
     if manifest.get("status") != "in-progress":
-        return False
+        return compact_fixed
 
     pre = manifest.get("pre", {})
     for name in _STORE_APPEND_TABLES:
@@ -680,11 +723,14 @@ def compact_store(
     CURRENT entity_ids seq — content-identical for every reader
     (current mapping = max(seq) rows, which is all that survives).
 
-    Crash-safe without a manifest: each table is materialized
-    (localCheckpoint) BEFORE its temp-write + rename, tables are
-    independent (compaction changes layout, never content), and a
-    half-compacted store is still fully consistent — recover_store
-    runs first so a dead batch can't be baked into the rewrite.
+    Crash-safe: each table is materialized (localCheckpoint) BEFORE
+    its swap, the swap itself never has a window where neither the
+    old nor the new COMPLETE table exists (`_safe_swap`: temp-write,
+    live -> .compact_old, temp -> live), and `recover_store` — which
+    runs first here and at the head of every batch — finishes or
+    rolls back an interrupted swap via `_recover_compaction`.  Tables
+    are independent (compaction changes layout, never content), so a
+    half-compacted store is still fully consistent.
 
     On a real deployment this is Iceberg ``rewrite_data_files`` +
     ``expire_snapshots``; the local parquet layout gets the same
@@ -707,7 +753,7 @@ def compact_store(
                 df = df.where(F.col("seq") == cur)
         df = df.repartition(files_per_table).localCheckpoint(eager=True)
         n = df.count()
-        _atomic_overwrite(df, path)
+        _safe_swap(df, path)
         stats[name] = {
             "files_before": before,
             "files_after": len(_data_files(path)),

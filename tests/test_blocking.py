@@ -592,3 +592,28 @@ def test_block_filtering_keeps_r_most_selective(spark):
         for r in candidate_pairs(block_filtering(keys, r=2)).collect()
     }
     assert ("d1", "d2") in pairs2
+
+
+def test_blocking_plan_empty_inputs_keep_subset_rows(spark):
+    """No labeled true pairs (or no candidate pairs) still yields the
+    full 2^k - 1 subset rows with zero counts and a chosen row."""
+    from record_linkage_ldu_spark.operators.blocking import blocking_plan
+
+    keys = spark.createDataFrame(
+        [("d1", "aa:x"), ("d2", "aa:x"), ("d3", "bb:y")],
+        "doc_id string, block_key string",
+    )
+    no_true = spark.createDataFrame(
+        [("d1", "d3", False)],
+        "doc_id_1 string, doc_id_2 string, is_match boolean",
+    )
+    rows = blocking_plan(keys, no_true, families=("aa", "bb")).collect()
+    assert len(rows) == 3
+    assert all(r["n_true"] == 0 and r["recall"] == 0.0 for r in rows)
+    assert sum(r["chosen"] for r in rows) == 1
+    # no candidate pairs at all: still 2^k - 1 rows
+    lonely = spark.createDataFrame(
+        [("d1", "aa:x")], "doc_id string, block_key string"
+    )
+    rows2 = blocking_plan(lonely, no_true, families=("aa",)).collect()
+    assert len(rows2) == 1 and rows2[0]["n_pairs"] == 0

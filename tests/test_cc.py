@@ -617,3 +617,22 @@ def test_cluster_error_taxonomy_four_statuses(spark):
     assert out["e4"]["status"] == "merged"
     assert out["e5"]["status"] == "fragmented+merged"
     assert out["e5"]["n_docs"] == 2
+
+
+def test_cannot_link_audit_unknown_doc_still_audited(spark):
+    """A constraint naming a doc absent from vertices keeps its audit
+    row (NULL cluster ids, violated False) — never silently dropped."""
+    from record_linkage_ldu_spark.operators.cc import cannot_link_audit
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "doc_id_1 string, doc_id_2 string"
+    )
+    cannot = spark.createDataFrame(
+        [("a", "zzz")], "doc_id_1 string, doc_id_2 string"
+    )
+    vertices = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    out = cannot_link_audit(edges, cannot, vertices).collect()
+    assert len(out) == 1
+    assert out[0]["violated"] is False
+    assert out[0]["cluster_id_2"] is None
+    assert out[0]["cluster_id_1"] is not None

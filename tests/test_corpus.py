@@ -753,3 +753,18 @@ def test_leakage_safe_split_partial_keep_list_falls_back(spark):
     assert by_id[3]["cluster_id"] == 3  # identity fallback
     assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 10
     assert by_id[1]["split"] == by_id[2]["split"]
+
+
+def test_snapshot_diff_null_text_not_misclassified(spark):
+    """NULL text is content, not absence: NULL->NULL is unchanged,
+    NULL->'x' and 'x'->NULL are changed."""
+    from record_linkage_ldu_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "changed"}  # doc 1 unchanged

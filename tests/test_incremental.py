@@ -561,3 +561,43 @@ def test_compact_store_preserves_content(spark, tmp_path):
     }
     pre_map = dict(pre_ids)
     assert all(ids3[d] == sid for d, sid in pre_map.items())
+
+
+def test_compaction_crash_windows_recover(spark, tmp_path):
+    """A compaction swap killed mid-rename never loses a primary
+    table: whichever complete copy exists (.compact_tmp or
+    .compact_old) is promoted on the next recover."""
+    import os
+    import shutil
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        recover_store,
+    )
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    store = str(tmp_path / "store")
+    incremental_linkage_batch(spark, docs, store)
+    records = os.path.join(store, "records")
+    pre = _cluster_set(
+        spark.read.parquet(records).select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+    )
+
+    # window (b): live missing, tmp (new) complete
+    shutil.copytree(records, records + ".compact_tmp")
+    shutil.move(records, records + ".compact_old")
+    assert recover_store(spark, store)
+    assert _cluster_set(
+        spark.read.parquet(records).select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+    ) == pre
+    assert not os.path.exists(records + ".compact_tmp")
+    assert not os.path.exists(records + ".compact_old")
+
+    # window (c): live intact, stale .compact_old left behind
+    shutil.copytree(records, records + ".compact_old")
+    recover_store(spark, store)
+    assert not os.path.exists(records + ".compact_old")
+    assert os.path.isdir(records)

@@ -312,7 +312,12 @@ def main(sf_dir: str, out_dir: str) -> None:
     # clerical-loop views (r4): the boundary review queue, the chosen
     # blocking plan, and the per-entity error taxonomy — the three
     # tables that turn the metrics above into actions
-    rq = qs["review_queue"](spark, sf_dir).orderBy("margin").limit(10).collect()
+    rq = (
+        qs["review_queue"](spark, sf_dir)
+        .orderBy("margin", "doc_id_1", "doc_id_2")
+        .limit(10)
+        .collect()
+    )
     lines += [
         "## Review queue (10 pairs nearest the decision threshold)",
         "",
