@@ -1269,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann.pq_fixed_codebooks(_t(s, d, "embeddings")),
     )
     q["pq_topk"] = lambda s, d: _pq_topk_q(s, d)
+    # the composed serving stack: IVF probe restricts the cells, ADC
+    # scores the candidates — raw vectors untouched at query time
+    q["ivfpq_topk"] = lambda s, d: _ivfpq_topk_q(s, d)
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1376,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "ivfpq_topk",
     "pq_topk",
     "pq_codes",
     "cross_coverage",
@@ -1666,6 +1670,26 @@ def _pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pin(ann.pq_encode(emb, cb), True)
     return ann.pq_topk(
         emb.where(F.col("vec_id") % 100 == 0), cb, codes
+    )
+
+
+def _ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ driver entry: index, codebook, and codes are each built
+    once and pinned (shared across the probe and ADC subtrees)."""
+    from record_linkage_ldu_spark.operators.dedup import _pin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = ann.fixed_ivf_index(emb, modulus=64)
+    index = (_pin(centroids, True), _pin(assigned, True))
+    cb = _pin(ann.pq_fixed_codebooks(emb), True)
+    codes = _pin(ann.pq_encode(emb, cb), True)
+    return ann.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        nprobe=2,
+        index=index,
+        codebook=cb,
+        codes=codes,
     )
 
 
@@ -2479,6 +2503,98 @@ def oracle_sql() -> dict[str, str]:
             FROM codes k JOIN lut l USING (subspace, code)
             GROUP BY 1, 2
             HAVING l.query_id <> k.vec_id
+        )
+        SELECT query_id, neighbor_id, pq_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY pq_dist ASC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+    sql["ivfpq_topk"] = f"""
+        WITH elems AS MATERIALIZED (
+            SELECT vec_id AS vid, j.j - 1 AS j,
+                   CAST(round(CAST(embedding[j.j] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS val
+            FROM embeddings, range(1, 65) j(j)
+        ),
+        low AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid ASC) - 1
+                        AS INT) AS code
+            FROM (SELECT vec_id AS vid FROM embeddings
+                  ORDER BY vec_id ASC LIMIT 16)
+        ),
+        cb AS MATERIALIZED (
+            SELECT l.code, e.j, e.val AS cval
+            FROM elems e JOIN low l USING (vid)
+        ),
+        codes AS MATERIALIZED (
+            SELECT vid AS vec_id, subspace, code FROM (
+                SELECT e.vid,
+                       CAST(floor(e.j / 8.0) AS INT) AS subspace,
+                       c.code,
+                       CAST(sum((e.val - c.cval) * (e.val - c.cval))
+                            AS BIGINT) AS _d,
+                       row_number() OVER (
+                           PARTITION BY e.vid, CAST(floor(e.j / 8.0) AS INT)
+                           ORDER BY CAST(sum((e.val - c.cval)
+                                    * (e.val - c.cval)) AS BIGINT) ASC,
+                                    c.code ASC) AS _r
+                FROM elems e JOIN cb c USING (j)
+                GROUP BY e.vid, CAST(floor(e.j / 8.0) AS INT), c.code
+            ) WHERE _r = 1
+        ),
+        cent AS (
+            SELECT CAST(vec_id AS BIGINT) AS centroid_id,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 64 = 0
+        ),
+        assigned AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+                               DESC, c.centroid_id ASC) AS _r
+                FROM embeddings e, cent c
+            ) WHERE _r = 1
+        ),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]), c.cv), 6)
+                               DESC, c.centroid_id ASC) AS _pr
+                FROM embeddings q, cent c
+                WHERE q.vec_id % 100 = 0
+            ) WHERE _pr <= 2
+        ),
+        cand AS (
+            SELECT p.query_id, a.vid AS neighbor_id
+            FROM probes p JOIN assigned a USING (centroid_id)
+            WHERE p.query_id <> a.vid
+        ),
+        lut AS (
+            SELECT e.vid AS query_id,
+                   CAST(floor(e.j / 8.0) AS INT) AS subspace,
+                   c.code,
+                   CAST(sum((e.val - c.cval) * (e.val - c.cval))
+                        AS BIGINT) AS _d
+            FROM elems e JOIN cb c USING (j)
+            WHERE e.vid % 100 = 0
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT ca.query_id, ca.neighbor_id,
+                   CAST(sum(l._d) AS BIGINT) AS pq_dist
+            FROM codes k
+            JOIN cand ca ON k.vec_id = ca.neighbor_id
+            JOIN lut l ON l.query_id = ca.query_id
+                      AND l.subspace = k.subspace AND l.code = k.code
+            GROUP BY 1, 2
         )
         SELECT query_id, neighbor_id, pq_dist, rank FROM (
             SELECT *, CAST(row_number() OVER (

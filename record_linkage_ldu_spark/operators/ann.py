@@ -1004,6 +1004,38 @@ def pq_encode(
     )
 
 
+def _pq_lut(
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+) -> DataFrame:
+    """Per-query ADC lookup table: integer-grid L2 distance from each
+    query subvector to every codebook entry — (queries x m x k) rows,
+    broadcast-sized."""
+    subdim = dim // m
+    q_elems = _pq_elems(queries, id_col, vec_col, scale).withColumnRenamed(
+        "vid", "query_id"
+    )
+    return (
+        q_elems.join(F.broadcast(codebook), "j")
+        .select(
+            "query_id",
+            F.floor(F.col("j") / F.lit(float(subdim)))
+            .cast("int")
+            .alias("subspace"),
+            "code",
+            ((F.col("val") - F.col("cval"))
+             * (F.col("val") - F.col("cval"))).alias("_sq"),
+        )
+        .groupBy("query_id", "subspace", "code")
+        .agg(F.sum("_sq").alias("_d"))
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codebook: DataFrame,
@@ -1025,24 +1057,7 @@ def pq_topk(
     scoring join is keyed on (subspace, code) and aggregates m rows
     per (query, candidate); exact integer arithmetic end to end.
     """
-    subdim = dim // m
-    q_elems = _pq_elems(queries, id_col, vec_col, scale).withColumnRenamed(
-        "vid", "query_id"
-    )
-    lut = (
-        q_elems.join(F.broadcast(codebook), "j")
-        .select(
-            "query_id",
-            F.floor(F.col("j") / F.lit(float(subdim)))
-            .cast("int")
-            .alias("subspace"),
-            "code",
-            ((F.col("val") - F.col("cval"))
-             * (F.col("val") - F.col("cval"))).alias("_sq"),
-        )
-        .groupBy("query_id", "subspace", "code")
-        .agg(F.sum("_sq").alias("_d"))
-    )
+    lut = _pq_lut(queries, codebook, m, dim, id_col, vec_col, scale)
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["subspace", "code"])
@@ -1116,3 +1131,98 @@ def pq_trained_codebooks(
                     (code, s * subdim + jj, int(round(x * scale)))
                 )
     return spark.createDataFrame(rows, "code int, j int, cval long")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    modulus: int = 64,
+    m: int = 8,
+    dim: int = 64,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the full trillion-vector serving stack composed — IVF
+    shrinks the SEARCH (each query scores only its ``nprobe`` probed
+    cells), PQ shrinks the MEMORY (candidates are scored by ADC over
+    m-byte codes) — at query time neither raw corpus vectors nor
+    unprobed cells are ever touched.  The deterministic variant
+    (fixed coarse quantizer + fixed codebooks + integer-grid ADC) is
+    hash-gatable end to end; swap in ``ivf_index`` /
+    ``pq_trained_codebooks`` behind the same ``index`` / ``codebook``
+    arguments for the trained production path.
+
+    Output: ``(query_id, neighbor_id, pq_dist, rank)``, self excluded.
+
+    Scale shape: probes = queries x a broadcast centroid table; the
+    candidate restriction is ONE equi-join on centroid_id against the
+    (persisted, cell-partitioned) assignment; ADC is one vid equi-join
+    attaching query ids to codes plus one broadcast LUT join keyed on
+    (query_id, subspace, code).
+    """
+    centroids, assigned = (
+        index
+        if index is not None
+        else fixed_ivf_index(corpus, modulus, id_col, vec_col)
+    )
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_fixed_codebooks(corpus, codebook_k, id_col, vec_col, scale)
+    )
+    cds = (
+        codes
+        if codes is not None
+        else pq_encode(corpus, cb, m, dim, id_col, vec_col, scale)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+        .withColumn("_pr", F.row_number().over(wc))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(
+            assigned.select(F.col("vid"), "centroid_id"), "centroid_id"
+        )
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    lut = _pq_lut(queries, cb, m, dim, id_col, vec_col, scale)
+    scored = (
+        cds.withColumnRenamed(id_col, "neighbor_id")
+        .join(cand, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+    )

@@ -496,3 +496,53 @@ def test_pq_trained_codebooks_beat_fixed(spark):
     r_trained = recall(pq_trained_codebooks(vecs, m=m, k=k), m)
     assert r_trained >= r_fixed, (r_trained, r_fixed)
     assert r_trained >= 0.3, r_trained
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark):
+    """nprobe = all cells degenerates IVF-PQ to plain ADC: identical
+    output to pq_topk (the anchor identity); low nprobe returns a
+    subset drawn from probed cells only."""
+    from record_linkage_ldu_spark.operators.ann import (
+        fixed_ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    cb = pq_fixed_codebooks(vecs).localCheckpoint(eager=True)
+    codes = pq_encode(vecs, cb).localCheckpoint(eager=True)
+    index = fixed_ivf_index(vecs, modulus=64)
+    index = (index[0].localCheckpoint(eager=True),
+             index[1].localCheckpoint(eager=True))
+    n_cells = index[0].count()
+
+    full = {
+        tuple(r)
+        for r in ivfpq_topk(
+            vecs, queries, nprobe=n_cells, index=index,
+            codebook=cb, codes=codes,
+        ).collect()
+    }
+    plain = {tuple(r) for r in pq_topk(queries, cb, codes, k=10).collect()}
+    assert full == plain
+
+    narrow = ivfpq_topk(
+        vecs, queries, nprobe=1, index=index, codebook=cb, codes=codes
+    )
+    rows = narrow.collect()
+    assert 0 < len(rows) <= len(plain)
+    # every narrow neighbor lives in the query's single probed cell
+    probed = {
+        (r["query_id"], r["neighbor_id"]) for r in rows
+    }
+    assign = {r["vid"]: r["centroid_id"] for r in index[1].collect()}
+    qcell = {}
+    for q, n in probed:
+        qcell.setdefault(q, set()).add(assign[n])
+    assert all(len(cells) == 1 for cells in qcell.values())
