@@ -1272,6 +1272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the composed serving stack: IVF probe restricts the cells, ADC
     # scores the candidates — raw vectors untouched at query time
     q["ivfpq_topk"] = lambda s, d: _ivfpq_topk_q(s, d)
+    # multimodal match fusion: text-rule evidence and shared-media
+    # evidence over the SAME doc pairs, with provenance — the
+    # interleaved-document payoff (a pair the text rules miss still
+    # links when both docs embed the same image, and 'both' pairs are
+    # the highest-confidence tier)
+    q["multimodal_matches"] = lambda s, d: _multimodal_matches_q(s, d)
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1379,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "multimodal_matches",
     "ivfpq_topk",
     "pq_topk",
     "pq_codes",
@@ -1670,6 +1677,44 @@ def _pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pin(ann.pq_encode(emb, cb), True)
     return ann.pq_topk(
         emb.where(F.col("vec_id") % 100 == 0), cb, codes
+    )
+
+
+def _multimodal_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multimodal match decision: full-outer the text-rule match
+    set against doc pairs sharing media CONTENT (md5 of the payload —
+    the media_dedup hash), tagging each pair text / media / both."""
+    text_m = _matches(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    media = media_table(
+        synth_documents(_t(spark, sf_dir, "customer"))
+    ).withColumn(
+        "payload",
+        F.encode(F.regexp_replace("media_ref", "[^0-9]", ""), "utf-8"),
+    )
+    h = media.select(
+        "doc_id", F.md5("payload").alias("h")
+    ).dropDuplicates(["doc_id", "h"])
+    a, b = h.alias("a"), h.alias("b")
+    mp = (
+        a.join(b, "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    t = text_m.withColumn("_t", F.lit(1))
+    m2 = mp.withColumn("_m", F.lit(1))
+    return t.join(m2, ["doc_id_1", "doc_id_2"], "full").select(
+        "doc_id_1",
+        "doc_id_2",
+        F.when(
+            F.col("_t").isNotNull() & F.col("_m").isNotNull(), "both"
+        )
+        .when(F.col("_t").isNotNull(), "text")
+        .otherwise("media")
+        .alias("evidence"),
     )
 
 
@@ -2510,6 +2555,29 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY pq_dist ASC, neighbor_id ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= 10
+    """
+    sql["multimodal_matches"] = f"""
+        {_sql_chain("matches")},
+    media AS (
+        SELECT doc_id,
+               md5(regexp_replace('img://' || doc_id, '[^0-9]', '', 'g'))
+                   AS h
+        FROM synth WHERE {sql_media_pick("doc_id")}
+    ),
+    mp AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM media a JOIN media b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    t AS (SELECT doc_id_1, doc_id_2, 1 AS _t FROM matches),
+    m2 AS (SELECT doc_id_1, doc_id_2, 1 AS _m FROM mp)
+        SELECT coalesce(t.doc_id_1, m2.doc_id_1) AS doc_id_1,
+               coalesce(t.doc_id_2, m2.doc_id_2) AS doc_id_2,
+               CASE WHEN t._t IS NOT NULL AND m2._m IS NOT NULL
+                        THEN 'both'
+                    WHEN t._t IS NOT NULL THEN 'text'
+                    ELSE 'media' END AS evidence
+        FROM t FULL JOIN m2
+          ON t.doc_id_1 = m2.doc_id_1 AND t.doc_id_2 = m2.doc_id_2
     """
     sql["ivfpq_topk"] = f"""
         WITH elems AS MATERIALIZED (

@@ -188,3 +188,24 @@ def test_cross_coverage_sides_and_rates(spark):
         assert side["n_multi"] <= side["n_matched"]
     # every a-doc has a planted b counterpart: left coverage is full
     assert out["left"]["match_rate"] > 0.95
+
+
+def test_multimodal_matches_fusion_tiers(spark):
+    """Fused pairs: text-evidence rows exactly cover the rule-match
+    set; 'both' pairs (text + shared media content) exist on the
+    planted corpus and are a subset of it."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    fused = E.queries()["multimodal_matches"](spark, sf)
+    tiers = {r["evidence"]: r["count"]
+             for r in fused.groupBy("evidence").count().collect()}
+    n_matches = E._matches(spark, sf).count()
+    assert tiers.get("both", 0) > 0
+    assert tiers.get("both", 0) + tiers.get("text", 0) == n_matches
+    # media-evidence pairs are symmetric-ordered and unique
+    assert fused.count() == fused.dropDuplicates(
+        ["doc_id_1", "doc_id_2"]
+    ).count()
+    assert fused.where(F.col("doc_id_1") >= F.col("doc_id_2")).count() == 0
