@@ -1278,6 +1278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # links when both docs embed the same image, and 'both' pairs are
     # the highest-confidence tier)
     q["multimodal_matches"] = lambda s, d: _multimodal_matches_q(s, d)
+    # per-rule precision vs labels: which mask produces the false
+    # positives (mask_stats counts firings; this prices them)
+    q["rule_precision"] = lambda s, d: rules.rule_precision(
+        _pair_scores(s, d), _labels(s, d)
+    )
     q["block_filtered_pairs"] = lambda s, d: candidate_pairs(
         block_filtering(_capped_keys(s, d), r=2)
     )
@@ -1385,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "rule_precision",
     "multimodal_matches",
     "ivfpq_topk",
     "pq_topk",
@@ -2336,6 +2342,46 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum(CASE WHEN ({m}) AND NOT ({others}) THEN 1 ELSE 0 END)"
             f" AS BIGINT) AS mask{i}_unique"
         )
+    rp_arms = []
+    any_pred = " OR ".join(f"({m})" for m in masks)
+    for i, m in enumerate(masks):
+        rp_arms.append(
+            f"SELECT 'mask{i}' AS rule, "
+            f"CAST(sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_fired, "
+            f"CAST(sum(CASE WHEN ({m}) AND _lab THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_true FROM fl"
+        )
+    rp_arms.append(
+        f"SELECT 'any' AS rule, "
+        f"CAST(sum(CASE WHEN {any_pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_fired, "
+        f"CAST(sum(CASE WHEN ({any_pred}) AND _lab THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_true FROM fl"
+    )
+    rp_union = "\n        UNION ALL ".join(rp_arms)
+    sql["rule_precision"] = f"""
+        {_sql_chain("scored")},
+        labels AS (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        fl AS MATERIALIZED (
+            SELECT s.*, (l.doc_id_1 IS NOT NULL) AS _lab
+            FROM scored s LEFT JOIN labels l
+              ON s.doc_id_1 = l.doc_id_1 AND s.doc_id_2 = l.doc_id_2
+        ),
+        agg AS (
+            {rp_union}
+        )
+        SELECT rule, n_fired, n_true,
+               round(CASE WHEN n_fired > 0
+                     THEN CAST(n_true AS DOUBLE) / n_fired
+                     ELSE 0.0 END, 6) AS precision
+        FROM agg
+    """
     sql["mask_stats"] = f"""
         {_sql_chain("scored")}
         SELECT {", ".join(mask_aggs)} FROM scored

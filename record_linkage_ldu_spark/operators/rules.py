@@ -182,3 +182,71 @@ def sql_review_queue(
         ORDER BY margin, doc_id_1, doc_id_2
         LIMIT {k}
     """
+
+
+def rule_precision(
+    scored: DataFrame, labeled: DataFrame, mode: str = "self"
+) -> DataFrame:
+    """Per-rule precision against labels — WHICH mask produces the
+    false positives (``mask_stats`` counts firings; this prices them):
+    one row per rule mask plus the ``any`` union row, each with fired
+    count, labeled-true count, and precision.  The reference tunes its
+    rules by eyeballing match output (README.md:217-230); this is the
+    table that tuning actually needs.
+
+    Input: the scored candidate pairs and ``labeled(doc_id_1,
+    doc_id_2, is_match)``.  Precision treats label absence as
+    non-match (closed world on the labeled fixture).
+
+    Scale shape: one pair-keyed label join + ONE aggregate pass over a
+    narrow |masks|+1-way melt (Generate) — never one scan per rule
+    (the reference's mask report runs 8 scans).
+    """
+    masks = (
+        cross_rule_masks(scored) if mode == "cross" else self_rule_masks(scored)
+    )
+    lab = (
+        labeled.where(F.col("is_match"))
+        .select(
+            F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+            F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+        .withColumn("_lab", F.lit(True))
+    )
+    flagged = scored.join(lab, ["doc_id_1", "doc_id_2"], "left").withColumn(
+        "_lab", F.coalesce(F.col("_lab"), F.lit(False))
+    )
+    entries = [
+        F.struct(
+            F.lit(f"mask{i}").alias("rule"),
+            m.cast("int").alias("fired"),
+            (m & F.col("_lab")).cast("int").alias("tp"),
+        )
+        for i, m in enumerate(masks)
+    ]
+    any_m = reduce(lambda x, y: x | y, masks)
+    entries.append(
+        F.struct(
+            F.lit("any").alias("rule"),
+            any_m.cast("int").alias("fired"),
+            (any_m & F.col("_lab")).cast("int").alias("tp"),
+        )
+    )
+    melted = flagged.select(F.explode(F.array(*entries)).alias("e"))
+    agg = melted.groupBy(F.col("e.rule").alias("rule")).agg(
+        F.sum("e.fired").alias("n_fired"),
+        F.sum("e.tp").alias("n_true"),
+    )
+    return agg.select(
+        "rule",
+        "n_fired",
+        "n_true",
+        F.round(
+            F.when(
+                F.col("n_fired") > 0,
+                F.col("n_true").cast("double") / F.col("n_fired"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )
