@@ -61,6 +61,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     candidate_pairs,
     canopy_assignments,
     cap_blocks,
+    qgram_block_keys,
     sorted_neighborhood_pairs,
     sorted_neighborhood_pairs_cross,
     sql_canopy_assignments,
@@ -1280,6 +1281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_matches"] = lambda s, d: _multimodal_matches_q(s, d)
     # per-rule precision vs labels: which mask produces the false
     # positives (mask_stats counts firings; this prices them)
+    # character q-gram blocking (df-pruned, pre-bounded): the last
+    # member of the classical blocking-family roster
+    q["qgram_block_pairs"] = lambda s, d: candidate_pairs(
+        qgram_block_keys(_records(s, d))
+    )
     q["rule_precision"] = lambda s, d: rules.rule_precision(
         _pair_scores(s, d), _labels(s, d)
     )
@@ -1390,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "qgram_block_pairs",
     "rule_precision",
     "multimodal_matches",
     "ivfpq_topk",
@@ -4284,6 +4291,17 @@ def oracle_sql() -> dict[str, str]:
         + ",\n    "
         + sql_value_specific_odds(_VSO_FIELDS)
     )
+    from record_linkage_ldu_spark.operators.blocking import (
+        sql_qgram_block_keys,
+    )
+
+    sql["qgram_block_pairs"] = f"""
+        {_sql_chain("norm")},
+        {sql_qgram_block_keys()}
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM qgkeys a JOIN qgkeys b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
     sql["suffix_block_pairs"] = f"""
         {_sql_chain("norm")},
         {sql_suffix_block_keys()}

@@ -1618,3 +1618,92 @@ def sql_block_filtering(keys_src: str = "keys_capped", r: int = 2) -> str:
                 ORDER BY c._bsize ASC, k.block_key ASC) <= {r}
         )
     """
+
+
+def qgram_block_keys(
+    records: DataFrame,
+    field: str = "name",
+    q: int = 5,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "qg:",
+) -> DataFrame:
+    """Character q-gram blocking (Christen 2012 §4.4 — the remaining
+    member of the canonical family roster: standard / SN / q-gram /
+    suffix / canopy, all now implemented): every length-``q`` window
+    of the compacted field value is a candidate block key, so two
+    values agreeing on ANY q consecutive characters — typos at
+    arbitrary positions, mid-string insertions — share a block even
+    when prefix, suffix, and token keys all differ.
+
+    Same df-pruned pre-bounded guarantee as suffix blocking: keys kept
+    only at document frequency in [min_df, max_df], so every emitted
+    block holds at most ``max_df`` docs BY CONSTRUCTION (no cap/salt
+    tier needed).  Unlike suffixes, one value's q-grams can repeat
+    ("banana" -> "ana" twice), so keys are deduped per doc before the
+    census.
+
+    Scale shape: one narrow explode (L - q + 1 windows per value) +
+    one per-doc key dedup, one map-combinable df census, one left-semi
+    join back on the gram — all native expressions; output follows the
+    (doc_id, block_key) contract so census/candidate_pairs/salting
+    compose unchanged.
+    """
+    compact = F.lower(
+        F.regexp_replace(F.coalesce(F.col(field), F.lit("")), " ", "")
+    )
+    grams = (
+        records.select("doc_id", compact.alias("_v"))
+        .where(F.length("_v") >= F.lit(q))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_v) - {q} + 1),"
+                    f" i -> substring(_v, i, {q}))"
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    selective = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("gram")
+    )
+    return grams.join(selective, "gram", "left_semi").select(
+        "doc_id", F.concat(F.lit(prefix), F.col("gram")).alias("block_key")
+    )
+
+
+def sql_qgram_block_keys(
+    norm_table: str = "norm",
+    field: str = "name",
+    q: int = 5,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "qg:",
+) -> str:
+    """DuckDB twin of :func:`qgram_block_keys` — CTE tail defining
+    ``qgkeys(doc_id, block_key)``."""
+    compact = f"lower(replace(coalesce(\"{field}\", ''), ' ', ''))"
+    return f"""grams AS MATERIALIZED (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(_v) - {q} + 2),
+                           i -> substr(_v, CAST(i AS INT), {q}))) AS gram
+                FROM (SELECT doc_id, {compact} AS _v FROM {norm_table})
+                WHERE length(_v) >= {q}
+            )
+        ),
+        gsel AS (
+            SELECT gram FROM grams
+            GROUP BY gram
+            HAVING count(*) BETWEEN {min_df} AND {max_df}
+        ),
+        qgkeys AS (
+            SELECT doc_id, '{prefix}' || gram AS block_key FROM grams
+            WHERE gram IN (SELECT gram FROM gsel)
+        )"""

@@ -617,3 +617,35 @@ def test_blocking_plan_empty_inputs_keep_subset_rows(spark):
     )
     rows2 = blocking_plan(lonely, no_true, families=("aa",)).collect()
     assert len(rows2) == 1 and rows2[0]["n_pairs"] == 0
+
+
+def test_qgram_blocking_catches_mid_string_typos(spark):
+    """A mid-string edit that breaks prefix, suffix, AND token keys
+    still shares q-grams on both flanks; df pruning bounds blocks and
+    per-doc repeats dedup."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        qgram_block_keys,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("d1", "annakarenina smith"),
+            ("d2", "annakarXnina smith"),   # mid-string typo
+            ("d3", "zzzzzzzzzz"),           # shares nothing
+            ("d4", "bananabanana banana"),  # repeated grams
+            ("d5", "bananabanana banana"),
+        ],
+        "doc_id string, name string",
+    )
+    keys = qgram_block_keys(records, q=5)
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(keys).collect()
+    }
+    assert ("d1", "d2") in pairs          # flank q-grams survive
+    assert not any("d3" in p for p in pairs)
+    assert ("d4", "d5") in pairs
+    # per-doc dedup: d4's repeated 'anana' counts once toward df
+    per_doc = keys.groupBy("doc_id", "block_key").count().collect()
+    assert all(r["count"] == 1 for r in per_doc)
