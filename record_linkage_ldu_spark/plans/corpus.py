@@ -26,12 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.corpus import (
+    leakage_safe_split,
     corpus_filter_flags,
     decontaminate,
     stratified_sample,
     token_budget_shards,
 )
-from ..operators.dedup import near_duplicate_keep_list
+from ..operators.dedup import dedup_weights, near_duplicate_keep_list
 from ..sources.io import StageStore, input_fingerprint
 
 
@@ -53,6 +54,11 @@ class CorpusConfig:
     strata_col: str = "lang"
     # sharding
     shard_budget: int = 100_000
+    # leakage-safe split (cluster-atomic; fractions sum to 1)
+    split_fractions: tuple = (("train", 0.90), ("valid", 0.05), ("test", 0.05))
+    split_seed: str = "split"
+    # soft-dedup sampling weights (1/cluster_size^alpha)
+    weight_alpha: float = 1.0
 
 
 @dataclass
@@ -62,6 +68,8 @@ class CorpusResult:
     decon: DataFrame | None
     sampled: DataFrame
     shards: DataFrame
+    split: DataFrame
+    weights: DataFrame
     stage_info: dict
 
 
@@ -172,12 +180,41 @@ class CorpusPipeline:
             f"{fp}|{bfp}",
         )
 
+        # leakage-safe split over the docs that made the final cut:
+        # the draw keys on the near-dup CLUSTER id (the keep stage),
+        # so near-duplicates never straddle train/test even when both
+        # survived the keep list (threshold misses, soft-dedup runs)
+        split = self._stage(
+            "split",
+            lambda: leakage_safe_split(
+                final_docs.join(
+                    sampled.select("doc_id"), "doc_id", "left_semi"
+                ),
+                keep,
+                splits=tuple(cfg.split_fractions),
+                seed=cfg.split_seed,
+            ),
+            info,
+            f"{fp}|{bfp}",
+        )
+        # soft-dedup weights: the alternative to (or refinement of)
+        # the hard keep filter — downstream samplers multiply by
+        # 1/cluster_size^alpha so every near-dup family contributes
+        # one doc of training mass
+        weights = self._stage(
+            "weights",
+            lambda: dedup_weights(keep, alpha=cfg.weight_alpha),
+            info,
+            fp,
+        )
         return CorpusResult(
             flags=flags,
             keep=keep,
             decon=decon,
             sampled=sampled,
             shards=shards,
+            split=split,
+            weights=weights,
             stage_info=info,
         )
 

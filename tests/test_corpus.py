@@ -288,9 +288,21 @@ def test_corpus_pipeline_end_to_end_and_resume(spark, docs, tmp_path):
     shard_ids = {r["doc_id"] for r in res1.shards.collect()}
     assert shard_ids == sampled_ids
 
+    # split is cluster-atomic over the final cut; weights cover the
+    # whole keep list with 1/cluster_size mass
+    split_rows = res1.split.collect()
+    assert {r["doc_id"] for r in split_rows} == sampled_ids
+    assert {r["split"] for r in split_rows} <= {"train", "valid", "test"}
+    w = {r["doc_id"]: r for r in res1.weights.collect()}
+    assert w[15]["cluster_size"] == 2 and w[15]["weight"] == 0.5
+    assert w[14]["weight"] == 0.5
+
     res2 = CorpusPipeline(spark, cfg, store).run(docs, bench)
     assert all(v["resumed"] for v in res2.stage_info.values())
     assert sorted(res2.shards.collect()) == sorted(res1.shards.collect())
+    assert sorted(map(tuple, res2.split.collect())) == sorted(
+        map(tuple, split_rows)
+    )
 
     # swap the benchmark: upstream cleaning stages resume, decon and
     # everything downstream recompute
@@ -303,6 +315,8 @@ def test_corpus_pipeline_end_to_end_and_resume(spark, docs, tmp_path):
     assert res3.stage_info["keep"]["resumed"]
     assert not res3.stage_info["decon"]["resumed"]
     assert not res3.stage_info["shards"]["resumed"]
+    assert not res3.stage_info["split"]["resumed"]  # benchmark-keyed
+    assert res3.stage_info["weights"]["resumed"]    # keep-keyed only
     assert 8 not in {r["doc_id"] for r in res3.sampled.collect()}
     assert 7 in {r["doc_id"] for r in res3.sampled.collect()}
 

@@ -92,6 +92,10 @@ def main(argv: list[str] | None = None) -> int:
     if res.decon is not None:
         res.decon.write.mode("overwrite").parquet(f"{args.output}/decon")
     res.sampled.write.mode("overwrite").parquet(f"{args.output}/sampled")
+    res.split.write.mode("overwrite").partitionBy("split").parquet(
+        f"{args.output}/split"
+    )
+    res.weights.write.mode("overwrite").parquet(f"{args.output}/weights")
     res.shards.write.mode("overwrite").partitionBy("shard_id").parquet(
         f"{args.output}/shards"
     )
