@@ -103,6 +103,38 @@ def main(argv: list[str] | None = None) -> int:
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.matches.write.mode("overwrite").parquet(f"{args.output}/matches")
 
+    # downstream-facing artifacts: one golden row per entity, and the
+    # reference's review workbook (single 'all' sheet in production —
+    # the verified/not-verified sheets need labels; tools/report.py
+    # writes the 3-sheet form on labeled fixtures).  The workbook is
+    # driver-sized by contract; skip it for over-sized cluster tables
+    # rather than OOM the driver.
+    from record_linkage_ldu_spark.operators.evaluate import (
+        golden_records,
+        presentation_view,
+    )
+    from record_linkage_ldu_spark.plans.linkage import records_view
+    from record_linkage_ldu_spark.sources.xlsx import (
+        export_presentation_xlsx,
+    )
+
+    records = records_view(documents, cfg)
+    golden = golden_records(records, res.clusters)
+    golden.write.mode("overwrite").parquet(f"{args.output}/golden")
+    try:
+        export_presentation_xlsx(
+            {
+                "all": presentation_view(
+                    res.clusters,
+                    records.select("doc_id", "name", "phone", "email"),
+                    res.matches.select("doc_id_1", "doc_id_2"),
+                )
+            },
+            f"{args.output}/matches.xlsx",
+        )
+    except ValueError as e:
+        print(f"workbook skipped: {e}")
+
     report = {
         "stages": res.stage_info,
         "clusters": validate_clusters(res.clusters),
