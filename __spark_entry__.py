@@ -63,6 +63,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     cap_blocks,
     qgram_block_keys,
     sorted_neighborhood_pairs,
+    stringmap_block_keys,
     sorted_neighborhood_pairs_cross,
     sql_canopy_assignments,
     sql_suffix_block_keys,
@@ -1286,6 +1287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qgram_block_pairs"] = lambda s, d: candidate_pairs(
         qgram_block_keys(_records(s, d))
     )
+    # string-map blocking (pivot-distance grid): values within small
+    # edit distance co-cell even with no shared prefix/suffix/gram
+    q["stringmap_block_pairs"] = lambda s, d: candidate_pairs(
+        stringmap_block_keys(_records(s, d))
+    )
     q["rule_precision"] = lambda s, d: rules.rule_precision(
         _pair_scores(s, d), _labels(s, d)
     )
@@ -1396,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "stringmap_block_pairs",
     "qgram_block_pairs",
     "rule_precision",
     "multimodal_matches",
@@ -4295,6 +4302,17 @@ def oracle_sql() -> dict[str, str]:
         sql_qgram_block_keys,
     )
 
+    from record_linkage_ldu_spark.operators.blocking import (
+        sql_stringmap_block_keys,
+    )
+
+    sql["stringmap_block_pairs"] = f"""
+        {_sql_chain("norm")},
+        {sql_stringmap_block_keys()}
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM smkeys a JOIN smkeys b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
     sql["qgram_block_pairs"] = f"""
         {_sql_chain("norm")},
         {sql_qgram_block_keys()}

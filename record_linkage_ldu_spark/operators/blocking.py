@@ -1707,3 +1707,128 @@ def sql_qgram_block_keys(
             SELECT doc_id, '{prefix}' || gram AS block_key FROM grams
             WHERE gram IN (SELECT gram FROM gsel)
         )"""
+
+
+def stringmap_block_keys(
+    records: DataFrame,
+    field: str = "name",
+    n_pivots: int = 4,
+    cell: float = 2.0,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "sm:",
+) -> DataFrame:
+    """String-map blocking (Jin, Li & Mehrotra DASFAA'03; the
+    FastMap-flavored member of Christen 2012's family roster — with
+    standard / SN / phonetic / token / suffix / q-gram / canopy now
+    all implemented): embed each value by its EDIT DISTANCES to a
+    fixed pivot set and key on the quantized coordinate vector, so
+    values within small edit distance of each other land in the same
+    (or an adjacent) grid cell even when they share no prefix, suffix,
+    q-gram window, or token — the triangle inequality bounds how far
+    a small edit can move any coordinate (|lev(a,p) - lev(b,p)| <=
+    lev(a,b)).
+
+    Deterministic pivots: the ``n_pivots`` lowest-doc_id non-empty
+    values (the fixed_ivf_index/pq-codebook trick — engine-portable,
+    no RNG; production would pick spread pivots, which drops in).
+    One grid key per doc; df pruning [min_df, max_df] then bounds
+    every emitted block by construction, mega-cells dropping out like
+    every df-pruned family (recall backstop: the other key families
+    still cover those docs).
+
+    Scale shape: one broadcast of n_pivots strings, one native
+    levenshtein projection per pivot (JVM codegen), one per-doc
+    groupBy to assemble the coordinate key, one df census + semi
+    join.  Output follows the (doc_id, block_key) contract.
+    """
+    from pyspark.sql import Window
+
+    compact = F.lower(
+        F.regexp_replace(F.coalesce(F.col(field), F.lit("")), " ", "")
+    )
+    base = records.select("doc_id", compact.alias("_v")).where(
+        F.length("_v") > 0
+    )
+    pivots = (
+        base.orderBy(F.col("doc_id").asc())
+        .limit(n_pivots)
+        .withColumn(
+            "pivot_id",
+            F.row_number().over(Window.orderBy(F.col("doc_id").asc())) - 1,
+        )
+        .select("pivot_id", F.col("_v").alias("_pv"))
+    )
+    coords = base.crossJoin(F.broadcast(pivots)).select(
+        "doc_id",
+        "pivot_id",
+        F.floor(F.levenshtein("_v", "_pv") / F.lit(float(cell)))
+        .cast("int")
+        .alias("_b"),
+    )
+    key = coords.groupBy("doc_id").agg(
+        F.concat_ws(
+            "_",
+            *[
+                F.max(F.when(F.col("pivot_id") == i, F.col("_b")))
+                for i in range(n_pivots)
+            ],
+        ).alias("cellkey")
+    )
+    selective = (
+        key.groupBy("cellkey")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("cellkey")
+    )
+    return key.join(selective, "cellkey", "left_semi").select(
+        "doc_id",
+        F.concat(F.lit(prefix), F.col("cellkey")).alias("block_key"),
+    )
+
+
+def sql_stringmap_block_keys(
+    norm_table: str = "norm",
+    field: str = "name",
+    n_pivots: int = 4,
+    cell: float = 2.0,
+    min_df: int = 2,
+    max_df: int = 50,
+    prefix: str = "sm:",
+) -> str:
+    """DuckDB twin of :func:`stringmap_block_keys` — CTE tail defining
+    ``smkeys(doc_id, block_key)``."""
+    compact = f"lower(replace(coalesce(\"{field}\", ''), ' ', ''))"
+    arms = ", ".join(
+        f"max(CASE WHEN pivot_id = {i} THEN _b END)"
+        for i in range(n_pivots)
+    )
+    return f"""smbase AS (
+            SELECT doc_id, {compact} AS _v FROM {norm_table}
+            WHERE length({compact}) > 0
+        ),
+        smpivots AS (
+            SELECT row_number() OVER (ORDER BY doc_id ASC) - 1
+                       AS pivot_id,
+                   _v AS _pv
+            FROM (SELECT doc_id, _v FROM smbase
+                  ORDER BY doc_id ASC LIMIT {n_pivots})
+        ),
+        smcoords AS (
+            SELECT b.doc_id, p.pivot_id,
+                   CAST(floor(levenshtein(b._v, p._pv) / {float(cell)!r})
+                        AS INT) AS _b
+            FROM smbase b CROSS JOIN smpivots p
+        ),
+        smkey AS MATERIALIZED (
+            SELECT doc_id, concat_ws('_', {arms}) AS cellkey
+            FROM smcoords GROUP BY doc_id
+        ),
+        smsel AS (
+            SELECT cellkey FROM smkey
+            GROUP BY cellkey HAVING count(*) BETWEEN {min_df} AND {max_df}
+        ),
+        smkeys AS (
+            SELECT doc_id, '{prefix}' || cellkey AS block_key FROM smkey
+            WHERE cellkey IN (SELECT cellkey FROM smsel)
+        )"""

@@ -649,3 +649,41 @@ def test_qgram_blocking_catches_mid_string_typos(spark):
     # per-doc dedup: d4's repeated 'anana' counts once toward df
     per_doc = keys.groupBy("doc_id", "block_key").count().collect()
     assert all(r["count"] == 1 for r in per_doc)
+
+
+def test_stringmap_blocking_triangle_property(spark):
+    """Values within small edit distance share a grid cell even with
+    no shared prefix/suffix/q-gram window; distant values separate;
+    df pruning drops mega-cells."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        stringmap_block_keys,
+    )
+
+    # d4/d5: one substitution apart; every 5-gram window differs from
+    # d4 only at the edit site, but prefix AND suffix both break at
+    # q=len? Construct: single char edit in the MIDDLE of a short
+    # string so coordinates move by at most 1 (triangle inequality).
+    records = spark.createDataFrame(
+        [
+            ("d1", "alpha"), ("d2", "bravo"),            # pivots
+            ("d3", "charlie"), ("d0", "deltaecho"),      # pivots
+            ("d4", "foxtrotgolf"),
+            ("d5", "foxtrAtgolf"),                       # 1 edit from d4
+            ("d6", "zzzzzzzzzzzzzzzzzzzzzzzz"),          # far away
+        ],
+        "doc_id string, name string",
+    )
+    keys = stringmap_block_keys(records, n_pivots=4, cell=4.0, max_df=10)
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in candidate_pairs(keys).collect()
+    }
+    assert ("d4", "d5") in pairs
+    assert not any("d6" in p for p in pairs)
+    # one key per doc (grid cell), prefixed
+    per_doc = keys.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in per_doc)
+    assert all(
+        r["block_key"].startswith("sm:") for r in keys.collect()
+    )
