@@ -64,6 +64,7 @@ from record_linkage_ldu_spark.operators.blocking import (
     qgram_block_keys,
     sorted_neighborhood_pairs,
     stringmap_block_keys,
+    suffix_block_keys,
     sorted_neighborhood_pairs_cross,
     sql_canopy_assignments,
     sql_suffix_block_keys,
@@ -1304,10 +1305,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em",
         "zp",
     )
+    # the optimizer now prices the FULL roster: the four standard
+    # families plus suffix / q-gram / string-map — 127 subsets, still
+    # evaluated against a <=2^7-row mask histogram
     q["blocking_plan"] = lambda s, d: blocking_plan(
-        _capped_keys(s, d),
+        _capped_keys(s, d)
+        .unionByName(suffix_block_keys(_records(s, d)))
+        .unionByName(qgram_block_keys(_records(s, d)))
+        .unionByName(stringmap_block_keys(_records(s, d))),
         _labels(s, d),
-        families=("em", "ph", "sn", "zp"),
+        families=("em", "ph", "qg", "sm", "sn", "sx", "zp"),
         target_recall=0.98,
     )
     # pre-linkage data profiling: fill rate / cardinality / length
@@ -3418,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
     """
     from record_linkage_ldu_spark.operators.blocking import (
         sql_blocking_plan,
+        sql_qgram_block_keys,
+        sql_stringmap_block_keys,
     )
 
     from record_linkage_ldu_spark.operators.blocking import (
@@ -3484,13 +3493,26 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["blocking_plan"] = f"""
         {_sql_chain("keys")},
+        {sql_suffix_block_keys()},
+        {sql_qgram_block_keys()},
+        {sql_stringmap_block_keys()},
+        keys_all AS MATERIALIZED (
+            SELECT doc_id, block_key FROM keys_capped
+            UNION ALL SELECT doc_id, block_key FROM sxkeys
+            UNION ALL SELECT doc_id, block_key FROM qgkeys
+            UNION ALL SELECT doc_id, block_key FROM smkeys
+        ),
         labels AS (
             SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
             FROM synth s1 JOIN synth s2
               ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
              AND s1.doc_id < s2.doc_id
         ),
-        {sql_blocking_plan(("em", "ph", "sn", "zp"), target_recall=0.98)}
+        {sql_blocking_plan(
+            ("em", "ph", "qg", "sm", "sn", "sx", "zp"),
+            target_recall=0.98,
+            keys_src="keys_all",
+        )}
     """
     sql["blocking_family_stats"] = f"""
         {_sql_chain("keys")},
