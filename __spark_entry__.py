@@ -1293,6 +1293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stringmap_block_pairs"] = lambda s, d: candidate_pairs(
         stringmap_block_keys(_records(s, d))
     )
+    # cluster structure per cutoff: the giant-component alarm
+    # (threshold_curve prices cutoffs pairwise; this shows closure)
+    q["cluster_growth_curve"] = lambda s, d: ev.cluster_growth_curve(
+        _matches(s, d), _records(s, d).select("doc_id")
+    )
     q["rule_precision"] = lambda s, d: rules.rule_precision(
         _pair_scores(s, d), _labels(s, d)
     )
@@ -1409,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "cluster_growth_curve",
     "stringmap_block_pairs",
     "qgram_block_pairs",
     "rule_precision",
@@ -4328,6 +4334,135 @@ def oracle_sql() -> dict[str, str]:
         sql_stringmap_block_keys,
     )
 
+    sql["cluster_growth_curve"] = f"""
+{_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    nodes AS (SELECT doc_id FROM synth),
+    e0 AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 4.9
+    ),
+    ed0 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM e0
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM e0
+    ),
+    r0(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM r0 r JOIN ed0 e ON r.b = e.s
+    ),
+    c0 AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM r0 GROUP BY a
+    ),
+    s0 AS (
+        SELECT cluster_id, count(*) AS sz FROM c0 GROUP BY 1
+    ),
+    e1 AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 5.2
+    ),
+    ed1 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM e1
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM e1
+    ),
+    r1(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM r1 r JOIN ed1 e ON r.b = e.s
+    ),
+    c1 AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM r1 GROUP BY a
+    ),
+    s1 AS (
+        SELECT cluster_id, count(*) AS sz FROM c1 GROUP BY 1
+    ),
+    e2 AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 5.5
+    ),
+    ed2 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM e2
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM e2
+    ),
+    r2(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM r2 r JOIN ed2 e ON r.b = e.s
+    ),
+    c2 AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM r2 GROUP BY a
+    ),
+    s2 AS (
+        SELECT cluster_id, count(*) AS sz FROM c2 GROUP BY 1
+    ),
+    e3 AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 5.8
+    ),
+    ed3 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM e3
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM e3
+    ),
+    r3(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM r3 r JOIN ed3 e ON r.b = e.s
+    ),
+    c3 AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM r3 GROUP BY a
+    ),
+    s3 AS (
+        SELECT cluster_id, count(*) AS sz FROM c3 GROUP BY 1
+    ),
+    e4 AS (
+        SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 6.1
+    ),
+    ed4 AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM e4
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM e4
+    ),
+    r4(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM r4 r JOIN ed4 e ON r.b = e.s
+    ),
+    c4 AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM r4 GROUP BY a
+    ),
+    s4 AS (
+        SELECT cluster_id, count(*) AS sz FROM c4 GROUP BY 1
+    )
+        SELECT CAST(4.9 AS DOUBLE) AS threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_linked_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cluster
+        FROM s0 WHERE sz >= 2
+        UNION ALL SELECT CAST(5.2 AS DOUBLE) AS threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_linked_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cluster
+        FROM s1 WHERE sz >= 2
+        UNION ALL SELECT CAST(5.5 AS DOUBLE) AS threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_linked_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cluster
+        FROM s2 WHERE sz >= 2
+        UNION ALL SELECT CAST(5.8 AS DOUBLE) AS threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM e3) AS n_edges,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_linked_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cluster
+        FROM s3 WHERE sz >= 2
+        UNION ALL SELECT CAST(6.1 AS DOUBLE) AS threshold,
+               (SELECT CAST(count(*) AS BIGINT) FROM e4) AS n_edges,
+               CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_linked_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cluster
+        FROM s4 WHERE sz >= 2
+    """
     sql["stringmap_block_pairs"] = f"""
         {_sql_chain("norm")},
         {sql_stringmap_block_keys()}

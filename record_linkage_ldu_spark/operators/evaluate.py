@@ -700,3 +700,64 @@ def cluster_error_taxonomy(
         "max_cluster_entities",
         status.alias("status"),
     )
+
+
+def cluster_growth_curve(
+    scored: DataFrame,
+    vertices: DataFrame,
+    thresholds: tuple[float, ...] = (4.9, 5.2, 5.5, 5.8, 6.1),
+    score_col: str = "score",
+    method: str = "auto",
+) -> DataFrame:
+    """Cluster STRUCTURE per score cutoff — the giant-component alarm
+    (:func:`threshold_curve` prices cutoffs in pairwise P/R/F1; this
+    shows what transitivity does with them): per threshold, the number
+    of non-singleton clusters, how many docs they absorb, and the
+    largest cluster — the curve where a too-low cutoff shows up as one
+    exploding component long before pairwise precision collapses
+    (chain merging compounds through closure; Christen 2012 §6.8's
+    reason to monitor group sizes, the reference's
+    "look for unreasonably large groups" advice made quantitative).
+
+    Output: one row per threshold — ``(threshold, n_edges, n_clusters,
+    n_linked_docs, largest_cluster)``.
+
+    Scale shape: one CC pass per threshold over the rule-filtered
+    match set (each is the standard bounded operator; |thresholds| is
+    a handful) + one cluster-size aggregate each.  Design-time
+    diagnostic — run on a sample or at small SF, like blocking_plan.
+    """
+    from .cc import connected_components
+
+    rows = []
+    for t in thresholds:
+        edges = scored.where(F.col(score_col) >= float(t)).select(
+            "doc_id_1", "doc_id_2"
+        )
+        clusters = connected_components(
+            edges, vertices=vertices, method=method
+        )
+        sizes = clusters.groupBy("cluster_id").agg(
+            F.count("*").alias("sz")
+        )
+        agg = sizes.where(F.col("sz") >= 2).agg(
+            F.coalesce(F.count("*"), F.lit(0)).alias("n_clusters"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_linked_docs"),
+            F.coalesce(F.max("sz"), F.lit(0)).alias("largest_cluster"),
+        )
+        n_edges = edges.count()
+        r = agg.collect()[0]
+        rows.append(
+            (
+                float(t),
+                int(n_edges),
+                int(r["n_clusters"]),
+                int(r["n_linked_docs"]),
+                int(r["largest_cluster"]),
+            )
+        )
+    return scored.sparkSession.createDataFrame(
+        rows,
+        "threshold double, n_edges bigint, n_clusters bigint, "
+        "n_linked_docs bigint, largest_cluster bigint",
+    )

@@ -636,3 +636,33 @@ def test_cannot_link_audit_unknown_doc_still_audited(spark):
     assert out[0]["violated"] is False
     assert out[0]["cluster_id_2"] is None
     assert out[0]["cluster_id_1"] is not None
+
+
+def test_cluster_growth_curve_monotone_and_giant_component(spark):
+    """Raising the cutoff never grows edges/linked docs/largest
+    cluster; a low cutoff over a chain shows the giant component."""
+    from record_linkage_ldu_spark.operators.evaluate import (
+        cluster_growth_curve,
+    )
+
+    # chain a-b-c-d at score 5.0; strong pair e-f at 6.0
+    scored = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 5.0), ("c", "d", 5.0),
+         ("e", "f", 6.0)],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    vertices = spark.createDataFrame(
+        [(x,) for x in "abcdef"], "doc_id string"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in cluster_growth_curve(
+            scored, vertices, thresholds=(4.9, 5.5)
+        ).collect()
+    }
+    low, high = rows[4.9], rows[5.5]
+    assert low["n_edges"] == 4 and high["n_edges"] == 1
+    assert low["largest_cluster"] == 4      # the chain merged
+    assert high["largest_cluster"] == 2     # only e-f survives
+    assert low["n_linked_docs"] == 6 and high["n_linked_docs"] == 2
+    assert low["n_clusters"] == 2 and high["n_clusters"] == 1
