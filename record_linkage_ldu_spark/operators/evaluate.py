@@ -722,40 +722,122 @@ def cluster_growth_curve(
     Output: one row per threshold — ``(threshold, n_edges, n_clusters,
     n_linked_docs, largest_cluster)``.
 
-    Scale shape: one CC pass per threshold over the rule-filtered
-    match set (each is the standard bounded operator; |thresholds| is
-    a handful) + one cluster-size aggregate each.  Design-time
-    diagnostic — run on a sample or at small SF, like blocking_plan.
+    Scale shape: the scored match set is pruned to the lowest cutoff
+    and pinned ONCE (callers pass the whole scoring chain as a lazy
+    plan — without the pin every threshold re-executed blocking +
+    scoring end-to-end).  When the pruned edge list clears the same
+    row+byte gate as :func:`~..operators.cc.connected_components`'s
+    driver finish, all thresholds run as ONE incremental union-find
+    sweep (descending cutoffs only ever ADD edges — Edges(t_hi) ⊆
+    Edges(t_lo)), zero per-threshold Spark jobs; above the gate it
+    falls back to one distributed CC per threshold over the pinned
+    frame.  Design-time diagnostic — run on a sample or at small SF,
+    like blocking_plan.
     """
-    from .cc import connected_components
+    from .cc import (
+        DRIVER_UF_MAX_BYTES,
+        DRIVER_UF_MAX_EDGES,
+        _PY_STR_EXPANSION,
+        connected_components,
+    )
 
-    rows = []
-    for t in thresholds:
-        edges = scored.where(F.col(score_col) >= float(t)).select(
-            "doc_id_1", "doc_id_2"
+    ts = [float(t) for t in thresholds]
+    min_t = min(ts)
+    # cast matches Spark's own literal-comparison promotion, so the
+    # Python-side >= below decides boundary scores identically
+    pruned = (
+        scored.where(F.col(score_col) >= min_t)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col(score_col).cast("double").alias("__score"),
         )
-        clusters = connected_components(
-            edges, vertices=vertices, method=method
-        )
-        sizes = clusters.groupBy("cluster_id").agg(
-            F.count("*").alias("sz")
-        )
-        agg = sizes.where(F.col("sz") >= 2).agg(
-            F.coalesce(F.count("*"), F.lit(0)).alias("n_clusters"),
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_linked_docs"),
-            F.coalesce(F.max("sz"), F.lit(0)).alias("largest_cluster"),
-        )
-        n_edges = edges.count()
-        r = agg.collect()[0]
-        rows.append(
-            (
-                float(t),
+        .localCheckpoint(eager=True)
+    )
+    n_pruned = pruned.count()
+
+    fits = method in ("auto", "driver-uf") and n_pruned <= DRIVER_UF_MAX_EDGES
+    if fits and n_pruned > 0:
+        raw_bytes = pruned.agg(
+            F.coalesce(
+                F.sum(
+                    F.length(F.col("doc_id_1"))
+                    + F.length(F.col("doc_id_2"))
+                ),
+                F.lit(0),
+            )
+        ).collect()[0][0]
+        fits = raw_bytes * _PY_STR_EXPANSION <= DRIVER_UF_MAX_BYTES
+
+    stats: dict[float, tuple[int, int, int, int]] = {}
+    if fits:
+        pdf = pruned.toPandas()
+        scores = pdf["__score"].to_numpy()
+        a_col = pdf["doc_id_1"].tolist()
+        b_col = pdf["doc_id_2"].tolist()
+        # descending cutoffs: each step only adds the edges in
+        # [t, prev_t) to the same union-find
+        order = sorted(range(len(a_col)), key=lambda i: -scores[i])
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        pos = 0
+        for t in sorted(set(ts), reverse=True):
+            while pos < len(order) and scores[order[pos]] >= t:
+                i = order[pos]
+                a, b = a_col[i], b_col[i]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    root = min(ra, rb)
+                    parent[ra] = parent[rb] = root
+                pos += 1
+            from collections import Counter
+
+            sizes = Counter(find(x) for x in parent)
+            multi = [s for s in sizes.values() if s >= 2]
+            stats[t] = (
+                int((scores >= t).sum()),
+                len(multi),
+                sum(multi),
+                max(multi, default=0),
+            )
+    else:
+        for t in sorted(set(ts)):
+            edges = pruned.where(F.col("__score") >= t).select(
+                "doc_id_1", "doc_id_2"
+            )
+            clusters = connected_components(
+                edges, vertices=vertices, method=method
+            )
+            sizes = clusters.groupBy("cluster_id").agg(
+                F.count("*").alias("sz")
+            )
+            agg = sizes.where(F.col("sz") >= 2).agg(
+                F.coalesce(F.count("*"), F.lit(0)).alias("n_clusters"),
+                F.coalesce(F.sum("sz"), F.lit(0)).alias("n_linked_docs"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("largest_cluster"),
+            )
+            n_edges = edges.count()
+            r = agg.collect()[0]
+            stats[t] = (
                 int(n_edges),
                 int(r["n_clusters"]),
                 int(r["n_linked_docs"]),
                 int(r["largest_cluster"]),
             )
-        )
+
+    rows = [(t, *stats[t]) for t in ts]
     return scored.sparkSession.createDataFrame(
         rows,
         "threshold double, n_edges bigint, n_clusters bigint, "
