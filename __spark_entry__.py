@@ -836,6 +836,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n=1,
         threshold=0.5,
     )
+    # asymmetric n-gram containment (Broder): catches sub-document
+    # duplication (doc quoted wholesale inside a longer doc) that a
+    # resemblance/Jaccard threshold structurally misses; lang-only
+    # blocks — a length bucket would split exactly the pairs it hunts
+    q["containment_near_dups"] = lambda s, d: dedup.containment_pairs(
+        _t(s, d, "documents"),
+        block_cols=("lang",),
+        n=3,
+        threshold=0.6,
+    )
     # prefix-filtered exact Jaccard self-join (All-Pairs WWW'07 /
     # PPJoin family): rarest-first canonical token order, prefix +
     # length filters, exact verify — no blocking metadata needed
@@ -1414,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "containment_near_dups",
     "cluster_growth_curve",
     "stringmap_block_pairs",
     "qgram_block_pairs",
@@ -3039,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY a
     """
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
+    sql["containment_near_dups"] = _sql_containment_near_dups()
     sql["prefix_filter_pairs"] = dedup.sql_prefix_filter_pairs(
         "documents", threshold=0.7
     )
@@ -4682,6 +4694,46 @@ def _sql_minhash_bands() -> str:
         f"sigs AS MATERIALIZED "
         f"(SELECT doc_id, {band_exprs} FROM _shingled) {unions}"
     )
+
+
+def _sql_containment_near_dups(n: int = 3, threshold: float = 0.6) -> str:
+    """DuckDB twin of dedup.containment_pairs on documents (lang-only
+    blocks, word 3-grams).  Tokens are MATERIALIZED before the gram
+    comprehension: DuckDB 1.0 mis-evaluates lambdas nested inside
+    other lambda-bearing expressions (the soundex trap), and the
+    tokenizer itself carries a list_filter lambda."""
+    from record_linkage_ldu_spark.functions.text import sql_tokens
+
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH _toks AS MATERIALIZED (
+            SELECT doc_id, lang, {sql_tokens('text')} AS t FROM documents
+        ),
+        base AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_distinct(
+                            [ {joined} for i in range(1, len(t) - {n - 2}) ])
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM _toks
+        )
+        SELECT doc_id_1, doc_id_2, containment_1, containment_2,
+               greatest(containment_1, containment_2) AS overlap
+        FROM (
+            SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                   round(CASE WHEN len(a.grams) > 0
+                        THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                             / len(a.grams)
+                        ELSE 1.0 END, 6) AS containment_1,
+                   round(CASE WHEN len(b.grams) > 0
+                        THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                             / len(b.grams)
+                        ELSE 1.0 END, 6) AS containment_2
+            FROM base a JOIN base b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        )
+        WHERE greatest(containment_1, containment_2) >= {threshold}
+    """
 
 
 def _sql_ngram_jaccard() -> str:

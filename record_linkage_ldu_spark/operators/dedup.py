@@ -700,31 +700,24 @@ def near_duplicate_keep_list(
 # ------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _metadata_blocked_gram_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_cols: tuple[str, ...] = ("lang",),
-    n: int = 2,
-    threshold: float = 0.5,
-    max_block_size: int | None = 1000,
-    salt_buckets: int = 8,
-    drop_factor: int = 16,
-    pin: bool = True,
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    n: int,
+    max_block_size: int | None,
+    salt_buckets: int,
+    drop_factor: int,
+    pin: bool,
 ) -> DataFrame:
-    """Word n-gram Jaccard over within-block pairs (block on cheap
-    metadata, e.g. language + length bucket).
-
-    A metadata block is one join key, so a dominant (lang, len_bucket)
-    cell goes quadratic in a single task at corpus scale — the same
-    failure mode as a hot linkage block.  Tiering bounds it: blocks up
-    to ``max_block_size`` keep the cheap gram-carrying equi-join; hot
-    blocks up to ``drop_factor`` times that pair through the lossless
-    triangle-salted join (gram arrays re-attached per side); larger
-    blocks are dropped (use the MinHash path for such corpora).  A pair
-    lives in exactly one block (block cols are per-doc attributes), so
-    the tiers need no cross-tier dedup.  ``max_block_size=None``
-    disables tiering.
+    """Shared candidate stage for the set-measure dedup family
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): word
+    n-gram sets per doc, metadata-blocked within-block pairs, census/
+    cap/salt tiering for hot blocks.  Returns
+    ``(doc_id_1, doc_id_2, g1, g2)`` with both gram arrays attached;
+    callers project their measure and threshold on top (the extra
+    select collapses into the join projection — no added shuffle).
     """
     tokenized = ensure_width(df).select(
         F.col(id_col).alias("doc_id"),
@@ -758,9 +751,6 @@ def ngram_jaccard_pairs(
         ),
         pin,
     )
-    jac = lambda: F.round(  # noqa: E731
-        jaccard_col(F.col("a.grams"), F.col("b.grams")), 6
-    ).alias("jaccard")
     if max_block_size is None:
         a = base.alias("a")
         b = base.alias("b")
@@ -770,9 +760,9 @@ def ngram_jaccard_pairs(
             .select(
                 F.col("a.doc_id").alias("doc_id_1"),
                 F.col("b.doc_id").alias("doc_id_2"),
-                jac(),
+                F.col("a.grams").alias("g1"),
+                F.col("b.grams").alias("g2"),
             )
-            .where(F.col("jaccard") >= threshold)
         )
 
     from .blocking import block_census, salted_candidate_pairs
@@ -805,7 +795,8 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            jac(),
+            F.col("a.grams").alias("g1"),
+            F.col("b.grams").alias("g2"),
         )
     )
     hot_keys = keyed.join(
@@ -830,15 +821,121 @@ def ngram_jaccard_pairs(
             ),
             "doc_id_2",
         )
-        .select(
+        .select("doc_id_1", "doc_id_2", "g1", "g2")
+    )
+    return plain.unionByName(hot_pairs)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 2,
+    threshold: float = 0.5,
+    max_block_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    pin: bool = True,
+) -> DataFrame:
+    """Word n-gram Jaccard over within-block pairs (block on cheap
+    metadata, e.g. language + length bucket).
+
+    A metadata block is one join key, so a dominant (lang, len_bucket)
+    cell goes quadratic in a single task at corpus scale — the same
+    failure mode as a hot linkage block.  Tiering bounds it: blocks up
+    to ``max_block_size`` keep the cheap gram-carrying equi-join; hot
+    blocks up to ``drop_factor`` times that pair through the lossless
+    triangle-salted join (gram arrays re-attached per side); larger
+    blocks are dropped (use the MinHash path for such corpora).  A pair
+    lives in exactly one block (block cols are per-doc attributes), so
+    the tiers need no cross-tier dedup.  ``max_block_size=None``
+    disables tiering.
+    """
+    pairs = _metadata_blocked_gram_pairs(
+        df,
+        text_col,
+        id_col,
+        block_cols,
+        n,
+        max_block_size,
+        salt_buckets,
+        drop_factor,
+        pin,
+    )
+    return pairs.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(jaccard_col(F.col("g1"), F.col("g2")), 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 2,
+    threshold: float = 0.8,
+    max_block_size: int | None = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
+    pin: bool = True,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over within-block pairs — the
+    sub-document-duplication detector Jaccard structurally misses.
+
+    Broder's containment C(A,B) = |grams(A) ∩ grams(B)| / |grams(A)|:
+    when doc A is quoted wholesale inside a much longer doc B,
+    C(A,B) ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 — a resemblance threshold
+    never fires however low it's set without drowning in noise.  The
+    training-data failure mode this catches is boilerplate-wrapped
+    reposts and quote-inflated pages (the reference has no analogue;
+    first-class per the LLM-pipeline brief).
+
+    Emits one row per unordered pair: ``(doc_id_1, doc_id_2,
+    containment_1, containment_2, overlap)`` where ``containment_1`` =
+    C(doc_1, doc_2), ``containment_2`` = C(doc_2, doc_1), ``overlap`` =
+    max of the two (the overlap coefficient: |∩| / min(|A|, |B|)),
+    thresholded on ``overlap``.  An empty gram set counts as contained
+    (1.0), mirroring :func:`jaccard_col`'s empty-empty convention.
+
+    Candidate generation, tiering, and skew handling are shared with
+    :func:`ngram_jaccard_pairs` via the same census/cap/salt stage —
+    no new shuffle shape.
+    """
+    pairs = _metadata_blocked_gram_pairs(
+        df,
+        text_col,
+        id_col,
+        block_cols,
+        n,
+        max_block_size,
+        salt_buckets,
+        drop_factor,
+        pin,
+    )
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    c1 = F.when(
+        F.size(F.col("g1")) > 0,
+        inter.cast("double") / F.size(F.col("g1")),
+    ).otherwise(F.lit(1.0))
+    c2 = F.when(
+        F.size(F.col("g2")) > 0,
+        inter.cast("double") / F.size(F.col("g2")),
+    ).otherwise(F.lit(1.0))
+    return (
+        pairs.select(
             "doc_id_1",
             "doc_id_2",
-            F.round(jaccard_col(F.col("g1"), F.col("g2")), 6).alias(
-                "jaccard"
-            ),
+            F.round(c1, 6).alias("containment_1"),
+            F.round(c2, 6).alias("containment_2"),
         )
+        .withColumn(
+            "overlap", F.greatest(F.col("containment_1"), F.col("containment_2"))
+        )
+        .where(F.col("overlap") >= threshold)
     )
-    return plain.unionByName(hot_pairs).where(F.col("jaccard") >= threshold)
 
 
 def prefix_filter_pairs(

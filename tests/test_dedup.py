@@ -421,3 +421,60 @@ def test_dedup_weights_mass_per_cluster(spark):
     half = {r["doc_id"]: r["weight"]
             for r in dedup_weights(keep, alpha=0.5).collect()}
     assert abs(half["a"] - 1 / 3**0.5) < 1e-6
+
+
+def test_containment_catches_subdocument_dup_jaccard_misses(spark):
+    """Doc A quoted wholesale inside a 5x-longer doc B: containment of
+    A in B is ~1.0 while Jaccard is ~|A|/|B| — below any usable
+    resemblance threshold.  Directionality must point at the quoted
+    side, and an unrelated doc must not pair."""
+    quoted = " ".join(f"quote{w}" for w in range(30))
+    wrapper = (
+        " ".join(f"pre{w}" for w in range(60))
+        + " " + quoted + " "
+        + " ".join(f"post{w}" for w in range(60))
+    )
+    other = " ".join(f"noise{w}" for w in range(40))
+    df = spark.createDataFrame(
+        [("A", quoted, "en"), ("B", wrapper, "en"), ("C", other, "en")],
+        "doc_id string, text string, lang string",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r
+        for r in dedup.containment_pairs(
+            df, block_cols=("lang",), n=3, threshold=0.8
+        ).collect()
+    }
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r["containment_1"] == 1.0          # all of A's grams in B
+    assert r["containment_2"] < 0.3           # B mostly not in A
+    assert r["overlap"] == 1.0
+    # Jaccard over the same grams misses it at the same threshold
+    jac = dedup.ngram_jaccard_pairs(
+        df, block_cols=("lang",), n=3, threshold=0.8
+    )
+    assert jac.count() == 0
+
+
+def test_containment_salt_tier_is_lossless(spark):
+    """Tiered (hot-block) containment emits exactly the plain-join
+    pairs with identical measures."""
+    df = _docs(spark, [("x", 12), ("y", 4)], filler=6).withColumn(
+        "lang", F.lit("en")
+    )
+    plain = dedup.containment_pairs(
+        df, block_cols=("lang",), n=3, threshold=0.3,
+        max_block_size=None,
+    )
+    tiered = dedup.containment_pairs(
+        df, block_cols=("lang",), n=3, threshold=0.3,
+        max_block_size=5, salt_buckets=4, drop_factor=100,
+    )
+    rows = lambda d: {  # noqa: E731
+        (r["doc_id_1"], r["doc_id_2"], r["containment_1"],
+         r["containment_2"], r["overlap"])
+        for r in d.collect()
+    }
+    assert rows(plain) == rows(tiered)
+    assert len(rows(plain)) > 0
