@@ -1165,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the pipeline clustering vs the synth gold partition — contingency
     # cells only, no pair materialization
     q["cluster_metrics"] = lambda s, d: _cluster_metrics_q(s, d)
+    # entropy-based agreement (homogeneity/completeness/V/NMI): says
+    # WHICH way a cutoff is wrong — merged costs homogeneity only,
+    # fragmented costs completeness only
+    q["clustering_agreement"] = lambda s, d: _clustering_agreement_q(s, d)
     # the error TAXONOMY behind those scalars: per gold entity, pure /
     # fragmented (fix blocking-recall) / merged (fix precision) / both
     q["cluster_error_taxonomy"] = lambda s, d: ev.cluster_error_taxonomy(
@@ -1424,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "clustering_agreement",
     "containment_near_dups",
     "cluster_growth_curve",
     "stringmap_block_pairs",
@@ -2215,6 +2220,18 @@ def _cluster_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("doc_id", 2, 9).alias("gold_id")
     )
     return ev.cluster_metrics(clus, gold)
+
+
+def _clustering_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based agreement of the pipeline's own clustering vs the
+    synth gold partition: homogeneity / completeness / V-measure / NMI
+    — splits clustering error into the merged-vs-fragmented failure
+    modes (the scalar form of cluster_error_taxonomy)."""
+    clus = _clusters(spark, sf_dir)
+    gold = _records(spark, sf_dir).select(
+        "doc_id", F.substring("doc_id", 2, 9).alias("gold_id")
+    )
+    return ev.clustering_agreement(clus, gold)
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4121,6 +4138,66 @@ def oracle_sql() -> dict[str, str]:
                         / ((a + b) / 2 - a * b / (n * (n - 1) / 2))
                END, 6) AS ari
         FROM sums, ab
+    """
+    sql["clustering_agreement"] = f"""
+        {_SQL_CC},
+        clus AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        asg AS MATERIALIZED (
+            SELECT doc_id, cluster_id, substr(doc_id, 2, 9) AS gold_id
+            FROM clus
+        ),
+        cells AS (
+            SELECT cluster_id, gold_id, CAST(count(*) AS DOUBLE) AS n_cg
+            FROM asg GROUP BY 1, 2
+        ),
+        byc AS MATERIALIZED (
+            SELECT cluster_id, CAST(count(*) AS DOUBLE) AS n_c
+            FROM asg GROUP BY 1
+        ),
+        byg AS MATERIALIZED (
+            SELECT gold_id, CAST(count(*) AS DOUBLE) AS n_g
+            FROM asg GROUP BY 1
+        ),
+        sums AS (
+            SELECT sum(n_cg) AS n,
+                   sum(-n_cg * ln(n_cg / n_c)) AS hgc_num,
+                   sum(-n_cg * ln(n_cg / n_g)) AS hcg_num
+            FROM cells
+            JOIN byc USING (cluster_id)
+            JOIN byg USING (gold_id)
+        ),
+        ents AS (
+            SELECT (SELECT sum(-n_c * ln(n_c)) FROM byc) AS hc_raw,
+                   (SELECT sum(-n_g * ln(n_g)) FROM byg) AS hg_raw
+        ),
+        m AS (
+            SELECT n,
+                   hg_raw / n + ln(n) AS ent_g,
+                   hc_raw / n + ln(n) AS ent_c,
+                   hgc_num / n AS cond_g_c,
+                   hcg_num / n AS cond_c_g
+            FROM sums, ents
+        ),
+        hc AS (
+            SELECT n, ent_g, ent_c, cond_g_c,
+                   CASE WHEN ent_g <= 0 THEN 1.0
+                        ELSE 1 - cond_g_c / ent_g END AS homog,
+                   CASE WHEN ent_c <= 0 THEN 1.0
+                        ELSE 1 - cond_c_g / ent_c END AS compl
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               round(homog, 6) AS homogeneity,
+               round(compl, 6) AS completeness,
+               round(CASE WHEN homog + compl <= 0 THEN 0.0
+                          ELSE 2 * homog * compl / (homog + compl) END,
+                     6) AS v_measure,
+               round(CASE WHEN ent_g + ent_c <= 0 THEN 0.0
+                          ELSE 2 * (ent_g - cond_g_c) / (ent_g + ent_c) END,
+                     6) AS nmi
+        FROM hc
     """
     sql["meta_blocking_pairs"] = f"""
         {_sql_chain("keys")}

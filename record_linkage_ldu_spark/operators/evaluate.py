@@ -398,6 +398,94 @@ def cluster_metrics(clusters: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def clustering_agreement(
+    clusters: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """Information-theoretic clustering agreement: homogeneity,
+    completeness, V-measure (Rosenberg & Hirschberg 2007) and NMI —
+    the entropy-based complement of :func:`cluster_metrics`'s
+    B-cubed/ARI.  Homogeneity and completeness split total error into
+    the two failure modes the error taxonomy names: a merged cluster
+    (mixed gold entities) costs homogeneity only; a fragmented entity
+    (split across clusters) costs completeness only — so the pair
+    says WHICH way a threshold is wrong, where accuracy-style scores
+    just drop.
+
+      H(G|C) = -Σ_{c,g} (n_cg/N) ln(n_cg/n_c)    h = 1 - H(G|C)/H(G)
+      H(C|G) = -Σ_{c,g} (n_cg/N) ln(n_cg/n_g)    c = 1 - H(C|G)/H(C)
+      V = 2hc/(h+c);  NMI = 2·I(G;C) / (H(G)+H(C))  (arithmetic mean)
+
+    Conventions (documented, engine-portable): a zero denominator
+    entropy means that side is a single block — the conditional score
+    is defined as 1.0; V and NMI are 0.0 when h + c (resp. the entropy
+    sum) is 0 with disagreement impossible only at N<=1.  Same scale
+    shape as cluster_metrics: three groupBys over contingency cells +
+    scalar aggregates, no pair materialization — usable at 10^12 docs.
+
+    Returns one row: (n_docs, homogeneity, completeness, v_measure,
+    nmi), metric columns rounded to 6 decimals.
+    """
+    asg = clusters.select("doc_id", "cluster_id").join(
+        gold.select("doc_id", "gold_id"), "doc_id"
+    )
+    cells = asg.groupBy("cluster_id", "gold_id").agg(
+        F.count("*").cast("double").alias("n_cg")
+    )
+    by_c = asg.groupBy("cluster_id").agg(
+        F.count("*").cast("double").alias("n_c")
+    )
+    by_g = asg.groupBy("gold_id").agg(
+        F.count("*").cast("double").alias("n_g")
+    )
+    joined = cells.join(by_c, "cluster_id").join(by_g, "gold_id")
+    sums = joined.agg(
+        F.sum("n_cg").alias("n"),
+        # -Σ n_cg·ln(n_cg/n_c) and -Σ n_cg·ln(n_cg/n_g): divide by N
+        # once at the end (N is another aggregate of the same frame)
+        F.sum(-F.col("n_cg") * F.log(F.col("n_cg") / F.col("n_c"))).alias(
+            "hg_given_c_num"
+        ),
+        F.sum(-F.col("n_cg") * F.log(F.col("n_cg") / F.col("n_g"))).alias(
+            "hc_given_g_num"
+        ),
+    )
+    h_c = by_c.agg(
+        F.sum(-F.col("n_c") * F.log(F.col("n_c"))).alias("hc_raw"),
+        F.sum("n_c").alias("n_c_tot"),
+    )
+    h_g = by_g.agg(
+        F.sum(-F.col("n_g") * F.log(F.col("n_g"))).alias("hg_raw"),
+        F.sum("n_g").alias("n_g_tot"),
+    )
+    out = sums.crossJoin(h_c).crossJoin(h_g)
+    n = F.col("n")
+    # H(X) from the raw Σ -n_x ln n_x form: (raw)/N + ln N
+    ent_c = F.col("hc_raw") / n + F.log(n)
+    ent_g = F.col("hg_raw") / n + F.log(n)
+    cond_g_c = F.col("hg_given_c_num") / n  # H(G|C)
+    cond_c_g = F.col("hc_given_g_num") / n  # H(C|G)
+    homog = F.when(ent_g <= F.lit(0.0), F.lit(1.0)).otherwise(
+        1 - cond_g_c / ent_g
+    )
+    compl = F.when(ent_c <= F.lit(0.0), F.lit(1.0)).otherwise(
+        1 - cond_c_g / ent_c
+    )
+    mi = ent_g - cond_g_c
+    nmi = F.when((ent_g + ent_c) <= F.lit(0.0), F.lit(0.0)).otherwise(
+        2 * mi / (ent_g + ent_c)
+    )
+    v = F.when((homog + compl) <= F.lit(0.0), F.lit(0.0)).otherwise(
+        2 * homog * compl / (homog + compl)
+    )
+    return out.select(
+        n.cast("long").alias("n_docs"),
+        F.round(homog, 6).alias("homogeneity"),
+        F.round(compl, 6).alias("completeness"),
+        F.round(v, 6).alias("v_measure"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
 def golden_records(
     records: DataFrame,
     clusters: DataFrame,

@@ -210,6 +210,81 @@ def test_cluster_metrics_perfect_and_degenerate(spark):
     assert (row["b3_f1"], row["ari"]) == (1.0, 1.0)
 
 
+def test_clustering_agreement_hand_computed(spark):
+    """V-measure/NMI on the same 6-doc contingency as the B-cubed
+    test; this split is symmetric (H(G|C) == H(C|G), H(G) == H(C)) so
+    homogeneity == completeness == V == NMI, hand-derived."""
+    import math
+
+    from record_linkage_ldu_spark.operators.evaluate import (
+        clustering_agreement,
+    )
+
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c2"),
+         ("d4", "c2"), ("d5", "c2"), ("d6", "c3")],
+        "doc_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("d1", "g1"), ("d2", "g1"), ("d3", "g1"),
+         ("d4", "g2"), ("d5", "g2"), ("d6", "g3")],
+        "doc_id string, gold_id string",
+    )
+    cond = (math.log(3) + 2 * math.log(1.5)) / 6
+    ent = -(
+        0.5 * math.log(0.5)
+        + math.log(1 / 3) / 3
+        + math.log(1 / 6) / 6
+    )
+    expected = round(1 - cond / ent, 6)
+    row = clustering_agreement(clusters, gold).collect()[0]
+    assert row["n_docs"] == 6
+    assert row["homogeneity"] == expected
+    assert row["completeness"] == expected
+    assert row["v_measure"] == expected
+    assert row["nmi"] == expected
+
+
+def test_clustering_agreement_names_the_failure_mode(spark):
+    """A merged cluster costs homogeneity ONLY (completeness 1.0 by
+    the zero-entropy convention); a fragmented entity costs
+    completeness ONLY; perfect nontrivial agreement scores 1.0 across
+    the board."""
+    from record_linkage_ldu_spark.operators.evaluate import (
+        clustering_agreement,
+    )
+
+    two_gold = spark.createDataFrame(
+        [("d1", "g1"), ("d2", "g1"), ("d3", "g2"), ("d4", "g2")],
+        "doc_id string, gold_id string",
+    )
+    merged = spark.createDataFrame(
+        [("d1", "c"), ("d2", "c"), ("d3", "c"), ("d4", "c")],
+        "doc_id string, cluster_id string",
+    )
+    row = clustering_agreement(merged, two_gold).collect()[0]
+    assert (row["homogeneity"], row["completeness"]) == (0.0, 1.0)
+    assert (row["v_measure"], row["nmi"]) == (0.0, 0.0)
+
+    one_gold = spark.createDataFrame(
+        [(f"d{i}", "g") for i in range(1, 5)],
+        "doc_id string, gold_id string",
+    )
+    split = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c2"), ("d4", "c2")],
+        "doc_id string, cluster_id string",
+    )
+    row = clustering_agreement(split, one_gold).collect()[0]
+    assert (row["homogeneity"], row["completeness"]) == (1.0, 0.0)
+    assert (row["v_measure"], row["nmi"]) == (0.0, 0.0)
+
+    row = clustering_agreement(split, two_gold).collect()[0]
+    assert (
+        row["homogeneity"], row["completeness"],
+        row["v_measure"], row["nmi"],
+    ) == (1.0, 1.0, 1.0, 1.0)
+
+
 def test_edge_corroboration_triangle_plus_bridge(spark):
     """Triangle edges are corroborated by the third vertex (weighted
     1/ln(deg)); the bridge edge scores 0 — the cluster-chaining-risk
