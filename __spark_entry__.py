@@ -883,6 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_filter"] = lambda s, d: corpus.corpus_filter_flags(
         _t(s, d, "documents"), min_tokens=20, min_quality=0.3
     )
+    # per-source hard cap (max N docs per host): the anti-spam quota a
+    # rate-based sample can't express; skew-safe two-pass ranking
+    q["source_quota_sample"] = lambda s, d: corpus.source_quota_sample(
+        _t(s, d, "documents"), group_col="source", cap=10
+    )
     # deterministic per-stratum hash sampling (corpus mixing)
     q["stratified_sample"] = lambda s, d: corpus.stratified_sample(
         _t(s, d, "documents"),
@@ -1428,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "source_quota_sample",
     "clustering_agreement",
     "containment_near_dups",
     "cluster_growth_curve",
@@ -3092,6 +3098,9 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["corpus_filter"] = corpus.sql_corpus_filter_flags(
         "documents", min_tokens=20, min_quality=0.3
+    )
+    sql["source_quota_sample"] = corpus.sql_source_quota_sample(
+        "documents", group_col="source", cap=10
     )
     sql["stratified_sample"] = corpus.sql_stratified_sample(
         "documents",

@@ -813,6 +813,86 @@ def sql_stratified_sample(
     """
 
 
+def source_quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    seed: str = "quota",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    salt: int = 16,
+) -> DataFrame:
+    """Deterministic per-group HARD CAP: keep at most ``cap`` docs per
+    ``group_col`` — the crawl-pipeline "max N pages per host" rule
+    (:func:`stratified_sample` scales every stratum by a RATE; a quota
+    bounds the absolute contribution of any one source no matter how
+    big it is, which is the anti-spam/anti-SEO lever).  Selection is
+    the ``cap`` smallest ``(hash draw, id)`` per group — a pure
+    function of ``seed`` and the id, so the kept set is reproducible
+    across runs, cluster sizes, and engines.
+
+    Scale shape (skew is the POINT here — one mega-host can be half
+    the crawl): a single ``row_number`` window partitioned by source
+    would funnel that host into one task.  Instead, two bounded
+    passes: (1) rank within ``(group, salt_bucket)`` — bucket = a hash
+    of the id, so every task sees ≤ |group|/salt rows — and keep each
+    bucket's top-``cap``; any global top-``cap`` row is necessarily in
+    its own bucket's top-``cap``, so pass 1 is lossless.  (2) rank the
+    ≤ ``salt × cap`` survivors per group for the final cut.  Both
+    passes order by ``(draw, doc_id)`` — a total order, so ranks are
+    deterministic.
+
+    Returns ``(doc_id, <group_col>, quota_rank)`` for kept rows,
+    ``quota_rank`` = 1-based rank within the group's kept set.
+    """
+    from pyspark.sql.window import Window
+
+    draw = _uniform_draw(F.col(id_col), seed, hash_fn)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col),
+        draw.alias("_draw"),
+        F.pmod(
+            F.xxhash64(F.lit("qsalt"), F.col(id_col).cast("string")),
+            F.lit(salt),
+        ).alias("_b"),
+    )
+    w1 = Window.partitionBy(group_col, "_b").orderBy("_draw", "doc_id")
+    survivors = base.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= cap
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_draw", "doc_id")
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .where(F.col("quota_rank") <= cap)
+        .select("doc_id", group_col, "quota_rank")
+    )
+
+
+def sql_source_quota_sample(
+    table: str,
+    group_col: str = "source",
+    cap: int = 100,
+    seed: str = "quota",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`source_quota_sample` (same md5 draw; one
+    plain window — the oracle needn't be skew-safe)."""
+    draw = _sql_uniform_draw(id_col, seed)
+    return f"""
+        SELECT doc_id, {group_col}, quota_rank
+        FROM (
+            SELECT {id_col} AS doc_id, {group_col},
+                   CAST(row_number() OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY {draw}, {id_col}
+                   ) AS INT) AS quota_rank
+            FROM {table}
+        )
+        WHERE quota_rank <= {cap}
+    """
+
+
 def mixture_stats(
     df: DataFrame,
     strata_col: str = "lang",

@@ -782,3 +782,57 @@ def test_snapshot_diff_null_text_not_misclassified(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {2: "changed", 3: "changed"}  # doc 1 unchanged
+
+
+def test_source_quota_sample_cap_and_skew_safety(spark):
+    """The two-pass salted ranking equals a plain single-window
+    top-cap (pass 1 is lossless: any global top-cap row is in its own
+    bucket's top-cap); caps bind per group; groups under the cap keep
+    everything; the kept set is a pure function of the seed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from record_linkage_ldu_spark.operators.corpus import (
+        _uniform_draw,
+        source_quota_sample,
+    )
+
+    rows = [(i, "mega") for i in range(200)] + [
+        (1000 + i, "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = source_quota_sample(df, cap=5, salt=4)
+    got = {
+        (r["doc_id"], r["source"], r["quota_rank"]) for r in out.collect()
+    }
+    # reference: one plain window, no salting
+    w = Window.partitionBy("source").orderBy("_draw", "doc_id")
+    ref = {
+        (r["doc_id"], r["source"], r["quota_rank"])
+        for r in df.withColumn(
+            "_draw", _uniform_draw(F.col("doc_id"), "quota")
+        )
+        .withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= 5)
+        .collect()
+    }
+    assert got == ref
+    by_src = {}
+    for _, src, _ in got:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src == {"mega": 5, "small": 3}
+    # deterministic: same seed -> same set; different seed -> (almost
+    # surely) a different mega selection
+    again = {
+        (r["doc_id"], r["source"], r["quota_rank"])
+        for r in source_quota_sample(df, cap=5, salt=4).collect()
+    }
+    assert again == got
+    other = {
+        r["doc_id"]
+        for r in source_quota_sample(df, cap=5, salt=4, seed="v2")
+        .where(F.col("source") == "mega")
+        .collect()
+    }
+    assert other != {d for d, s, _ in got if s == "mega"}
