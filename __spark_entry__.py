@@ -883,6 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_filter"] = lambda s, d: corpus.corpus_filter_flags(
         _t(s, d, "documents"), min_tokens=20, min_quality=0.3
     )
+    # per-stratum lexical diversity (type-token / hapax ratios): the
+    # Zipf-tail health check that catches template floods
+    q["vocab_stats"] = lambda s, d: corpus.vocab_stats(
+        _t(s, d, "documents")
+    )
     # per-source hard cap (max N docs per host): the anti-spam quota a
     # rate-based sample can't express; skew-safe two-pass ranking
     q["source_quota_sample"] = lambda s, d: corpus.source_quota_sample(
@@ -1433,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "vocab_stats",
     "source_quota_sample",
     "clustering_agreement",
     "containment_near_dups",
@@ -3102,6 +3108,7 @@ def oracle_sql() -> dict[str, str]:
     sql["source_quota_sample"] = corpus.sql_source_quota_sample(
         "documents", group_col="source", cap=10
     )
+    sql["vocab_stats"] = corpus.sql_vocab_stats("documents")
     sql["stratified_sample"] = corpus.sql_stratified_sample(
         "documents",
         strata_col="lang",

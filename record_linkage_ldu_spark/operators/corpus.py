@@ -932,6 +932,98 @@ def mixture_stats(
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum vocabulary statistics: token/type counts, hapax
+    count, type-token ratio, hapax ratio — the lexical-diversity
+    signals (Zipf-tail health) that catch template-generated or
+    dedup-starved strata: boilerplate floods collapse TTR, a healthy
+    crawl keeps a fat hapax tail (~40-60% of types in natural text),
+    machine-repeated text doesn't.
+
+    Scale shape: one explode → (stratum, term) count groupBy (the
+    classic word-count — partial aggregation does the heavy lifting
+    map-side; (stratum, term) granularity leaves no hot key) → one
+    per-stratum rollup of the term-frequency table, plus a doc count
+    on the un-exploded frame joined back on the low-cardinality
+    stratum key.  A stratum whose docs are all empty has no vocabulary
+    row (inner join — consistent in both engines)."""
+    from ..functions.text import tokens
+
+    wide = ensure_width(df)
+    terms = (
+        wide.select(
+            F.col(strata_col).alias("stratum"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("stratum", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # doc counts come off the raw frame — no tokenization on this branch
+    docs = wide.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    agg = terms.groupBy("stratum").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return agg.join(F.broadcast(docs), "stratum").select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+def sql_vocab_stats(
+    table: str, strata_col: str = "lang", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`vocab_stats` (tokens materialized before
+    the unnest — the nested-lambda trap)."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH _toks AS MATERIALIZED (
+            SELECT {strata_col} AS stratum, {sql_tokens(text_col)} AS t
+            FROM {table}
+        ),
+        terms AS (
+            SELECT stratum, unnest(t) AS term FROM _toks
+        ),
+        tf AS (
+            SELECT stratum, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        docs AS (
+            SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs
+            FROM _toks GROUP BY 1
+        ),
+        agg AS (
+            SELECT stratum,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(coalesce(sum(CASE WHEN tf = 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_hapax
+            FROM tf GROUP BY 1
+        )
+        SELECT stratum, n_docs, n_tokens, n_types, n_hapax,
+               round(CAST(n_types AS DOUBLE) / n_tokens, 6)
+                   AS type_token_ratio,
+               round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+        FROM agg JOIN docs USING (stratum)
+    """
+
+
 def token_percentiles(
     df: DataFrame,
     strata_col: str = "lang",

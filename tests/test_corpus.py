@@ -836,3 +836,24 @@ def test_source_quota_sample_cap_and_skew_safety(spark):
         .collect()
     }
     assert other != {d for d, s, _ in got if s == "mega"}
+
+
+def test_vocab_stats_hand_computed(spark):
+    """3 docs, one stratum: tokens {a:3, b:2, c:1, d:1} -> n_tokens=7,
+    n_types=4, hapax {c,d}=2, TTR=4/7; empty-text stratum emits no
+    row; doc counts ignore tokenization."""
+    from record_linkage_ldu_spark.operators.corpus import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a", "en"), (2, "a b c", "en"), (3, "d", "en"),
+         (4, "", "empty")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["stratum"]: r for r in vocab_stats(df).collect()}
+    assert set(rows) == {"en"}
+    r = rows["en"]
+    assert (r["n_docs"], r["n_tokens"], r["n_types"], r["n_hapax"]) == (
+        3, 7, 4, 2,
+    )
+    assert r["type_token_ratio"] == round(4 / 7, 6)
+    assert r["hapax_ratio"] == 0.5
