@@ -1051,6 +1051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB's jaro_winkler_similarity (20k-pair sweep + pytest);
     # sample drawn with the md5 hash-mod (xxhash64 has no DuckDB twin)
     q["jw_pair_scores"] = lambda s, d: _jw_scores(s, d)
+    # Damerau-Levenshtein (transpositions = the dominant human typo):
+    # the one edit-family kernel with a NATIVE DuckDB twin, so the
+    # Arrow-UDF path itself is hash-gated
+    q["dl_pair_scores"] = lambda s, d: _dl_scores(s, d)
     # hash-green since round 3: the md5-based sketch + band/hamming
     # stages have an exact DuckDB twin (sql_simhash_near_duplicates).
     # max_hamming=3 matches the n_bands=4 pigeonhole guarantee
@@ -1438,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "dl_pair_scores",
     "vocab_stats",
     "source_quota_sample",
     "clustering_agreement",
@@ -1926,6 +1931,30 @@ def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_2",
         F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
         F.round(jw_sim_col(F.col("a_city"), F.col("b_city")), 6).alias("jw_city"),
+    )
+
+
+def _dl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein pair scores on the same mod-43 pair sample
+    as jw_pair_scores — unlike RO/JW this kernel has a NATIVE DuckDB
+    twin (damerau_levenshtein), so the whole Arrow-UDF path is
+    hash-gated, not rows-only."""
+    from record_linkage_ldu_spark.functions.similarity import dl_sim_col
+
+    records = _records(spark, sf_dir)
+    pairs = _cand_pairs(spark, sf_dir).where(
+        _md5_mod_pick("doc_id_1", "doc_id_2", 43)
+    )
+    wide = attach_pair_sides(pairs, records, ("name", "city"))
+    return wide.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(dl_sim_col(F.col("a_name"), F.col("b_name")), 6).alias(
+            "dl_name"
+        ),
+        F.round(dl_sim_col(F.col("a_city"), F.col("b_city")), 6).alias(
+            "dl_city"
+        ),
     )
 
 
@@ -3187,6 +3216,27 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_covered AS DOUBLE) / n_candidates, 6)
                    AS pairs_quality
         FROM truth, vol, docs
+    """
+    sql["dl_pair_scores"] = f"""
+        {_sql_chain("pairs")}
+        SELECT p.doc_id_1, p.doc_id_2,
+               round(CASE
+                   WHEN greatest(len(n1.name), len(n2.name)) = 0 THEN 1.0
+                   ELSE 1.0 - CAST(damerau_levenshtein(n1.name, n2.name)
+                                   AS DOUBLE)
+                              / greatest(len(n1.name), len(n2.name))
+               END, 6) AS dl_name,
+               round(CASE
+                   WHEN greatest(len(n1.city), len(n2.city)) = 0 THEN 1.0
+                   ELSE 1.0 - CAST(damerau_levenshtein(n1.city, n2.city)
+                                   AS DOUBLE)
+                              / greatest(len(n1.city), len(n2.city))
+               END, 6) AS dl_city
+        FROM pairs p
+        JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+        JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+        WHERE ('0x' || substr(md5(p.doc_id_1 || ':' || p.doc_id_2), 1, 8))
+              ::UBIGINT % 43 = 0
     """
     sql["jw_pair_scores"] = f"""
         {_sql_chain("pairs")}

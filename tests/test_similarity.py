@@ -478,3 +478,30 @@ def test_match_explanations_decomposes_combined_score(spark):
     score = out[0]["score"]
     assert abs(total - score) < 1e-4
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+
+
+def test_damerau_levenshtein_vectors():
+    """Unrestricted DL (Lowrance-Wagner), not OSA: a transposed block
+    may be edited again."""
+    assert S.damerau_levenshtein("ca", "abc") == 2      # OSA would say 3
+    assert S.damerau_levenshtein("jonh", "john") == 1   # the typo case
+    assert S.damerau_levenshtein("", "abc") == 3
+    assert S.damerau_levenshtein("abc", "") == 3
+    assert S.damerau_levenshtein("abc", "abc") == 0
+    assert S.damerau_levenshtein("ab", "ba") == 1
+    assert S.dl_normalized_similarity("", "") == 1.0
+    assert S.dl_normalized_similarity("jonh", "john") == 0.75
+
+
+@given(a=words, b=words)
+@settings(max_examples=150, deadline=None)
+def test_damerau_levenshtein_matches_duckdb(a, b):
+    """The kernel IS DuckDB's damerau_levenshtein — the property that
+    makes dl_pair_scores hash-checkable rather than rows-only."""
+    got = S.damerau_levenshtein(a, b)
+    ref = duckdb.sql(
+        "SELECT damerau_levenshtein(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert got == ref
+    assert got == S.damerau_levenshtein(b, a)           # symmetric
+    assert got <= S.levenshtein(a, b)                   # never worse
