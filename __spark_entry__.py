@@ -1042,6 +1042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _records(s, d), BlockingConfig(use_sorted_neighborhood=False,
                                        contact_fields=())
     )
+    # second phonetic encoder: Refined Soundex (9 consonant classes,
+    # untruncated — tighter blocks on long names than F.soundex); no
+    # Spark builtin, so both engines run the same translate/collapse
+    # recipe and the key is hash-gated
+    q["refined_soundex_keys"] = lambda s, d: _refined_soundex_keys(s, d)
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
     # blocking recall vs planted labels + candidate selectivity
@@ -1442,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "refined_soundex_keys",
     "dl_pair_scores",
     "vocab_stats",
     "source_quota_sample",
@@ -1931,6 +1937,33 @@ def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_2",
         F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
         F.round(jw_sim_col(F.col("a_city"), F.col("b_city")), 6).alias("jw_city"),
+    )
+
+
+def _refined_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined-Soundex block keys over the normalized name's first two
+    tokens — same key shape as the soundex family ('rsx:FIRST-SECOND')
+    so it can slot into the multi-key union."""
+    from record_linkage_ldu_spark.functions.normalizers import (
+        refined_soundex,
+    )
+
+    n = _records(spark, sf_dir)
+    toks = F.split(F.col("name"), " ")
+    first = F.try_element_at(toks, F.lit(1))
+    second = F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit(""))
+    return (
+        n.select("doc_id", first.alias("_f"), second.alias("_s"))
+        .where(F.col("_f").isNotNull() & (F.col("_f") != ""))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("rsx:"),
+                refined_soundex(F.col("_f")),
+                F.lit("-"),
+                refined_soundex(F.col("_s")),
+            ).alias("block_key"),
+        )
     )
 
 
@@ -3248,6 +3281,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN norm n2 ON p.doc_id_2 = n2.doc_id
         WHERE ('0x' || substr(md5(p.doc_id_1 || ':' || p.doc_id_2), 1, 8))
               ::UBIGINT % 43 = 0
+    """
+    sql["refined_soundex_keys"] = f"""
+        {_sql_chain("norm")},
+    toks AS (
+        SELECT doc_id,
+               string_split(name, ' ')[1] AS first_tok,
+               coalesce(string_split(name, ' ')[2], '') AS second_tok
+        FROM norm
+    )
+        SELECT doc_id,
+               'rsx:' || {N.sql_refined_soundex("first_tok")} || '-' ||
+               {N.sql_refined_soundex("second_tok")} AS block_key
+        FROM toks
+        WHERE first_tok IS NOT NULL AND first_tok <> ''
     """
     sql["soundex_keys"] = f"""
         {_sql_chain("norm")},

@@ -295,3 +295,49 @@ def sql_soundex(expr: str) -> str:
         f"ELSE upper(substr({s}, 1, 1)) || substr(rpad({digits}, 3, '0'), 1, 3) "
         f"END)"
     )
+
+
+# ------------------------------------------------------------------
+# Refined Soundex (second phonetic encoder — Commons-Codec variant)
+# ------------------------------------------------------------------
+
+# Per-letter classes (b,p=1 f,v=2 c,k,s=3 g,j=4 q,x,z=5 d,t=6 l=7
+# m,n=8 r=9 vowels+h,w,y=0), applied to EVERY letter including the
+# first, adjacent equal codes collapsed, no truncation and no zero
+# stripping — finer-grained than American Soundex (9 consonant classes
+# vs 6, untruncated), so blocks split tighter on long names.  Unlike
+# `F.soundex` there is no Spark builtin: both engines run the SAME
+# strip/translate/collapse recipe, which is what makes the key
+# hash-checkable.
+_RS_IN = "abcdefghijklmnopqrstuvwxyz"
+_RS_OUT = "01360240043788015936020505"
+
+
+def refined_soundex(c: Column) -> Column:
+    """Refined Soundex code: first letter + collapsed per-letter codes
+    of the whole (letters-only) string; NULL -> NULL, no letters -> ''.
+    refined_soundex('testing') = 'T6036084'."""
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    codes = F.translate(F.lower(s), _RS_IN, _RS_OUT)
+    # Java regex has backrefs; the DuckDB twin's per-digit chain is
+    # equivalent for single-char runs
+    collapsed = F.regexp_replace(codes, "(\\d)\\1+", "$1")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(s == "", F.lit(""))
+        .otherwise(F.concat(F.substring(s, 1, 1), collapsed))
+    )
+
+
+def sql_refined_soundex(expr: str) -> str:
+    """DuckDB twin of :func:`refined_soundex` (RE2 has no backrefs —
+    one collapse regexp per code digit, same result on digit runs)."""
+    s = f"upper(regexp_replace(({expr}), '[^A-Za-z]', '', 'g'))"
+    coded = f"translate(lower({s}), '{_RS_IN}', '{_RS_OUT}')"
+    for d in "0123456789":
+        coded = f"regexp_replace({coded}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN {s} = '' THEN '' "
+        f"ELSE substr({s}, 1, 1) || {coded} END)"
+    )

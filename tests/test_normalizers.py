@@ -135,3 +135,48 @@ def test_sql_soundex_matches_spark(spark):
     for v in vals:
         got_duck = con.execute(f"select {sql_soundex(repr(v))}").fetchone()[0]
         assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
+
+
+def test_refined_soundex_vectors_and_sql_parity(spark):
+    """Commons-Codec reference vectors, then Spark column == DuckDB
+    twin on edge cases (the backref collapse vs the per-digit RE2
+    chain must agree on every run shape)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.functions.normalizers import (
+        refined_soundex,
+        sql_refined_soundex,
+    )
+
+    vals = [
+        "testing", "TESTING", "braz", "caren", "hayers", "lambert",
+        "noulton", "o brien", "Schmidt", "", "  ", "123", "x",
+        "aaabbb", "mississippi", "ab1b", "robert123x", "ZZZ", "bp",
+        "smith", "smyth", "a-b-c",
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = {
+        r["s"]: r["rs"]
+        for r in sdf.select(
+            "s", refined_soundex(F.col("s")).alias("rs")
+        ).collect()
+    }
+    # reference vectors (Apache Commons Codec RefinedSoundex)
+    assert got_spark["testing"] == "T6036084"
+    assert got_spark["braz"] == "B1905"
+    assert got_spark["caren"] == "C30908"
+    assert got_spark["hayers"] == "H093"
+    assert got_spark["lambert"] == "L7081096"
+    assert got_spark["noulton"] == "N807608"
+    assert got_spark[""] == ""
+    assert got_spark["123"] == ""
+    # same class collapses, different spellings split finer than
+    # American soundex where classes differ
+    assert got_spark["smith"] == got_spark["smyth"]
+    con = duckdb.connect()
+    for v in vals:
+        got_duck = con.execute(
+            f"select {sql_refined_soundex(repr(v))}"
+        ).fetchone()[0]
+        assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
