@@ -256,6 +256,9 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("minhash_dedup", lambda: _force(qs["minhash_near_dups"](spark, sf_dir)))
     timed("winnow_dedup", lambda: _force(qs["winnow_near_dups"](spark, sf_dir)))
     timed("ngram_jaccard", lambda: _force(qs["ngram_jaccard_dedup"](spark, sf_dir)))
+    # asymmetric containment (sub-document dup detector): shares the
+    # tiered candidate stage with ngram_jaccard, lang-only blocks
+    timed("containment", lambda: _force(qs["containment_near_dups"](spark, sf_dir)))
     timed("simhash", lambda: _force(qs["simhash_near_dups"](spark, sf_dir)))
     # exact-similarity join via prefix filtering (no blocking metadata,
     # no recall loss) — the exact counterpart of the minhash row above.
