@@ -4143,7 +4143,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["soft_tfidf_scores"] = f"""
         {_sql_chain("pairs")},
-        sampled AS (
+        sampled AS MATERIALIZED (
             SELECT * FROM pairs
             WHERE ('0x' || substr(md5(doc_id_1 || ':' || doc_id_2), 1, 8))
                   ::UBIGINT % 43 = 0
@@ -4159,11 +4159,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ntoks GROUP BY tok
         ),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM norm),
-        wt AS (
+        wt AS MATERIALIZED (
             SELECT t.doc_id, t.tok, ln(nn.n_docs / d.df) AS w
             FROM ntoks t JOIN dfc d USING (tok), nn
         ),
-        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id),
+        nrm AS MATERIALIZED (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id),
         grid AS MATERIALIZED (
             SELECT p.doc_id_1, p.doc_id_2, a.tok AS tok1, b.tok AS tok2,
                    a.w AS w1, b.w AS w2,
