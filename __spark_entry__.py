@@ -767,6 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_near_duplicates(
         _t(s, d, "documents"), threshold=0.3
     )
+    # measured LSH-banding recall vs the exact shingle-Jaccard ground
+    # truth (prefix filter over the SAME shingle universe) — the dedup
+    # analogue of blocking_recall / ann_recall
+    q["minhash_recall"] = lambda s, d: _minhash_recall(s, d)
     # cross-corpus variant (incremental-ingest op: new crawl vs the
     # existing corpus) — even ids as the "new" side, odd as the store
     q["minhash_cross_near_dups"] = lambda s, d: (
@@ -1447,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "minhash_recall",
     "refined_soundex_keys",
     "dl_pair_scores",
     "vocab_stats",
@@ -1937,6 +1942,59 @@ def _jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_2",
         F.round(jw_sim_col(F.col("a_name"), F.col("b_name")), 6).alias("jw_name"),
         F.round(jw_sim_col(F.col("a_city"), F.col("b_city")), 6).alias("jw_city"),
+    )
+
+
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family observability (the analogue of blocking_recall /
+    ann_recall): measured recall of MinHash-LSH banding against the
+    EXACT shingle-Jaccard ground truth — prefix_filter_pairs run over
+    the SAME distinct 3-word shingle universe (unit="shingle"), so the
+    only misses possible are banding misses.  Precision doubles as a
+    consistency check: minhash verifies exact Jaccard on its
+    candidates, so every reported pair must be in the ground truth
+    (precision 1.0 by construction).  One full outer join of two
+    bounded pair sets + one scalar aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.prefix_filter_pairs(
+        docs, threshold=0.7, unit="shingle"
+    ).select("doc_id_1", "doc_id_2", F.lit(1).alias("_e"))
+    approx = dedup.minhash_near_duplicates(docs, threshold=0.7).select(
+        "doc_id_1", "doc_id_2", F.lit(1).alias("_a")
+    )
+    j = exact.join(approx, ["doc_id_1", "doc_id_2"], "full")
+    agg = j.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("n_approx"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            )
+        )
+        .alias("recall"),
+        F.when(F.col("n_approx") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_approx"), 6
+            )
+        )
+        .alias("precision"),
     )
 
 
@@ -3142,6 +3200,33 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ngram_jaccard_dedup"] = _sql_ngram_jaccard()
     sql["containment_near_dups"] = _sql_containment_near_dups()
+    _mr_exact = dedup.sql_prefix_filter_pairs(
+        "documents", threshold=0.7, unit="shingle"
+    )
+    _mr_approx = dedup.sql_minhash_near_duplicates(
+        "documents", threshold=0.7
+    )
+    sql["minhash_recall"] = f"""
+        SELECT n_exact, n_approx, n_hit,
+               CASE WHEN n_exact = 0 THEN 1.0
+                    ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 6)
+               END AS recall,
+               CASE WHEN n_approx = 0 THEN 1.0
+                    ELSE round(CAST(n_hit AS DOUBLE) / n_approx, 6)
+               END AS precision
+        FROM (
+            SELECT CAST(coalesce(sum(_e), 0) AS BIGINT) AS n_exact,
+                   CAST(coalesce(sum(_a), 0) AS BIGINT) AS n_approx,
+                   CAST(coalesce(sum(CASE WHEN _e = 1 AND _a = 1
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_hit
+            FROM (SELECT doc_id_1, doc_id_2, 1 AS _e
+                  FROM ({_mr_exact})) e
+            FULL JOIN (SELECT doc_id_1, doc_id_2, 1 AS _a
+                       FROM ({_mr_approx})) a
+            USING (doc_id_1, doc_id_2)
+        )
+    """
     sql["prefix_filter_pairs"] = dedup.sql_prefix_filter_pairs(
         "documents", threshold=0.7
     )

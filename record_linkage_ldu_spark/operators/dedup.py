@@ -944,6 +944,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     pin: bool = True,
+    unit: str = "token",
 ) -> DataFrame:
     """Prefix-filtered exact set-similarity self-join (Bayardo et al.
     "Scaling Up All Pairs Similarity Search" WWW'07 / the PPJoin
@@ -975,13 +976,29 @@ def prefix_filter_pairs(
     Reference parity: none (the reference verifies ALL pairs); this is
     the exact-similarity analogue of its full cross scoring for the
     10^12-doc regime.
+
+    ``unit``: ``"token"`` (default) runs over distinct word tokens;
+    ``"shingle"`` over the SAME distinct 3-word shingles as the
+    MinHash family (:func:`_shingled`) — which makes this the exact
+    ground truth `minhash_recall` measures banding misses against.
     """
-    toks = ensure_width(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
-        ).alias("tok"),
-    )
+    if unit == "shingle":
+        # _shingled yields the (already distinct) shingle ARRAY behind
+        # its Generate barrier; explode to the one-row-per-unit shape
+        toks = _shingled(
+            ensure_width(df), text_col, id_col, 3, out_col="_sh"
+        ).select("doc_id", F.explode(F.col("_sh")).alias("tok"))
+    elif unit == "token":
+        toks = ensure_width(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                )
+            ).alias("tok"),
+        )
+    else:
+        raise ValueError(f"unknown unit {unit!r} (token|shingle)")
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     per_doc = (
         toks.join(dfreq, "tok")
@@ -1237,17 +1254,26 @@ def sql_prefix_filter_pairs(
     table: str = "documents",
     text_col: str = "text",
     threshold: float = 0.7,
+    unit: str = "token",
 ) -> str:
     """DuckDB twin of prefix_filter_pairs — same canonical order, same
     prefix/length filters, same exact-Jaccard verify.  The ordered
-    CTE is MATERIALIZED: prefix + both verify sides reference it."""
-    from ..functions.text import sql_tokens
+    CTE is MATERIALIZED: prefix + both verify sides reference it.
+    ``unit="shingle"`` runs over the same distinct 3-word shingles as
+    the minhash twins (``sql_shingles``)."""
+    from ..functions.text import sql_shingles, sql_tokens
 
+    coalesced = f"coalesce({text_col}, '')"
+    if unit == "shingle":
+        units = f"unnest({sql_shingles(coalesced)})"
+    elif unit == "token":
+        units = f"unnest(list_distinct({sql_tokens(coalesced)}))"
+    else:
+        raise ValueError(f"unknown unit {unit!r} (token|shingle)")
     t = repr(float(threshold))
     return f"""
         WITH tok AS MATERIALIZED (
-            SELECT doc_id, unnest(list_distinct(
-                {sql_tokens(f"coalesce({text_col}, '')")})) AS tok
+            SELECT doc_id, {units} AS tok
             FROM {table}
         ),
         dfreq AS (

@@ -478,3 +478,60 @@ def test_containment_salt_tier_is_lossless(spark):
     }
     assert rows(plain) == rows(tiered)
     assert len(rows(plain)) > 0
+
+
+def test_prefix_filter_shingle_unit_and_minhash_recall_shape(spark):
+    """unit='shingle' runs the same lossless prefix machinery over the
+    minhash shingle universe: output equals brute-force shingle
+    Jaccard >= t exactly.  On that shared universe, minhash candidates
+    (exact-verified) are a SUBSET of the prefix ground truth —
+    precision 1.0, recall = hits/exact — the minhash_recall contract."""
+    texts = [
+        ("1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("2", "alpha beta gamma delta epsilon zeta eta iota"),
+        ("3", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("4", "one two three four five six seven eight nine"),
+        ("5", "totally different words appear in this document"),
+        ("6", "xi"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    t = 0.5
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.prefix_filter_pairs(
+            df, threshold=t, unit="shingle"
+        ).collect()
+    }
+    from record_linkage_ldu_spark.functions.text import (
+        shingles_of_tokens,
+        tokens,
+    )
+
+    sh = df.select(
+        "doc_id",
+        shingles_of_tokens(tokens(F.coalesce("text", F.lit(""))), 3).alias(
+            "g"
+        ),
+    ).where(F.size("g") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            dedup.jaccard_col(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .where(F.round("j", 6) >= t)
+        .collect()
+    }
+    assert brute, "fixture must plant shingle-level near-dups"
+    assert got == brute
+    assert ("1", "3") in got           # identical docs
+    # minhash (same universe, same threshold): subset of ground truth
+    approx = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.minhash_near_duplicates(df, threshold=t).collect()
+    }
+    assert approx <= got               # precision 1.0 by construction
