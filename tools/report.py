@@ -230,6 +230,47 @@ def main(sf_dir: str, out_dir: str) -> None:
         )
     lines.append("")
 
+    # cluster STRUCTURE per cutoff: the giant-component alarm — the
+    # threshold curve above prices cutoffs pairwise; this shows what
+    # transitive closure does with them (a too-low cutoff appears as
+    # one exploding component long before pairwise precision collapses)
+    growth = (
+        qs["cluster_growth_curve"](spark, sf_dir)
+        .orderBy("threshold")
+        .collect()
+    )
+    lines += [
+        "## Cluster growth per score cutoff (giant-component alarm)",
+        "",
+        "| cutoff | match edges | multi-doc clusters | docs absorbed "
+        "| largest cluster |",
+        "|---|---|---|---|---|",
+    ]
+    for r in growth:
+        lines.append(
+            f"| {r['threshold']:.1f} | {r['n_edges']} | {r['n_clusters']} "
+            f"| {r['n_linked_docs']} | {r['largest_cluster']} |"
+        )
+    lines.append("")
+
+    # entropy-based agreement vs the gold partition: homogeneity and
+    # completeness name WHICH way the current cutoff errs (merged vs
+    # fragmented) — the scalar companion to the taxonomy and the curve
+    agree = qs["clustering_agreement"](spark, sf_dir).collect()[0]
+    lines += [
+        "## Clustering agreement vs gold (entropy split)",
+        "",
+        "| docs | homogeneity | completeness | V-measure | NMI |",
+        "|---|---|---|---|---|",
+        f"| {agree['n_docs']} | {agree['homogeneity']:.4f} "
+        f"| {agree['completeness']:.4f} | {agree['v_measure']:.4f} "
+        f"| {agree['nmi']:.4f} |",
+        "",
+        "Merged clusters cost homogeneity only; fragmented entities "
+        "cost completeness only.",
+        "",
+    ]
+
     # corpus cleaning report: the reject-reason histogram IS the
     # observable output of corpus_filter_flags (operators/corpus.py) —
     # a cleaning pass whose drops aren't reported is a silent filter
