@@ -41,7 +41,7 @@ from record_linkage_ldu_spark.config import (
 from record_linkage_ldu_spark.functions import normalizers as N
 from record_linkage_ldu_spark.functions import text as T
 from record_linkage_ldu_spark.functions.similarity import lev_sim_col, sql_lev_sim
-from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules
+from record_linkage_ldu_spark.operators import ann, corpus, dedup, rules, temporal
 from record_linkage_ldu_spark.operators import evaluate as ev
 from record_linkage_ldu_spark.operators import fs_em as fs_em_mod
 from record_linkage_ldu_spark.operators import pprl
@@ -101,8 +101,10 @@ from record_linkage_ldu_spark.operators.scoring import (
     value_specific_odds,
 )
 from record_linkage_ldu_spark.operators.spans import (
+    profile_dependencies,
     profile_fields,
     span_fingerprint,
+    sql_profile_dependencies,
 )
 from record_linkage_ldu_spark.plans.linkage import (
     LinkageConfig,
@@ -133,6 +135,16 @@ _PAIR_FIELDS = (
 # the mixture)
 _FS_FIELDS = ("name", "phone", "email", "address")
 _VSO_FIELDS = ("name", "email", "phone", "zip")
+# candidate functional dependencies to profile (no "group": it is a
+# reserved word in the DuckDB twin and the gold label anyway)
+_FD_DEPS = (
+    ("zip", "city"),
+    ("zip", "state"),
+    ("city", "state"),
+    ("state", "country"),
+    ("email", "name"),
+    ("phone", "zip"),
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -156,6 +168,9 @@ def _tune(spark: SparkSession) -> None:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "true"
         )
+        # day-grain date_trunc (hypertable_rollup) is TZ-sensitive;
+        # the DuckDB oracle's naive timestamps are implicitly UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf may be immutable on some deployments — fine
 
@@ -630,6 +645,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.clusters
 
 
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        left, right, on="user_id", value_cols=("value",)
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 4).alias("value"),
+        F.round("value_asof", 4).alias("click_value"),
+        F.unix_timestamp("ts_asof").alias("click_epoch"),
+    )
+
+
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL '30' MINUTE")).alias("end_ts"),
+    )
+    pt = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        "value",
+    )
+    out = temporal.bucketed_range_join(
+        iv, pt, on="user_id", bucket_seconds=1800
+    )
+    return out.select(
+        "error_id",
+        "user_id",
+        "purchase_id",
+        F.unix_timestamp("start_ts").alias("start_epoch"),
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.round("value", 4).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1016,6 +1078,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sessionize"] = lambda s, d: sessionize(_t(s, d, "events")).select(
         "event_id", "user_id", F.col("session_no").cast("long").alias("session_no")
+    )
+    # as-of join (union + one window, NO join node): each purchase
+    # sees the latest click at-or-before it per user — cross-checked
+    # against DuckDB's native ASOF JOIN, an independent implementation
+    q["asof_join_events"] = lambda s, d: _asof_join_events(s, d)
+    # bucketed range join: purchases inside 30-min error episodes —
+    # the interval explodes into fixed-width buckets, the point owns
+    # one bucket, so the theta-join becomes equi-join + exact filter
+    q["range_join_events"] = lambda s, d: _range_join_events(s, d)
+    # continuous aggregate: hour partials, day re-aggregated FROM the
+    # hour partials (one raw scan serves both grains)
+    q["hypertable_rollup"] = lambda s, d: temporal.hypertable_rollup(
+        _t(s, d, "events")
+    )
+    # corpus-trained unigram-LM quality: mean token log-prob under the
+    # corpus's own smoothed unigram distribution (CCNet-style filter)
+    q["unigram_lm_scores"] = lambda s, d: corpus.unigram_lm_scores(
+        _t(s, d, "documents")
+    )
+    # functional-dependency profiling over the normalized records —
+    # which column implications hold (g3 strength), driving blocking-
+    # surrogate and rule-guard choices
+    q["fd_profile"] = lambda s, d: profile_dependencies(
+        _records(s, d), _FD_DEPS
     )
 
     # ---------- relational workhorses ----------
@@ -1451,6 +1537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "asof_join_events",
+    "range_join_events",
+    "hypertable_rollup",
+    "unigram_lm_scores",
+    "fd_profile",
     "minhash_recall",
     "refined_soundex_keys",
     "dl_pair_scores",
@@ -3458,6 +3549,46 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS session_no
         FROM gaps
     """
+    # floor(epoch(..)): raw event ts carries microseconds; Spark's
+    # unix_timestamp truncates while DuckDB CAST(double AS BIGINT)
+    # rounds-to-nearest — floor matches the truncation
+    _asof_inner = temporal.sql_asof_join(
+        "SELECT event_id, user_id, ts, value FROM events"
+        " WHERE event_type = 'purchase'",
+        "SELECT user_id, ts, value FROM events WHERE event_type = 'click'",
+        on="user_id",
+        left_cols=("event_id", "user_id", "ts", "value"),
+    )
+    sql["asof_join_events"] = f"""
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               round(value, 4) AS value,
+               round(value_asof, 4) AS click_value,
+               CAST(floor(epoch(ts_asof)) AS BIGINT) AS click_epoch
+        FROM ({_asof_inner})
+    """
+    _range_inner = temporal.sql_bucketed_range_join(
+        "SELECT event_id AS error_id, user_id, ts AS start_ts,"
+        " ts + INTERVAL 30 MINUTE AS end_ts FROM events"
+        " WHERE event_type = 'error'",
+        "SELECT event_id AS purchase_id, user_id, ts, value FROM events"
+        " WHERE event_type = 'purchase'",
+        on="user_id",
+        interval_cols=("error_id", "user_id", "start_ts", "end_ts"),
+        point_cols=("purchase_id", "user_id", "ts", "value"),
+    )
+    sql["range_join_events"] = f"""
+        SELECT error_id, user_id, purchase_id,
+               CAST(floor(epoch(start_ts)) AS BIGINT) AS start_epoch,
+               CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+               round(value, 4) AS value
+        FROM ({_range_inner})
+    """
+    sql["hypertable_rollup"] = temporal.sql_hypertable_rollup("events")
+    sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
+    sql["fd_profile"] = sql_profile_dependencies(
+        _sql_chain("norm") + " SELECT * FROM norm", _FD_DEPS
+    )
     sql["agg_pushdown_q1"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

@@ -1793,3 +1793,98 @@ def snapshot_diff(
     return j.select(
         "doc_id", status.alias("status"), "old_fp", "new_fp"
     ).where(F.col("status").isNotNull())
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score: each
+    document's mean token log-probability under the corpus's own
+    add-k-smoothed unigram distribution (perplexity = exp(-mean)).
+    The heuristic quality_score flags malformed text; this flags
+    *unusual* text — OCR shred, wrong-language islands, and boiler-
+    plate floods sit at opposite perplexity tails, which makes it the
+    standard second-stage corpus-quality filter (CCNet-style, with the
+    corpus itself as the LM when no external KenLM exists).
+
+    Scale shape: one explode -> (term) count groupBy trains the model
+    (word-count, map-side partials); the two model scalars (N tokens,
+    V types) reduce to one row and broadcast; scoring re-joins tokens
+    to the term table on ``term`` — a shuffle join whose build side is
+    the vocabulary (zipf-bounded, far smaller than the corpus; swap in
+    ``F.broadcast`` when V fits the driver).  Docs with no tokens are
+    excluded (no distribution to score under — inner-join semantics
+    in both engines).
+
+    Output: (doc_id, n_tokens, avg_logprob, perplexity).
+    """
+    from ..functions.text import tokens
+
+    toks = ensure_width(df).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    scalars = tf.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_types"),
+    )
+    model = tf.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        F.log(
+            (F.col("c") + F.lit(float(k)))
+            / (F.col("n_total") + F.lit(float(k)) * F.col("v_types"))
+        ).alias("logp"),
+    )
+    return (
+        toks.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg("logp").alias("_avg"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_avg", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 4).alias("perplexity"),
+        )
+    )
+
+
+def sql_unigram_lm_scores(
+    table: str, text_col: str = "text", k: float = 1.0
+) -> str:
+    """DuckDB twin of :func:`unigram_lm_scores`.  ``toks`` and ``tf``
+    are read twice -> MATERIALIZED (DuckDB 1.0 inlines plain CTEs per
+    reference, re-running the tokenizer)."""
+    from ..functions.text import sql_tokens
+
+    kf = float(k)
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({sql_tokens(text_col)}) AS term
+            FROM {table}
+        ),
+        tf AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1
+        ),
+        scalars AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS v_types
+            FROM tf
+        ),
+        model AS (
+            SELECT term,
+                   ln((c + {kf}) / (n_total + {kf} * v_types)) AS logp
+            FROM tf CROSS JOIN scalars
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(logp), 6) AS avg_logprob,
+               round(exp(-avg(logp)), 4) AS perplexity
+        FROM toks JOIN model USING (term)
+        GROUP BY 1
+    """

@@ -177,3 +177,126 @@ def profile_fields(records: DataFrame, fields: tuple[str, ...]) -> DataFrame:
             "max_len",
         )
     )
+
+
+def profile_dependencies(
+    records: DataFrame,
+    deps: tuple[tuple[str, str], ...],
+) -> DataFrame:
+    """Functional-dependency profiling: for each candidate dependency
+    lhs -> rhs, measure how close the data comes to satisfying it.
+    profile_fields characterizes single columns; this is the pairwise
+    complement — zip -> city holding at 0.99 says zip is a safe
+    blocking surrogate for city; email -> name badly violated says
+    shared emails span people (households), so an email-equality rule
+    needs a name guard.  ``g3_strength`` is the standard g3 measure:
+    the fraction of rows kept by the largest-consensus rhs per lhs
+    group (1.0 = FD holds exactly).
+
+    Rows with a missing (null/empty) lhs or rhs are excluded — an FD
+    is a statement about present values.  Scale shape: one melt
+    explode (narrow) + a three-level aggregation ladder, each level
+    strictly smaller: (dep, lhs, rhs) counts -> (dep, lhs) group
+    stats -> (dep) rollup.  No joins, no windows; partial aggregation
+    does the heavy lifting map-side.
+
+    Output: one row per dependency —
+    (dep, n_rows, n_groups, n_violating_groups, g3_strength, holds).
+    """
+    melted = records.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{l}->{r}").alias("dep"),
+                        F.col(l).cast("string").alias("lhs"),
+                        F.col(r).cast("string").alias("rhs"),
+                    )
+                    for l, r in deps
+                ]
+            )
+        ).alias("d")
+    ).select("d.dep", "d.lhs", "d.rhs")
+    filled = (
+        F.col("lhs").isNotNull() & (F.col("lhs") != "")
+        & F.col("rhs").isNotNull() & (F.col("rhs") != "")
+    )
+    triple = (
+        melted.where(filled)
+        .groupBy("dep", "lhs", "rhs")
+        .agg(F.count("*").alias("cnt"))
+    )
+    groups = triple.groupBy("dep", "lhs").agg(
+        F.sum("cnt").alias("grp_rows"),
+        F.max("cnt").alias("keep_rows"),
+        F.count("*").alias("n_rhs"),
+    )
+    return (
+        groups.groupBy("dep")
+        .agg(
+            F.sum("grp_rows").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long"))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.round(F.sum("keep_rows") / F.sum("grp_rows"), 6).alias(
+                "g3_strength"
+            ),
+        )
+        .select(
+            "dep",
+            "n_rows",
+            "n_groups",
+            "n_violating_groups",
+            "g3_strength",
+            (F.col("n_violating_groups") == 0).alias("holds"),
+        )
+    )
+
+
+def sql_profile_dependencies(
+    records_sql: str,
+    deps: tuple[tuple[str, str], ...],
+) -> str:
+    """DuckDB twin of :func:`profile_dependencies` — the melt becomes
+    a UNION ALL over the dependency list (same filled-values filter,
+    same three-level ladder).  ``melted`` is read once per level ->
+    MATERIALIZED."""
+    arms = "\n            UNION ALL\n".join(
+        f"""            SELECT '{l}->{r}' AS dep,
+                   CAST({l} AS VARCHAR) AS lhs,
+                   CAST({r} AS VARCHAR) AS rhs
+            FROM rec"""
+        for l, r in deps
+    )
+    return f"""
+        WITH rec AS MATERIALIZED ({records_sql}),
+        melted AS MATERIALIZED (
+{arms}
+        ),
+        triple AS (
+            SELECT dep, lhs, rhs, count(*) AS cnt
+            FROM melted
+            WHERE lhs IS NOT NULL AND lhs != ''
+              AND rhs IS NOT NULL AND rhs != ''
+            GROUP BY 1, 2, 3
+        ),
+        groups AS (
+            SELECT dep, lhs,
+                   sum(cnt) AS grp_rows,
+                   max(cnt) AS keep_rows,
+                   count(*) AS n_rhs
+            FROM triple GROUP BY 1, 2
+        )
+        SELECT dep,
+               CAST(sum(grp_rows) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(coalesce(sum(CASE WHEN n_rhs > 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_violating_groups,
+               round(CAST(sum(keep_rows) AS DOUBLE) / sum(grp_rows), 6)
+                   AS g3_strength,
+               coalesce(sum(CASE WHEN n_rhs > 1 THEN 1 END), 0) = 0
+                   AS holds
+        FROM groups
+        GROUP BY 1
+    """
