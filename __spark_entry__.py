@@ -137,6 +137,7 @@ _FS_FIELDS = ("name", "phone", "email", "address")
 _VSO_FIELDS = ("name", "email", "phone", "zip")
 # candidate functional dependencies to profile (no "group": it is a
 # reserved word in the DuckDB twin and the gold label anyway)
+_BM25_TERMS = ("spark", "window", "merge", "vector")
 _FD_DEPS = (
     ("zip", "city"),
     ("zip", "state"),
@@ -1103,8 +1104,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fd_profile"] = lambda s, d: profile_dependencies(
         _records(s, d), _FD_DEPS
     )
+    # BM25 lexical retrieval (Lucene idf variant) — the sparse first-
+    # stage retriever next to the dense ANN family
+    q["bm25_search"] = lambda s, d: corpus.bm25_search(
+        _t(s, d, "documents"), _BM25_TERMS
+    )
 
     # ---------- relational workhorses ----------
+    # multi-grain cube: all four grouping sets off ONE scan (Spark
+    # Expand, one shuffle) — the OLAP complement of hypertable_rollup
+    q["cube_returns"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
     q["agg_pushdown_q1"] = lambda s, d: (
         _t(s, d, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -1537,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "bm25_search",
+    "cube_returns",
     "asof_join_events",
     "range_join_events",
     "hypertable_rollup",
@@ -3586,9 +3610,18 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["hypertable_rollup"] = temporal.sql_hypertable_rollup("events")
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
+    sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
     sql["fd_profile"] = sql_profile_dependencies(
         _sql_chain("norm") + " SELECT * FROM norm", _FD_DEPS
     )
+    sql["cube_returns"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
     sql["agg_pushdown_q1"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

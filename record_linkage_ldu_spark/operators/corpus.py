@@ -1888,3 +1888,139 @@ def sql_unigram_lm_scores(
         FROM toks JOIN model USING (term)
         GROUP BY 1
     """
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson/Sparck Jones;
+    the Lucene +1 idf variant, so idf stays positive even for terms in
+    more than half the corpus).  The corpus-side complement of the
+    embedding ANN family: sparse lexical search, the first-stage
+    retriever in every dedup-then-rank and eval-contamination audit
+    that starts from a phrase rather than a vector.
+
+    Scale shape: docs are pre-pruned with ``arrays_overlap`` against
+    the literal query-term array — a scan-level narrow filter, so only
+    hitting docs are exploded.  Per-term document frequencies come off
+    the pruned explode (a query-term-bounded groupBy); the three
+    corpus scalars (N, avgdl via sum of lengths) come from a
+    tokenize-light full pass (one projection + one agg — no shuffle of
+    document text).  Scoring joins term hits to the tiny df table
+    (broadcast) and sums per doc.  Nothing quadratic anywhere; the
+    expensive path is bounded by the number of HITTING docs, not the
+    corpus.
+
+    Output: (doc_id, n_hit_terms, score) for every doc matching >= 1
+    query term.
+    """
+    from ..functions.text import tokens
+
+    terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    wide = ensure_width(df).select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
+    # corpus scalars off the token-count projection (no text shuffle)
+    scalars = wide.select(F.size("_toks").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = (
+        wide.where(F.arrays_overlap(F.col("_toks"), qarr))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: F.array_contains(qarr, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * (F.lit(float(k1)) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_terms"),
+        F.round(F.sum("w"), 6).alias("score"),
+    )
+
+
+def sql_bm25_search(
+    table: str,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` — token arrays materialized
+    once (``wide`` feeds scalars AND hits; DuckDB 1.0 inlines plain
+    CTEs per reference, re-running the tokenizer)."""
+    from ..functions.text import sql_tokens
+
+    terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
+    qlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH wide AS MATERIALIZED (
+            SELECT doc_id, {sql_tokens(text_col)} AS _toks
+            FROM {table}
+        ),
+        scalars AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   avg(len(_toks)) AS avgdl
+            FROM wide
+        ),
+        hits AS MATERIALIZED (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, len(_toks) AS dl, unnest(_toks) AS term
+                FROM wide
+            )
+            WHERE term IN ({qlist})
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM hits GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({float(k1)} + 1.0))
+                   / (tf + {float(k1)}
+                      * (1.0 - {float(b)} + {float(b)} * dl / avgdl))
+               ), 6) AS score
+        FROM hits
+        JOIN dfreq USING (term)
+        CROSS JOIN scalars
+        GROUP BY 1
+    """

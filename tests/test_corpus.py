@@ -857,3 +857,27 @@ def test_vocab_stats_hand_computed(spark):
     )
     assert r["type_token_ratio"] == round(4 / 7, 6)
     assert r["hapax_ratio"] == 0.5
+
+
+def test_bm25_hand_computed(spark):
+    """3 docs, query {a, z}: idf/tf-saturation per Robertson with the
+    Lucene +1; doc 3 (no query term) absent despite containing text."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a c"), (3, "b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.bm25_search(df, ("a", "z")).collect()}
+    assert set(out) == {1, 2}
+    n, avgdl, k1, b = 3, 10 / 3, 1.2, 0.75
+    idf_a = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def w(tf, dl):
+        return idf_a * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1]["score"] == pytest.approx(w(2, 4), abs=1e-6)
+    assert out[2]["score"] == pytest.approx(w(1, 2), abs=1e-6)
+    assert out[1]["n_hit_terms"] == 1  # distinct terms hit, not tf
+    # saturation: doubling tf does not double the weight
+    assert out[1]["score"] < 2 * out[2]["score"]
