@@ -333,6 +333,20 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     timed("sessionize", lambda: _force(
         sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ))
+    # r4 temporal family: as-of (union+window, no join node), bucketed
+    # range join, and the two-grain continuous aggregate — one number
+    def _temporal():
+        _force(qs["asof_join_events"](spark, sf_dir))
+        _force(qs["range_join_events"](spark, sf_dir))
+        _force(qs["hypertable_rollup"](spark, sf_dir))
+
+    timed("temporal_ops", _temporal)
+    # r4 retrieval/quality: BM25 sparse search + unigram-LM perplexity
+    def _retrieval():
+        _force(qs["bm25_search"](spark, sf_dir))
+        _force(qs["unigram_lm_scores"](spark, sf_dir))
+
+    timed("retrieval_quality", _retrieval)
 
     # production-hash note (VERDICT r3 #8): the oracle-parity md5 path
     # vs the xxhash64 production knob, same operator + input, measured
