@@ -1109,6 +1109,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_search"] = lambda s, d: corpus.bm25_search(
         _t(s, d, "documents"), _BM25_TERMS
     )
+    # SCD2 temporal table: per-user event_type validity intervals,
+    # consecutive same-type runs collapsed (the asof join's inverse)
+    q["scd2_history"] = lambda s, d: temporal.scd2_history(
+        _t(s, d, "events"), "user_id", tracked=("event_type",)
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("from_epoch"),
+        F.unix_timestamp("valid_to").alias("to_epoch"),
+        "version",
+    )
+    # CDC compaction: the single latest row per user (rn = 1)
+    q["latest_events"] = lambda s, d: temporal.latest_snapshot(
+        _t(s, d, "events"), "user_id"
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
 
     # ---------- relational workhorses ----------
     # multi-grain cube: all four grouping sets off ONE scan (Spark
@@ -1559,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "scd2_history",
+    "latest_events",
     "bm25_search",
     "cube_returns",
     "asof_join_events",
@@ -3611,6 +3634,27 @@ def oracle_sql() -> dict[str, str]:
     sql["hypertable_rollup"] = temporal.sql_hypertable_rollup("events")
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
     sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
+    _scd2_inner = temporal.sql_scd2_history(
+        "SELECT user_id, ts, event_type FROM events",
+        key="user_id",
+        tracked=("event_type",),
+    )
+    sql["scd2_history"] = f"""
+        SELECT user_id, event_type,
+               CAST(floor(epoch(valid_from)) AS BIGINT) AS from_epoch,
+               CAST(floor(epoch(valid_to)) AS BIGINT) AS to_epoch,
+               version
+        FROM ({_scd2_inner})
+    """
+    _latest_inner = temporal.sql_latest_snapshot(
+        "SELECT * FROM events", key="user_id"
+    )
+    sql["latest_events"] = f"""
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_type, round(value, 4) AS value
+        FROM ({_latest_inner})
+    """
     sql["fd_profile"] = sql_profile_dependencies(
         _sql_chain("norm") + " SELECT * FROM norm", _FD_DEPS
     )

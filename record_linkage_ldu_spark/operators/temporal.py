@@ -347,3 +347,137 @@ def sql_hypertable_rollup(
                round(round(total, 4) / n, 6) AS vavg
         FROM coarse_agg
     """
+
+
+# ----------------------------------------------------------------------
+# temporal tables: SCD2 history + latest snapshot
+# ----------------------------------------------------------------------
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    tracked: Sequence[str] = ("value",),
+    collapse_runs: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: one validity interval per (key, tracked-attribute version),
+    ``valid_from`` inclusive, ``valid_to`` exclusive (NULL = current).
+    With ``collapse_runs`` (the SCD2 contract) consecutive updates
+    carrying an unchanged tracked tuple merge into one interval — only
+    actual attribute changes open a new version.
+
+    This is the inverse of :func:`asof_join`: asof reads "what was the
+    value at time t", scd2 materializes the full interval table that
+    answers every such question with a plain range predicate — the
+    standard shape for a dimension snapshot a 100 TB fact stream joins
+    against.
+
+    Scale shape: one shuffle on ``key`` shared by both window passes
+    (change-detection lag, then valid_to lead — Catalyst reuses the
+    exchange for same-partitioning windows); no joins.  NULL-safe
+    change detection: a tracked tuple moving to/from NULL opens a
+    version.
+
+    Output: (key, *tracked, valid_from, valid_to, version) with
+    version numbering 1..n per key in time order.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    cur = F.struct(*[F.col(c) for c in tracked])
+    rows = df.select(key, ts_col, *tracked)
+    if collapse_runs:
+        rows = (
+            rows.withColumn("_prev", F.lag(cur).over(w))
+            .where(
+                F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(cur)
+            )
+            .drop("_prev")
+        )
+    return (
+        rows.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .drop(ts_col)
+        .select(key, *tracked, "valid_from", "valid_to", "version")
+    )
+
+
+def sql_scd2_history(
+    source_sql: str,
+    key: str,
+    ts_col: str = "ts",
+    tracked: Sequence[str] = ("value",),
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (collapse_runs=True) —
+    IS DISTINCT FROM on the tracked tuple is the NULL-safe change
+    test; ``chg`` feeds two window passes -> MATERIALIZED."""
+    tup = ", ".join(tracked)
+    cols = ", ".join(tracked)
+    return f"""
+        WITH src AS MATERIALIZED ({source_sql}),
+        chg AS MATERIALIZED (
+            SELECT {key}, {ts_col}, {cols}
+            FROM (
+                SELECT *,
+                       (ROW({tup}) IS DISTINCT FROM
+                        lag(ROW({tup})) OVER w) AS _chg
+                FROM src
+                WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col})
+            )
+            WHERE _chg
+        )
+        SELECT {key}, {cols},
+               {ts_col} AS valid_from,
+               lead({ts_col}) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM chg
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col})
+    """
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Current-state view of a change stream: the single latest row
+    per key (the ``rn = 1`` compaction every CDC consumer runs before
+    joining a mutable table).  ``tiebreak`` orders within equal
+    timestamps (descending, like the timestamp) — pass the change
+    sequence number when the stream carries one.
+
+    Scale shape: one shuffle on ``key`` + a running-max filter; at
+    extreme key cardinality this is the classic candidate for
+    ``max_by``-style aggregation, but the window form keeps ALL
+    columns without a struct repack and AQE handles moderate skew.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sql_latest_snapshot(
+    source_sql: str,
+    key: str,
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`latest_snapshot`."""
+    order = ", ".join(
+        [f"{ts_col} DESC"] + [f"{c} DESC" for c in tiebreak]
+    )
+    return f"""
+        SELECT * EXCLUDE (_rn) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {key} ORDER BY {order}
+            ) AS _rn
+            FROM ({source_sql})
+        )
+        WHERE _rn = 1
+    """

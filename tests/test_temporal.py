@@ -198,3 +198,75 @@ def test_unigram_lm(spark):
     assert out[1]["n_tokens"] == 3
     # rarer tokens -> higher perplexity
     assert out[2]["perplexity"] > out[1]["perplexity"]
+
+
+def test_scd2_collapse_and_nulls(spark):
+    from record_linkage_ldu_spark.operators.temporal import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(0), v="a"),
+            Row(k=1, ts=_ts(1), v="a"),     # unchanged: collapsed
+            Row(k=1, ts=_ts(2), v="b"),
+            Row(k=1, ts=_ts(3), v=None),    # -> NULL opens a version
+            Row(k=1, ts=_ts(4), v=None),    # unchanged NULL: collapsed
+            Row(k=1, ts=_ts(5), v="a"),     # back to a: new version
+        ]
+    )
+    out = sorted(
+        (r["version"], r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(ev, "k", tracked=("v",)).collect()
+    )
+    assert out == [
+        (1, "a", _ts(0), _ts(2)),
+        (2, "b", _ts(2), _ts(3)),
+        (3, None, _ts(3), _ts(5)),
+        (4, "a", _ts(5), None),             # current version open-ended
+    ]
+
+
+def test_scd2_is_asof_inverse(spark, quotes):
+    """Reading the SCD2 interval table at time t must equal the as-of
+    join's answer at t (quotes have distinct values, so no collapsing
+    ambiguity)."""
+    from record_linkage_ldu_spark.operators.temporal import scd2_history
+
+    hist = scd2_history(quotes, "user_id", tracked=("value",))
+    probes = [(1, _ts(0)), (1, _ts(15)), (1, _ts(25)), (2, _ts(1)), (2, _ts(6))]
+    pf = spark.createDataFrame([Row(user_id=k, at=t) for k, t in probes])
+    via_hist = {
+        (r["user_id"], r["at"]): r["value"]
+        for r in pf.join(
+            hist,
+            (pf.user_id == hist.user_id)
+            & (pf.at >= hist.valid_from)
+            & (hist.valid_to.isNull() | (pf.at < hist.valid_to)),
+            "left",
+        ).select(pf.user_id, "at", "value").collect()
+    }
+    via_asof = {
+        (r["user_id"], r["at"]): r["value_asof"]
+        for r in asof_join(
+            pf, quotes, on="user_id", left_ts="at"
+        ).collect()
+    }
+    assert via_hist == via_asof and len(via_hist) == len(probes)
+
+
+def test_latest_snapshot(spark):
+    from record_linkage_ldu_spark.operators.temporal import latest_snapshot
+
+    ev = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(0), seq=0, v="old"),
+            Row(k=1, ts=_ts(9), seq=1, v="new"),
+            Row(k=2, ts=_ts(5), seq=0, v="only"),
+            Row(k=3, ts=_ts(7), seq=0, v="lo-seq"),
+            Row(k=3, ts=_ts(7), seq=1, v="hi-seq"),  # tie -> tiebreak
+        ]
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in latest_snapshot(ev, "k", tiebreak=("seq",)).collect()
+    }
+    assert out == {1: "new", 2: "only", 3: "hi-seq"}
