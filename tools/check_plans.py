@@ -464,6 +464,47 @@ def main(sf_dir: str) -> int:
         f"nested loops: {n_bnlj}",
     )
 
+    # temporal family: asof must compile to union+window (no join
+    # node at all); the bucketed range join must stay an equi-join
+    # (no cartesian / nested-loop fallback)
+    from record_linkage_ldu_spark.operators.temporal import (
+        asof_join,
+        bucketed_range_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    asof_plan = executed_plan(
+        asof_join(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click").select(
+                "user_id", "ts", "value"
+            ),
+            on="user_id",
+        )
+    )
+    check(
+        "asof join: union + one window, no join node, no Python",
+        "Join" not in asof_plan
+        and "Window" in asof_plan
+        and "BatchEvalPython" not in asof_plan,
+    )
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL '30' MINUTE")).alias("end_ts"),
+    )
+    pt = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    rj_plan = executed_plan(bucketed_range_join(iv, pt, on="user_id"))
+    check(
+        "bucketed range join: equi-join only, no cartesian, no Python",
+        "CartesianProduct" not in rj_plan
+        and "BroadcastNestedLoopJoin" not in rj_plan
+        and "BatchEvalPython" not in rj_plan,
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0
