@@ -1093,6 +1093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hypertable_rollup"] = lambda s, d: temporal.hypertable_rollup(
         _t(s, d, "events")
     )
+    # gap filling over the hourly rollup: every bucket in each dim's
+    # observed range, zero-filled counts + locf'd totals, is_gap flag
+    q["gapfill_rollup"] = lambda s, d: temporal.gapfill(
+        temporal.hypertable_rollup(_t(s, d, "events"))
+        .where(F.col("grain") == "hour")
+        .select("dim", "bucket_epoch", "n", "total")
+    )
     # corpus-trained unigram-LM quality: mean token log-prob under the
     # corpus's own smoothed unigram distribution (CCNet-style filter)
     q["unigram_lm_scores"] = lambda s, d: corpus.unigram_lm_scores(
@@ -1580,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "gapfill_rollup",
     "scd2_history",
     "latest_events",
     "bm25_search",
@@ -3632,6 +3640,11 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_range_inner})
     """
     sql["hypertable_rollup"] = temporal.sql_hypertable_rollup("events")
+    sql["gapfill_rollup"] = temporal.sql_gapfill(
+        f"SELECT dim, bucket_epoch, n, total"
+        f" FROM ({temporal.sql_hypertable_rollup('events')})"
+        f" WHERE grain = 'hour'"
+    )
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
     sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
     _scd2_inner = temporal.sql_scd2_history(

@@ -481,3 +481,104 @@ def sql_latest_snapshot(
         )
         WHERE _rn = 1
     """
+
+
+# ----------------------------------------------------------------------
+# gap filling (time_bucket_gapfill + locf)
+# ----------------------------------------------------------------------
+
+
+def gapfill(
+    agg: DataFrame,
+    bucket_col: str = "bucket_epoch",
+    dim_col: str = "dim",
+    step_seconds: int = 3600,
+    count_cols: Sequence[str] = ("n",),
+    locf_cols: Sequence[str] = ("total",),
+) -> DataFrame:
+    """Fill missing time buckets in an aggregate table (TimescaleDB's
+    ``time_bucket_gapfill``): for each dim, emit EVERY bucket between
+    that dim's first and last observed bucket; ``count_cols`` zero-fill
+    (an absent bucket means zero events), ``locf_cols`` carry the last
+    observed value forward (the gauge/level reading convention).
+    ``is_gap`` marks synthesized rows — dashboards and downstream
+    models must be able to tell measured zeros from filled ones.
+
+    Scale shape: per-dim bounds reduce to |dims| rows; the bucket
+    spine is a narrow ``sequence`` Generate off that tiny frame
+    (span/step rows per dim, NOT per event); one left join on
+    (dim, bucket) against the aggregate — at rollup grain, both sides
+    are already small relative to raw events — and one locf window
+    pass per dim.  Raw events are never touched: gapfill composes
+    downstream of :func:`hypertable_rollup`'s partials.
+
+    Output: (dim, bucket, *count_cols zero-filled, *locf_cols
+    carried, is_gap).
+    """
+    step = int(step_seconds)
+    bounds = agg.groupBy(dim_col).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    spine = bounds.select(
+        dim_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    joined = spine.join(agg, on=[dim_col, bucket_col], how="left")
+    w = (
+        Window.partitionBy(dim_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probe = count_cols[0] if count_cols else locf_cols[0]
+    out = joined.withColumn("is_gap", F.col(probe).isNull())
+    for c in count_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    for c in locf_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.select(dim_col, bucket_col, *count_cols, *locf_cols, "is_gap")
+
+
+def sql_gapfill(
+    agg_sql: str,
+    bucket_col: str = "bucket_epoch",
+    dim_col: str = "dim",
+    step_seconds: int = 3600,
+    count_cols: Sequence[str] = ("n",),
+    locf_cols: Sequence[str] = ("total",),
+) -> str:
+    """DuckDB twin of :func:`gapfill` — ``generate_series`` spine,
+    same zero-fill/locf split; ``agg`` feeds bounds AND the join ->
+    MATERIALIZED."""
+    step = int(step_seconds)
+    probe = count_cols[0] if count_cols else locf_cols[0]
+    zero = ", ".join(
+        f"CAST(coalesce(a.{c}, 0) AS BIGINT) AS {c}" for c in count_cols
+    )
+    locf = ", ".join(
+        f"last_value(a.{c} IGNORE NULLS) OVER ("
+        f"PARTITION BY s.{dim_col} ORDER BY s.{bucket_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+        for c in locf_cols
+    )
+    return f"""
+        WITH agg AS MATERIALIZED ({agg_sql}),
+        bounds AS (
+            SELECT {dim_col}, min({bucket_col}) AS _lo,
+                   max({bucket_col}) AS _hi
+            FROM agg GROUP BY 1
+        ),
+        spine AS (
+            SELECT {dim_col},
+                   unnest(generate_series(_lo, _hi, {step}))
+                       AS {bucket_col}
+            FROM bounds
+        )
+        SELECT s.{dim_col}, s.{bucket_col}, {zero}, {locf},
+               a.{probe} IS NULL AS is_gap
+        FROM spine s
+        LEFT JOIN agg a
+          ON s.{dim_col} = a.{dim_col}
+         AND s.{bucket_col} = a.{bucket_col}
+    """

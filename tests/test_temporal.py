@@ -270,3 +270,27 @@ def test_latest_snapshot(spark):
         for r in latest_snapshot(ev, "k", tiebreak=("seq",)).collect()
     }
     assert out == {1: "new", 2: "only", 3: "hi-seq"}
+
+
+def test_gapfill_zero_locf_and_ranges(spark):
+    from record_linkage_ldu_spark.operators.temporal import gapfill
+
+    agg = spark.createDataFrame(
+        [
+            Row(dim="a", bucket_epoch=0, n=2, total=5.0),
+            # gap at 60 and 120
+            Row(dim="a", bucket_epoch=180, n=1, total=7.0),
+            Row(dim="b", bucket_epoch=60, n=3, total=1.0),   # no gaps
+        ]
+    )
+    out = {
+        (r["dim"], r["bucket_epoch"]): (r["n"], r["total"], r["is_gap"])
+        for r in gapfill(agg, step_seconds=60).collect()
+    }
+    assert out == {
+        ("a", 0): (2, 5.0, False),
+        ("a", 60): (0, 5.0, True),      # zero-filled count, locf total
+        ("a", 120): (0, 5.0, True),
+        ("a", 180): (1, 7.0, False),
+        ("b", 60): (3, 1.0, False),     # b's range is just its one bucket
+    }
