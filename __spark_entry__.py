@@ -1111,6 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fd_profile"] = lambda s, d: profile_dependencies(
         _records(s, d), _FD_DEPS
     )
+    # deterministic weighted sampling (Efraimidis-Spirakis A-ES keys):
+    # per-lang top-40 docs proportional to length — the weighted
+    # complement of stratified_sample, zero RNG state
+    q["weighted_sample"] = lambda s, d: corpus.weighted_sample(
+        _t(s, d, "documents"), "n_chars", 40, strata_col="lang"
+    )
     # BM25 lexical retrieval (Lucene idf variant) — the sparse first-
     # stage retriever next to the dense ANN family
     q["bm25_search"] = lambda s, d: corpus.bm25_search(
@@ -1587,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "weighted_sample",
     "gapfill_rollup",
     "scd2_history",
     "latest_events",
@@ -3647,6 +3654,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
     sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
+    sql["weighted_sample"] = corpus.sql_weighted_sample(
+        "documents", "n_chars", 40, strata_col="lang"
+    )
     _scd2_inner = temporal.sql_scd2_history(
         "SELECT user_id, ts, event_type FROM events",
         key="user_id",

@@ -2024,3 +2024,113 @@ def sql_bm25_search(
         CROSS JOIN scalars
         GROUP BY 1
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    strata_col: str | None = None,
+    seed: str = "aes",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws key = ln(u)/w from a hash-derived
+    uniform u in (0, 1]; the n LARGEST keys are exactly a weight-
+    proportional sample.  The weighted complement of
+    ``stratified_sample`` — quality-weighted corpus subsampling
+    (sample 1M docs proportional to a quality score) with no RNG
+    state: reruns, cluster sizes, and engines all select the same
+    rows.  Rows with NULL or non-positive weight are excluded (they
+    have no sampling mass).
+
+    Scale shape: one narrow projection computes the key, then global
+    top-n compiles to ``TakeOrderedAndProject`` (per-partition heaps +
+    one driver merge — no full sort, no single-partition window);
+    with ``strata_col`` it is a per-stratum rank window instead (one
+    shuffle on the stratum key).  Ties are impossible up to hash
+    collisions; ``id_col`` breaks even those deterministically.
+
+    Output: (stratum?, doc_id, weight, rank) with rank 1..n in
+    descending-key (most-sampled-first) order.
+    """
+    # (k+1)/2^32 in (0, 1]: ln(0) is the only hazard of the [0,1) draw
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            *([F.col(strata_col).alias("stratum")] if strata_col else []),
+            F.col(id_col).alias("doc_id"),
+            F.round(w, 6).alias("weight"),
+            (F.log(u) / w).alias("_key"),
+        )
+    )
+    if strata_col is None:
+        ranked = keyed.orderBy(
+            F.col("_key").desc(), F.col("doc_id")
+        ).limit(int(n))
+        win = Window.orderBy(F.col("_key").desc(), F.col("doc_id"))
+        return ranked.select(
+            "doc_id",
+            "weight",
+            F.row_number().over(win).cast("long").alias("rank"),
+        )
+    win = Window.partitionBy("stratum").orderBy(
+        F.col("_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= int(n))
+        .select("stratum", "doc_id", "weight", "rank")
+    )
+
+
+def sql_weighted_sample(
+    table: str,
+    weight_col: str,
+    n: int,
+    strata_col: str | None = None,
+    seed: str = "aes",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same (k+1)/2^32 draw —
+    exact doubles both engines; ln/divide are single IEEE ops, and the
+    output carries only ranks, so sub-ulp libm differences cannot
+    surface unless they invert two keys, which are ~1/k^2 apart)."""
+    u = (
+        f"((('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        "::UBIGINT + 1.0) / 4294967296.0)"
+    )
+    key = f"(ln({u}) / CAST({weight_col} AS DOUBLE))"
+    guard = (
+        f"{weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0"
+    )
+    if strata_col is None:
+        return f"""
+            SELECT {id_col} AS doc_id,
+                   round(CAST({weight_col} AS DOUBLE), 6) AS weight,
+                   CAST(row_number() OVER (
+                       ORDER BY {key} DESC, {id_col}
+                   ) AS BIGINT) AS rank
+            FROM {table}
+            WHERE {guard}
+            ORDER BY {key} DESC, {id_col}
+            LIMIT {int(n)}
+        """
+    return f"""
+        SELECT stratum, doc_id, weight, rank FROM (
+            SELECT {strata_col} AS stratum, {id_col} AS doc_id,
+                   round(CAST({weight_col} AS DOUBLE), 6) AS weight,
+                   CAST(row_number() OVER (
+                       PARTITION BY {strata_col}
+                       ORDER BY {key} DESC, {id_col}
+                   ) AS BIGINT) AS rank
+            FROM {table}
+            WHERE {guard}
+        )
+        WHERE rank <= {int(n)}
+    """

@@ -881,3 +881,38 @@ def test_bm25_hand_computed(spark):
     assert out[1]["n_hit_terms"] == 1  # distinct terms hit, not tf
     # saturation: doubling tf does not double the weight
     assert out[1]["score"] < 2 * out[2]["score"]
+
+
+def test_weighted_sample_aes(spark):
+    """A-ES invariants: deterministic reruns, weight-proportional
+    inclusion (heavy rows oversampled), non-positive weights excluded,
+    global path compiles to TakeOrderedAndProject (no full sort)."""
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    out1 = corpus.weighted_sample(df, "w", 100).collect()
+    out2 = corpus.weighted_sample(df, "w", 100).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    assert len(out1) == 100
+    assert {r["rank"] for r in out1} == set(range(1, 101))
+    picked = {r["doc_id"] for r in out1}
+    assert not picked & {900, 901, 902}
+    # 50 heavy rows carry 100x the mass of each of 450 light rows:
+    # nearly all heavies must be in the top-100
+    n_heavy = sum(1 for d in picked if d < 50)
+    assert n_heavy >= 45
+
+    plan = corpus.weighted_sample(df, "w", 100)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # stratified path: exactly n per stratum, ranks restart
+    df2 = df.withColumn("g", (F.col("doc_id") % 2).cast("string"))
+    out3 = corpus.weighted_sample(df2, "w", 10, strata_col="g").collect()
+    by_g = {}
+    for r in out3:
+        by_g.setdefault(r["stratum"], []).append(r["rank"])
+    assert {g: sorted(v) for g, v in by_g.items()} == {
+        "0": list(range(1, 11)), "1": list(range(1, 11)),
+    }
