@@ -55,6 +55,7 @@ def asof_join(
     value_cols: Sequence[str] = ("value",),
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the ``value_cols`` of the single
     ``right`` row with the greatest ``right_ts`` <= ``left_ts`` (per
@@ -64,7 +65,10 @@ def asof_join(
     ``>=`` semantics: the right side sorts before the left at equal
     timestamps, so a quote stamped exactly at the event time is
     visible to it.  Left rows with no prior right row keep NULLs
-    (left-outer semantics).
+    (left-outer semantics).  ``tolerance_seconds`` (pandas
+    ``merge_asof`` parity) nulls out matches farther than the window
+    — a stale quote is no quote; applied as a post-window projection,
+    so the plan shape is unchanged.
 
     Scale shape: union the two sides into one tagged stream, then a
     single running ``last(value, ignorenulls=True)`` window per key —
@@ -121,11 +125,21 @@ def asof_join(
         *[F.last(v, ignorenulls=True).over(w).alias(v)
           for v in out_vals + [matched_ts]],
     )
-    return carried.where(F.col("_side") == 1).select(
+    out = carried.where(F.col("_side") == 1).select(
         *[F.col(f"_payload.{c}").alias(c) for c in left.columns],
+        F.col("_payload")[left_ts].alias("_lts"),
         *out_vals,
         matched_ts,
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col("_lts"))
+            - F.unix_timestamp(F.col(matched_ts))
+        )
+        fresh = gap <= F.lit(int(tolerance_seconds))
+        for c in out_vals + [matched_ts]:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out.drop("_lts")
 
 
 def sql_asof_join(

@@ -294,3 +294,27 @@ def test_gapfill_zero_locf_and_ranges(spark):
         ("a", 180): (1, 7.0, False),
         ("b", 60): (3, 1.0, False),     # b's range is just its one bucket
     }
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    """merge_asof parity: matches staler than the tolerance are nulled
+    (a stale quote is no quote); exact-tie matches survive (gap 0)."""
+    out = {
+        r["event_id"]: (r["value_asof"], r["ts_asof"])
+        for r in asof_join(
+            trades, quotes, on="user_id", tolerance_seconds=299
+        ).collect()
+    }
+    assert out[100] == (10.0, _ts(0))       # gap 0: kept
+    assert out[101] == (None, None)         # gap 300s > 299: stale, nulled
+    assert out[102] == (None, None)         # gap 300s: nulled
+    assert out[103] == (None, None)         # never matched
+    assert len(out) == 5
+    # inclusive boundary: gap 300s survives a 300s tolerance
+    out300 = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(
+            trades, quotes, on="user_id", tolerance_seconds=300
+        ).collect()
+    }
+    assert out300[101] == 20.0 and out300[102] == 30.0
