@@ -420,6 +420,52 @@ def main(sf_dir: str, out_dir: str) -> None:
         lines.append(f"| {r['status']} | {r['count']} |")
     lines.append("")
 
+    # functional dependencies over the normalized records: which
+    # column implications hold, i.e. which blocking surrogates are
+    # safe and which equality rules need a guard field
+    fds = qs["fd_profile"](spark, sf_dir).orderBy("dep").collect()
+    lines += [
+        "## Functional dependencies (g3 strength)",
+        "",
+        "strength 1.0 = lhs determines rhs exactly (safe blocking "
+        "surrogate); low strength on an equality-rule field means the "
+        "rule needs a guard.",
+        "",
+        "| dependency | rows | groups | violating | g3 | holds |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in fds:
+        lines.append(
+            f"| {r['dep']} | {r['n_rows']} | {r['n_groups']} | "
+            f"{r['n_violating_groups']} | {r['g3_strength']:.4f} | "
+            f"{'yes' if r['holds'] else 'no'} |"
+        )
+    lines.append("")
+
+    # corpus perplexity distribution (unigram LM): both tails are
+    # review targets — low = boilerplate floods, high = OCR shred /
+    # wrong-language islands
+    ppl = qs["unigram_lm_scores"](spark, sf_dir)
+    pq = ppl.agg(
+        *[
+            F.expr(f"percentile(perplexity, {p})").alias(f"p{int(p*100)}")
+            for p in (0.01, 0.25, 0.5, 0.75, 0.99)
+        ]
+    ).collect()[0]
+    lines += [
+        "## Corpus perplexity (corpus-trained unigram LM)",
+        "",
+        "| p1 | p25 | median | p75 | p99 |",
+        "|---|---|---|---|---|",
+        "| "
+        + " | ".join(f"{pq[c]:.1f}" for c in ("p1", "p25", "p50", "p75", "p99"))
+        + " |",
+        "",
+        "review the tails: low = template/boilerplate flood, "
+        "high = shred or wrong-language content.",
+        "",
+    ]
+
     # the reference's FINAL artifact: the 3-sheet review workbook
     # ('all' / 'verified' / 'not verified', main_ldu_hw.py:468-471),
     # emitted by the stdlib xlsx sink over the same hash-green
