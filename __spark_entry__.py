@@ -1105,6 +1105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_lm_scores"] = lambda s, d: corpus.unigram_lm_scores(
         _t(s, d, "documents")
     )
+    # bigram conditional LM: order-sensitive — catches shuffled-word
+    # salad that keeps its unigram perplexity
+    q["bigram_lm_scores"] = lambda s, d: corpus.bigram_lm_scores(
+        _t(s, d, "documents")
+    )
+    # lang-id accuracy audit: predictions vs the corpus's own labels
+    q["lang_confusion"] = lambda s, d: corpus.lang_confusion(
+        _t(s, d, "documents")
+    )
     # functional-dependency profiling over the normalized records —
     # which column implications hold (g3 strength), driving blocking-
     # surrogate and rule-guard choices
@@ -1593,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "bigram_lm_scores",
+    "lang_confusion",
     "weighted_sample",
     "gapfill_rollup",
     "scd2_history",
@@ -3653,6 +3664,8 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE grain = 'hour'"
     )
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
+    sql["bigram_lm_scores"] = corpus.sql_bigram_lm_scores("documents")
+    sql["lang_confusion"] = corpus.sql_lang_confusion("documents")
     sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
     sql["weighted_sample"] = corpus.sql_weighted_sample(
         "documents", "n_chars", 40, strata_col="lang"

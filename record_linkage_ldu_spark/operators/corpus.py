@@ -2134,3 +2134,167 @@ def sql_weighted_sample(
         )
         WHERE rank <= {int(n)}
     """
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Bigram conditional language-model score: mean ln p(w_i | w_{i-1})
+    over each document's bigrams, add-k smoothed against the corpus's
+    own counts (perplexity = exp(-mean)).  The order-sensitive
+    complement of :func:`unigram_lm_scores`: shuffled-word salad keeps
+    its unigram perplexity but collapses here, which is exactly the
+    failure mode (scrambled scrapes, columnized OCR) the unigram
+    filter cannot see.  p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V).
+
+    Scale shape: two word-count groupBys train the model (bigram and
+    prefix-unigram counts — map-side partials, no hot key); scoring
+    explodes each doc's bigram multiset once and joins it to the
+    bigram model table on the bigram key (build side zipf-bounded).
+    Docs with < 2 tokens have no bigram to score — excluded, same as
+    both engines' inner join.
+
+    Output: (doc_id, n_bigrams, avg_logprob, perplexity).
+    """
+    from ..functions.text import ngrams_of_tokens, tokens
+
+    wide = ensure_width(df).select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
+    uni = wide.select(F.explode("_toks").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").cast("long").alias("c1"))
+    scalars = c1.agg(F.count("*").cast("long").alias("v_types"))
+    bg = wide.select(
+        "doc_id",
+        F.explode(ngrams_of_tokens(F.col("_toks"), 2)).alias("bg"),
+    )
+    c2 = bg.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    kf = float(k)
+    model = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c1, F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c2") + F.lit(kf))
+                / (F.col("c1") + F.lit(kf) * F.col("v_types"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("logp").alias("_avg"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("_avg", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 4).alias("perplexity"),
+        )
+    )
+
+
+def sql_bigram_lm_scores(
+    table: str, text_col: str = "text", k: float = 1.0
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` — toks/bigram/count
+    CTEs MATERIALIZED (each is read twice; DuckDB 1.0 inlines plain
+    CTEs per reference)."""
+    from ..functions.text import sql_ngrams, sql_tokens
+
+    kf = float(k)
+    return f"""
+        WITH wide AS MATERIALIZED (
+            SELECT doc_id, {sql_tokens(text_col)} AS _toks
+            FROM {table}
+        ),
+        c1 AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(_toks) AS term FROM wide)
+            GROUP BY 1
+        ),
+        scalars AS (
+            SELECT CAST(count(*) AS BIGINT) AS v_types FROM c1
+        ),
+        bg AS MATERIALIZED (
+            SELECT doc_id, unnest({sql_ngrams('_toks', 2)}) AS bg
+            FROM wide
+        ),
+        c2 AS (
+            SELECT bg, CAST(count(*) AS BIGINT) AS c2
+            FROM bg GROUP BY 1
+        ),
+        model AS (
+            SELECT c2.bg,
+                   ln((c2.c2 + {kf}) / (c1.c1 + {kf} * v_types)) AS logp
+            FROM c2
+            JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.term
+            CROSS JOIN scalars
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(logp), 6) AS avg_logprob,
+               round(exp(-avg(logp)), 4) AS perplexity
+        FROM bg JOIN model USING (bg)
+        GROUP BY 1
+    """
+
+
+def lang_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier's
+    predictions against the corpus's own language labels — the
+    accuracy audit that must exist before ``lang_id`` gates a cleaning
+    pipeline (a systematically confused language pair silently drains
+    a stratum).  One projection + one (label, pred) groupBy + a
+    broadcast per-label total; rate = row-normalized recall.
+
+    Output: (lang, lang_pred, n, rate) — one row per observed
+    (label, prediction) cell.
+    """
+    from ..functions.text import lang_id
+
+    pred = ensure_width(df).select(
+        F.col(label_col).alias("lang"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("_tot"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("rate"),
+    )
+
+
+def sql_lang_confusion(
+    table: str, label_col: str = "lang", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`lang_confusion`."""
+    from ..functions.text import sql_lang_id
+
+    return f"""
+        WITH cells AS MATERIALIZED (
+            SELECT {label_col} AS lang,
+                   {sql_lang_id(text_col)} AS lang_pred,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {table}
+            GROUP BY 1, 2
+        )
+        SELECT lang, lang_pred, n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+                   AS rate
+        FROM cells
+    """

@@ -916,3 +916,60 @@ def test_weighted_sample_aes(spark):
     assert {g: sorted(v) for g, v in by_g.items()} == {
         "0": list(range(1, 11)), "1": list(range(1, 11)),
     }
+
+
+def test_bigram_lm_order_sensitive(spark):
+    """Bigram perplexity separates natural order from scrambled order
+    of the SAME tokens (identical unigram stats); docs with < 2 tokens
+    are excluded; hand-check one probability."""
+    import math
+
+    base = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(8)] + [(100, scrambled), (101, "one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.bigram_lm_scores(df).collect()}
+    assert 101 not in out                      # no bigram to score
+    assert out[100]["perplexity"] > out[0]["perplexity"]
+    # unigram stats identical => unigram LM CANNOT separate them
+    uni = {r["doc_id"]: r["perplexity"]
+           for r in corpus.unigram_lm_scores(df).collect()}
+    assert uni[100] == uni[0]
+    # hand-check: p("cat"|"the") = (c2("the cat")+1)/(c1("the")+V)
+    # c2=8, c1("the")=18 (2 per base doc + 2 per scrambled), V=6
+    p = (8 + 1) / (18 + 6)
+    r0 = out[0]
+    assert r0["n_bigrams"] == 5
+    # full logprob: average over the 5 base bigrams
+    c2 = {"the cat": 8, "cat sat": 8, "sat on": 8, "on the": 8, "the mat": 8}
+    c1 = {"the": 18, "cat": 9, "sat": 9, "on": 9}
+    probs = [
+        (c2["the cat"] + 1) / (c1["the"] + 6),
+        (c2["cat sat"] + 1) / (c1["cat"] + 6),
+        (c2["sat on"] + 1) / (c1["sat"] + 6),
+        (c2["on the"] + 1) / (c1["on"] + 6),
+        (c2["the mat"] + 1) / (c1["the"] + 6),
+    ]
+    assert probs[0] == p
+    exp = sum(math.log(x) for x in probs) / 5
+    assert r0["avg_logprob"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_lang_confusion_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the and for are but not you all the and", "en"),
+            (2, "the and for are but not you all the and", "en"),
+            (3, "der die und das ist nicht mit ein zu den", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r["lang"], r["lang_pred"]): (r["n"], r["rate"])
+        for r in corpus.lang_confusion(df).collect()
+    }
+    assert out[("en", "en")] == (2, 1.0)
+    assert out[("de", "de")] == (1, 1.0)
+    assert len(out) == 2
