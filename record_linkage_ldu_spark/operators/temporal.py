@@ -287,18 +287,7 @@ def hypertable_rollup(
             F.max(value_col).alias("vmax"),
         )
     )
-    coarse_agg = (
-        fine_agg.groupBy(
-            F.date_trunc(coarse, F.col("_bucket")).alias("_bucket"),
-            "dim",
-        )
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("total").alias("total"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
-    )
+    coarse_agg = rollup_from_partials(fine_agg, coarse=coarse)
     def present(df: DataFrame, grain: str) -> DataFrame:
         return df.select(
             F.lit(grain).alias("grain"),
@@ -314,6 +303,32 @@ def hypertable_rollup(
             F.round(F.round("total", 4) / F.col("n"), 6).alias("vavg"),
         )
     return present(fine_agg, fine).unionByName(present(coarse_agg, coarse))
+
+
+def rollup_from_partials(
+    fine_agg: DataFrame,
+    coarse: str = "day",
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Re-aggregate a stored fine-grain partial table (columns
+    ``bucket_col``/dim/n/total/vmin/vmax) to a coarser grain — the
+    losless continuous-aggregate step (counts sum, sums sum,
+    min-of-mins, max-of-maxes).  This is the function a day-grain
+    query runs against the PERSISTED hourly rollup (batch or the
+    streaming sink of :func:`streaming.incremental.
+    hypertable_rollup_stream`) — raw events are never rescanned."""
+    return (
+        fine_agg.groupBy(
+            F.date_trunc(coarse, F.col(bucket_col)).alias(bucket_col),
+            "dim",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
 
 
 def sql_hypertable_rollup(

@@ -760,3 +760,52 @@ def compact_store(
             "rows": n,
         }
     return stats
+
+
+def hypertable_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    value_col: str = "value",
+    fine: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming maintenance of the continuous aggregate's fine grain
+    (the stored hourly partial table `operators.temporal.
+    hypertable_rollup` re-aggregates): a watermarked tumbling-window
+    count/sum/min/max per dim, append-mode once the watermark closes a
+    window.  Day-grain queries run `temporal.rollup_from_partials`
+    against the SINK of this stream — raw events are aggregated
+    exactly once, at ingest, in both the batch and streaming worlds
+    (the TimescaleDB continuous-aggregate refresh loop, expressed as
+    Structured Streaming).
+
+    State is bounded by the watermark horizon: one window per
+    (open hour, dim).  Emits the same partial-column schema as the
+    batch fine grain (`_bucket`/dim/n/total/vmin/vmax), so the two
+    paths are interchangeable downstream — pytest pins streamed
+    partials == batch partials and streamed-then-reaggregated ==
+    batch day grain.
+    """
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.window(ts_col, fine).alias("_w"),
+            F.col(dim_col).alias("dim"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(
+            F.col("_w.start").alias("_bucket"),
+            "dim",
+            "n",
+            "total",
+            "vmin",
+            "vmax",
+        )
+    )

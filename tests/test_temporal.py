@@ -318,3 +318,89 @@ def test_asof_tolerance(spark, quotes, trades):
         ).collect()
     }
     assert out300[101] == 20.0 and out300[102] == 30.0
+
+
+def test_rollup_stream_equals_batch(spark, tmp_path):
+    """The streamed hourly partials (file source, two micro-batches,
+    availableNow) equal the batch fine grain, and re-aggregating the
+    streamed SINK yields the batch day grain — the continuous-
+    aggregate refresh loop, both worlds interchangeable."""
+    import os
+
+    from record_linkage_ldu_spark.operators.temporal import (
+        hypertable_rollup,
+        rollup_from_partials,
+    )
+    from record_linkage_ldu_spark.streaming.incremental import (
+        hypertable_rollup_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i % 30, minutes=(i * 7) % 60),
+         "ab"[i % 2], float(i))
+        for i in range(400)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    events = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "stream_in"
+    os.makedirs(src)
+    events.where(F.col("event_id") < 200).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    events.where(F.col("event_id") >= 200).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    # append mode only emits a window once the watermark passes its
+    # end — the last real window needs LATER events to close it, and
+    # watermark updates propagate with a one-batch lag, so two
+    # far-future sentinel batches (excluded from the comparison)
+    for i, days in enumerate((10, 11)):
+        spark.createDataFrame(
+            [(9000 + i, base + dt.timedelta(days=days), "zz", 0.0)], schema
+        ).coalesce(1).write.parquet(str(src / f"b{2 + i}"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        hypertable_rollup_stream(stream, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(sink).where(F.col("dim") != "zz")
+    # normalize the sink through the same re-agg a consumer runs
+    merged = rollup_from_partials(streamed, coarse="hour")
+    key = lambda r: (r["_bucket"], r["dim"])
+    got = {key(r): (r["n"], round(r["total"], 4), r["vmin"], r["vmax"])
+           for r in merged.collect()}
+    batch_fine = hypertable_rollup(events).where(
+        F.col("grain") == "hour"
+    )
+    want = {
+        (dt.datetime.utcfromtimestamp(r["bucket_epoch"]), r["dim"]):
+            (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in batch_fine.collect()
+    }
+    assert got == want and len(want) > 25
+
+    day_from_stream = {
+        key(r): (r["n"], round(r["total"], 4))
+        for r in rollup_from_partials(streamed, coarse="day").collect()
+    }
+    day_batch = {
+        (dt.datetime.utcfromtimestamp(r["bucket_epoch"]), r["dim"]):
+            (r["n"], r["total"])
+        for r in hypertable_rollup(events).where(
+            F.col("grain") == "day"
+        ).collect()
+    }
+    assert day_from_stream == day_batch
