@@ -74,7 +74,9 @@ from record_linkage_ldu_spark.operators.cc import (
     connected_components,
     constrained_clusters,
     edge_corroboration,
+    pagerank,
     repair_clusters,
+    sql_pagerank,
     stable_cluster_ids,
     star_clusters,
 )
@@ -783,6 +785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["mask_stats"] = lambda s, d: _mask_stats_df(_pair_scores(s, d))
     q["cc_clusters"] = lambda s, d: _clusters(s, d)
+    # damped PageRank over the match graph (fixed 6 iterations,
+    # per-step 6dp re-quantization => bit-identical trajectories in
+    # both engines): centrality for canonical-record selection —
+    # an ITERATIVE algorithm carrying full oracle parity
+    q["match_pagerank"] = lambda s, d: pagerank(
+        _matches(s, d), _records(s, d), iterations=6
+    )
     q["cluster_sizes"] = lambda s, d: (
         _clusters(s, d)
         .groupBy("cluster_id")
@@ -1602,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
     # round 4
+    "match_pagerank",
     "bigram_lm_scores",
     "lang_confusion",
     "weighted_sample",
@@ -2741,6 +2751,11 @@ def oracle_sql() -> dict[str, str]:
         {_SQL_CC}
         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
     """
+    sql["match_pagerank"] = sql_pagerank(
+        _sql_chain("matches") + " SELECT doc_id_1, doc_id_2 FROM matches",
+        _sql_chain("norm") + " SELECT doc_id FROM norm",
+        iterations=6,
+    )
     sql["cluster_sizes"] = f"""
         {_SQL_CC},
     clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),

@@ -779,3 +779,138 @@ def constrained_clusters(
         ["doc_id_1", "doc_id_2"]
     )
     return connected_components(kept, vertices=vertices, method=method)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Damped PageRank over the undirected match graph — centrality
+    for canonical-record selection (the cluster representative worth
+    keeping is the one most corroborated by the edge structure, the
+    per-node complement of :func:`edge_corroboration`'s per-edge
+    score) and review prioritization (a high-rank node in a merged
+    cluster is the chain's hub).
+
+    Deterministic cross-engine contract: a FIXED iteration count and
+    per-iteration rounding to 6 decimals, so Spark and a SQL engine
+    walk bit-identical trajectories — float summation order can drift
+    ranks by ~1e-16/step, which compounds over iterations unless each
+    step is re-quantized.  Dangling mass is NOT redistributed (both
+    implementations use the same simplification; isolated nodes hold
+    the (1-d)/N floor).
+
+    Scale shape: each iteration is one join (ranks x edges on src) +
+    one groupBy(dst) sum — the contributions frame is |E| rows,
+    partial-aggregated map-side; the edge/degree tables are
+    checkpointed once, and the rank frame (|V| rows) is
+    ``localCheckpoint``ed per iteration — persist alone keeps the
+    logical plan, which compounds per iteration until plan
+    COMPILATION itself OOMs (measured here at 6 iterations over the
+    linkage chain); lineage truncation is the same discipline as the
+    CC star loop above.
+
+    Output: (doc_id, rank) for every node, rank rounded to 6.
+    """
+    und = (
+        edges.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.select(id_col).distinct().count()
+    n_edges = und.count()
+    base = round((1.0 - damping) / n_nodes, 6)
+    with _loop_shuffle_partitions(und, n_edges):
+        deg = und.groupBy("src").agg(
+            F.count("*").cast("long").alias("deg")
+        ).localCheckpoint(eager=True)
+
+        ranks = (
+            nodes.select(F.col(id_col).alias("node"))
+            .distinct()
+            .withColumn("rank", F.round(F.lit(1.0 / n_nodes), 6))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(int(iterations)):
+            contrib = (
+                ranks.join(und, ranks["node"] == und["src"])
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("mass"))
+            )
+            ranks = (
+                ranks.select("node")
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(base)
+                        + F.lit(float(damping))
+                        * F.coalesce(F.col("mass"), F.lit(0.0)),
+                        6,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return ranks.select(F.col("node").alias(id_col), "rank")
+
+
+def sql_pagerank(
+    edges_sql: str,
+    nodes_sql: str,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of :func:`pagerank` — the fixed iteration count
+    unrolls into a chain of CTEs (it0..itN), each re-quantized to 6
+    decimals exactly like the Spark loop.  ``edges_sql`` yields
+    (doc_id_1, doc_id_2); ``nodes_sql`` yields doc_id."""
+    d = float(damping)
+    parts = [
+        f"nodes AS MATERIALIZED (SELECT DISTINCT doc_id AS node FROM ({nodes_sql}))",
+        f"e AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM ({edges_sql}))",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id_1 AS src, doc_id_2 AS dst FROM e
+                UNION ALL
+                SELECT doc_id_2 AS src, doc_id_1 AS dst FROM e
+            ) WHERE src <> dst
+        )""",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM und GROUP BY 1)",
+        "scal AS MATERIALIZED (SELECT count(*) AS n,"
+        " round((1.0 - {d}) / count(*), 6) AS base FROM nodes)".format(d=d),
+        "it0 AS MATERIALIZED (SELECT node,"
+        " round(1.0 / (SELECT n FROM scal), 6) AS rank FROM nodes)",
+    ]
+    for i in range(int(iterations)):
+        parts.append(f"""it{i + 1} AS MATERIALIZED (
+            SELECT nodes.node,
+                   round((SELECT base FROM scal)
+                         + {d} * coalesce(m.mass, 0.0), 6) AS rank
+            FROM nodes
+            LEFT JOIN (
+                SELECT und.dst AS node, sum(r.rank / deg.deg) AS mass
+                FROM it{i} r
+                JOIN und ON r.node = und.src
+                JOIN deg ON und.src = deg.src
+                GROUP BY 1
+            ) m ON nodes.node = m.node
+        )""")
+    return (
+        "WITH " + ",\n        ".join(parts)
+        + f"\n        SELECT node AS doc_id, rank FROM it{int(iterations)}"
+    )

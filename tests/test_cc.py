@@ -741,3 +741,37 @@ def test_cluster_growth_curve_monotone_and_giant_component(spark):
     assert high["largest_cluster"] == 2     # only e-f survives
     assert low["n_linked_docs"] == 6 and high["n_linked_docs"] == 2
     assert low["n_clusters"] == 2 and high["n_clusters"] == 1
+
+
+def test_pagerank_star_and_floor(spark):
+    """4-node star + 1 isolated node: the hub outranks leaves, the
+    isolated node sits exactly at the (1-d)/N floor, total mass stays
+    <= 1 (dangling mass not redistributed), and one hand-computed
+    iteration matches."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_ldu_spark.operators.cc import pagerank
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    nodes = spark.createDataFrame(
+        [("h",), ("a",), ("b",), ("c",), ("iso",)], "doc_id string"
+    )
+    out = {r["doc_id"]: r["rank"]
+           for r in pagerank(edges, nodes, iterations=1).collect()}
+    n, d = 5, 0.85
+    base = round((1 - d) / n, 6)
+    r0 = round(1 / n, 6)
+    # leaves have degree 1 (only edge to h); h has degree 3
+    assert out["iso"] == base
+    assert out["h"] == round(base + d * (3 * (r0 / 1)), 6)
+    assert out["a"] == round(base + d * (r0 / 3), 6)
+    assert out["a"] == out["b"] == out["c"]
+
+    out6 = {r["doc_id"]: r["rank"]
+            for r in pagerank(edges, nodes, iterations=6).collect()}
+    assert out6["h"] > out6["a"] > 0
+    assert out6["iso"] == base
+    assert sum(out6.values()) <= 1.0 + 1e-6
