@@ -1123,6 +1123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_confusion"] = lambda s, d: corpus.lang_confusion(
         _t(s, d, "documents")
     )
+    # collocation mining (top adjacent pairs by PMI) — the phrase
+    # pass a vocabulary build runs before merging multiword units
+    q["pmi_collocations"] = lambda s, d: corpus.pmi_collocations(
+        _t(s, d, "documents"), min_count=20, top_k=50
+    )
+    # per-doc tf-idf keyword profiles (dedup explainability / cheap
+    # topic labels)
+    q["tfidf_keywords"] = lambda s, d: corpus.tfidf_keywords(
+        _t(s, d, "documents")
+    )
+    # per-stratum Zipf exponent: distribution-shape vocabulary health
+    q["zipf_slope"] = lambda s, d: corpus.zipf_slope(_t(s, d, "documents"))
     # functional-dependency profiling over the normalized records —
     # which column implications hold (g3 strength), driving blocking-
     # surrogate and rule-guard choices
@@ -1620,6 +1632,9 @@ _NEWEST_FIRST = [
     "range_join_events",
     "asof_join_events",
     "lang_confusion",
+    "zipf_slope",
+    "pmi_collocations",
+    "tfidf_keywords",
     "weighted_sample",
     "unigram_lm_scores",
     "scd2_history",
@@ -3684,6 +3699,11 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_lm_scores"] = corpus.sql_unigram_lm_scores("documents")
     sql["bigram_lm_scores"] = corpus.sql_bigram_lm_scores("documents")
     sql["lang_confusion"] = corpus.sql_lang_confusion("documents")
+    sql["pmi_collocations"] = corpus.sql_pmi_collocations(
+        "documents", min_count=20, top_k=50
+    )
+    sql["tfidf_keywords"] = corpus.sql_tfidf_keywords("documents")
+    sql["zipf_slope"] = corpus.sql_zipf_slope("documents")
     sql["bm25_search"] = corpus.sql_bm25_search("documents", _BM25_TERMS)
     sql["weighted_sample"] = corpus.sql_weighted_sample(
         "documents", "n_chars", 40, strata_col="lang"

@@ -2298,3 +2298,282 @@ def sql_lang_confusion(
                    AS rate
         FROM cells
     """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation mining: the corpus's top-k adjacent-token pairs by
+    pointwise mutual information, PMI = ln(p(w1 w2) / (p(w1) p(w2))).
+    The phrase-discovery pass a tokenizer/vocabulary build runs before
+    merging multiword units ("new york" behaves as one token) — and a
+    template detector: a boilerplate flood shows up as a block of
+    near-identical extreme-PMI pairs.  ``min_count`` guards the PMI
+    low-frequency pathology (a pair seen once between two hapaxes
+    maxes the score).
+
+    Scale shape: the same two word-count groupBys as the bigram LM;
+    the pair table joins its two unigram marginals (zipf-bounded build
+    sides) and the global top-k compiles to TakeOrderedAndProject.
+    Ties break on the pair string, so the cut is deterministic.
+
+    Output: (pair, n, pmi) — top_k rows, highest PMI first.
+    """
+    from ..functions.text import ngrams_of_tokens, tokens
+
+    wide = ensure_width(df).select(tokens(F.col(text_col)).alias("_toks"))
+    uni = wide.select(F.explode("_toks").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    n1 = c1.agg(
+        F.sum("c").cast("long").alias("n_uni"),
+    )
+    bg = wide.select(
+        F.explode(ngrams_of_tokens(F.col("_toks"), 2)).alias("bg")
+    )
+    c2 = bg.groupBy("bg").agg(F.count("*").cast("long").alias("n"))
+    n2 = c2.agg(F.sum("n").cast("long").alias("n_bg"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    scored = (
+        c2.where(F.col("n") >= int(min_count))
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(c1.select(F.col("term").alias("w1"), F.col("c").alias("c_1")), "w1")
+        .join(c1.select(F.col("term").alias("w2"), F.col("c").alias("c_2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "bg",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("n_bg"))
+                    / ((F.col("c_1") / F.col("n_uni"))
+                       * (F.col("c_2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("bg"))
+        .limit(int(top_k))
+        .select(F.col("bg").alias("pair"), "n", "pmi")
+    )
+
+
+def sql_pmi_collocations(
+    table: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`."""
+    from ..functions.text import sql_ngrams, sql_tokens
+
+    return f"""
+        WITH wide AS MATERIALIZED (
+            SELECT {sql_tokens(text_col)} AS _toks FROM {table}
+        ),
+        c1 AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(_toks) AS term FROM wide)
+            GROUP BY 1
+        ),
+        n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM c1),
+        c2 AS MATERIALIZED (
+            SELECT bg, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({sql_ngrams('_toks', 2)}) AS bg FROM wide)
+            GROUP BY 1
+        ),
+        n2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_bg FROM c2)
+        SELECT bg AS pair, n,
+               round(ln((CAST(n AS DOUBLE) / n_bg)
+                        / ((CAST(a.c AS DOUBLE) / n_uni)
+                           * (CAST(b.c AS DOUBLE) / n_uni))), 6) AS pmi
+        FROM c2
+        JOIN c1 a ON string_split(bg, ' ')[1] = a.term
+        JOIN c1 b ON string_split(bg, ' ')[2] = b.term
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE n >= {int(min_count)}
+        ORDER BY pmi DESC, bg
+        LIMIT {int(top_k)}
+    """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    per_doc: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``per_doc`` highest
+    tf·idf terms of each document (idf = ln(N/df), document
+    frequency over distinct appearance).  The per-doc profile
+    complement of :func:`bm25_search`'s query-side scoring — feeds
+    dedup explainability ("these two docs share their top terms") and
+    cheap topic labels for corpus mixture reports.
+
+    Scale shape: one explode → (doc, term) tf groupBy; df is a second
+    groupBy over the distinct (doc, term) table; scoring joins tf to
+    the zipf-bounded df table; rank is one window per doc with a
+    deterministic (weight desc, term) tiebreak.
+
+    Output: (doc_id, term, tf, weight, pos) — pos 1..per_doc.
+    """
+    from ..functions.text import tokens
+
+    tf = (
+        ensure_width(df)
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select("doc_id").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("weight"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= int(per_doc))
+    )
+
+
+def sql_tfidf_keywords(
+    table: str,
+    text_col: str = "text",
+    per_doc: int = 3,
+) -> str:
+    """DuckDB twin of :func:`tfidf_keywords` (same ln(N/df), same
+    deterministic tiebreak)."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH tf AS MATERIALIZED (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({sql_tokens(text_col)}) AS term
+                  FROM {table})
+            GROUP BY 1, 2
+        ),
+        dfreq AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1
+        ),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM {table})
+        SELECT doc_id, term, tf, weight, pos FROM (
+            SELECT doc_id, term, tf,
+                   round(tf * ln(n / df), 6) AS weight,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * ln(n / df) DESC, term
+                   ) AS BIGINT) AS pos
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        )
+        WHERE pos <= {int(per_doc)}
+    """
+
+
+def zipf_slope(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum Zipf exponent: the least-squares slope of
+    ln(frequency) on ln(rank) over the stratum's term-frequency table
+    (natural text sits near -1; template floods flatten the head,
+    machine-generated tails steepen).  Completes the vocabulary-health
+    trio with vocab_stats' TTR/hapax ratios — the slope sees the
+    SHAPE of the distribution, not just its endpoints.
+
+    Scale shape: the (stratum, term) word-count groupBy, a rank
+    window per stratum (term-frequency tables are vocabulary-sized),
+    then one closed-form covariance aggregate per stratum.
+
+    Output: (stratum, n_types, zipf_slope).
+    """
+    from ..functions.text import tokens
+
+    tf = (
+        ensure_width(df)
+        .select(
+            F.col(strata_col).alias("stratum"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("stratum", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("tf").desc(), F.col("term")
+    )
+    xy = tf.select(
+        "stratum",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    return (
+        xy.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.avg(F.col("x") * F.col("y")).alias("mxy"),
+            F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        )
+        .where(F.col("n_types") > 1)
+        .select(
+            "stratum",
+            "n_types",
+            F.round(
+                (F.col("mxy") - F.col("mx") * F.col("my"))
+                / (F.col("mxx") - F.col("mx") * F.col("mx")),
+                4,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+def sql_zipf_slope(
+    table: str, strata_col: str = "lang", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`zipf_slope` (slope rounded to 4: the
+    closed-form moment sums differ by float ordering ~1e-15 across
+    engines, far inside the 4dp quantum)."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH tf AS MATERIALIZED (
+            SELECT stratum, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT {strata_col} AS stratum,
+                         unnest({sql_tokens(text_col)}) AS term
+                  FROM {table})
+            GROUP BY 1, 2
+        ),
+        xy AS (
+            SELECT stratum,
+                   ln(CAST(row_number() OVER (
+                       PARTITION BY stratum ORDER BY tf DESC, term
+                   ) AS DOUBLE)) AS x,
+                   ln(CAST(tf AS DOUBLE)) AS y
+            FROM tf
+        )
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round((avg(x * y) - avg(x) * avg(y))
+                     / (avg(x * x) - avg(x) * avg(x)), 4) AS zipf_slope
+        FROM xy
+        GROUP BY 1
+        HAVING count(*) > 1
+    """
