@@ -2425,25 +2425,32 @@ def tfidf_keywords(
     """
     from ..functions.text import tokens
 
+    wide = ensure_width(df)
     tf = (
-        ensure_width(df)
+        wide
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n_docs = df.select("doc_id").distinct().count()
+    # lazy broadcast scalar (no eager driver action at build time);
+    # count_distinct skips NULL doc_ids exactly like the twin's
+    # count(DISTINCT doc_id)
+    nd = wide.agg(
+        F.count_distinct(F.col("doc_id")).cast("double").alias("n_docs")
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("weight").desc(), F.col("term")
     )
     return (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "term",
             "tf",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("weight"),
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
@@ -2476,9 +2483,12 @@ def sql_tfidf_keywords(
         SELECT doc_id, term, tf, weight, pos FROM (
             SELECT doc_id, term, tf,
                    round(tf * ln(n / df), 6) AS weight,
+                   -- rank by the ROUNDED weight (the Spark window
+                   -- orders the rounded column): sub-ulp libm drift
+                   -- must not beat the term tiebreak
                    CAST(row_number() OVER (
                        PARTITION BY doc_id
-                       ORDER BY tf * ln(n / df) DESC, term
+                       ORDER BY round(tf * ln(n / df), 6) DESC, term
                    ) AS BIGINT) AS pos
             FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         )
