@@ -1223,6 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Spark builtin, so both engines run the same translate/collapse
     # recipe and the key is hash-gated
     q["refined_soundex_keys"] = lambda s, d: _refined_soundex_keys(s, d)
+    # third phonetic encoder: NYSIIS (vowel-preserving — splits the
+    # SMITH/SCHMIDT families Soundex over-merges); same staged
+    # regex/translate recipe in both engines, hash-gated
+    q["nysiis_keys"] = lambda s, d: _nysiis_keys(s, d)
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
     # blocking recall vs planted labels + candidate selectivity
@@ -1622,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unrecorded — the least-established entries must hit the hard signal
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
+    # round 4c — the latest additions, least established, go first
+    "nysiis_keys",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -2212,6 +2218,31 @@ def _refined_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 refined_soundex(F.col("_f")),
                 F.lit("-"),
                 refined_soundex(F.col("_s")),
+            ).alias("block_key"),
+        )
+    )
+
+
+def _nysiis_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NYSIIS block keys over the normalized name's first two tokens —
+    key shape 'ny:FIRST-SECOND', slotting into the multi-key union
+    beside the two Soundex families."""
+    from record_linkage_ldu_spark.functions.normalizers import nysiis
+
+    n = _records(spark, sf_dir)
+    toks = F.split(F.col("name"), " ")
+    first = F.try_element_at(toks, F.lit(1))
+    second = F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit(""))
+    return (
+        n.select("doc_id", first.alias("_f"), second.alias("_s"))
+        .where(F.col("_f").isNotNull() & (F.col("_f") != ""))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("ny:"),
+                nysiis(F.col("_f")),
+                F.lit("-"),
+                nysiis(F.col("_s")),
             ).alias("block_key"),
         )
     )
@@ -3575,6 +3606,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                'rsx:' || {N.sql_refined_soundex("first_tok")} || '-' ||
                {N.sql_refined_soundex("second_tok")} AS block_key
+        FROM toks
+        WHERE first_tok IS NOT NULL AND first_tok <> ''
+    """
+    sql["nysiis_keys"] = f"""
+        {_sql_chain("norm")},
+    toks AS (
+        SELECT doc_id,
+               string_split(name, ' ')[1] AS first_tok,
+               coalesce(string_split(name, ' ')[2], '') AS second_tok
+        FROM norm
+    )
+        SELECT doc_id,
+               'ny:' || {N.sql_nysiis("first_tok")} || '-' ||
+               {N.sql_nysiis("second_tok")} AS block_key
         FROM toks
         WHERE first_tok IS NOT NULL AND first_tok <> ''
     """

@@ -341,3 +341,124 @@ def sql_refined_soundex(expr: str) -> str:
         f"WHEN {s} = '' THEN '' "
         f"ELSE substr({s}, 1, 1) || {coded} END)"
     )
+
+
+# ------------------------------------------------------------------
+# NYSIIS (New York State Identification and Intelligence System)
+# ------------------------------------------------------------------
+
+# The third phonetic encoder of the blocking family (with American and
+# Refined Soundex): NYSIIS keeps more vowel structure, so it splits
+# differently on exactly the surname-typo families where Soundex
+# over-merges ("SMITH"/"SCHMIDT" share a Soundex class but not a
+# NYSIIS key).  Implemented as ONE staged regex/translate recipe run
+# identically by Spark (Java regex) and DuckDB (RE2) — no pattern
+# backreferences, no lookaround (RE2 has neither), captures in the
+# REPLACEMENT only (both engines support those) — which is what makes
+# the key hash-checkable across engines.
+#
+# The recipe is the classic NYSIIS rule set applied as ordered global
+# passes rather than the textbook per-position loop; the two differ
+# only on degenerate inputs (e.g. runs like "XHH"), and THIS staged
+# order is the pinned, documented semantics (tests/test_normalizers.py
+# pins golden codes and Spark<->DuckDB equality).  Stages:
+#   head:  MAC->MCC  KN->NN  K->C  PH->FF  PF->FF  SCH->SSS  (anchored)
+#   tail:  EE|IE -> Y      DT|RT|RD|NT|ND -> D                (anchored)
+#   body (on s[2:]):  EV->AF, [AEIOU]->A, Q->G, Z->S, M->N,
+#                     KN->N, K->C, SCH->SSS, PH->FF,
+#                     (non-vowel)H -> that char, AH(non-vowel) -> AA+it,
+#                     AW->AA
+#   then collapse repeated letters, strip one trailing S, AY$->Y,
+#   strip trailing A; empty result falls back to the first letter.
+# No 6-char truncation (like our Refined Soundex, untruncated keys
+# block tighter on long names; truncate at the call site if needed).
+
+_NYSIIS_HEAD = (
+    ("^MAC", "MCC"),
+    ("^KN", "NN"),
+    ("^K", "C"),
+    ("^(PH|PF)", "FF"),
+    ("^SCH", "SSS"),
+)
+_NYSIIS_TAIL = (
+    ("(EE|IE)$", "Y"),
+    ("(DT|RT|RD|NT|ND)$", "D"),
+)
+_NYSIIS_BODY = (
+    ("EV", "AF"),
+    ("[AEIOU]", "A"),
+    ("Q", "G"),
+    ("Z", "S"),
+    ("M", "N"),
+    ("KN", "N"),
+    ("K", "C"),
+    ("SCH", "SSS"),
+    ("PH", "FF"),
+    ("([^A])H", "$1$1"),
+    ("(A)H([^A])", "$1$1$2"),
+    ("(A)W", "$1$1"),
+)
+_NYSIIS_END = (
+    ("S$", ""),
+    ("AY$", "Y"),
+    ("A$", ""),
+)
+
+
+def nysiis(c: Column) -> Column:
+    """NYSIIS phonetic code of ``c`` per the staged recipe above:
+    NULL -> NULL, no letters -> ''.  nysiis('KNIGHT') = 'NAGT',
+    nysiis('PHILLIPS') = 'FALAP'."""
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    h = s
+    for pat, rep in _NYSIIS_HEAD:
+        h = F.regexp_replace(h, pat, rep)
+    for pat, rep in _NYSIIS_TAIL:
+        h = F.regexp_replace(h, pat, rep)
+    first = F.substring(h, 1, 1)
+    rest = F.substring(h, 2, 2147483647)
+    for pat, rep in _NYSIIS_BODY:
+        rest = F.regexp_replace(rest, pat, rep)
+    key = F.regexp_replace(F.concat(first, rest), "(.)\\1+", "$1")
+    for pat, rep in _NYSIIS_END:
+        key = F.regexp_replace(key, pat, rep)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(s == "", F.lit(""))
+        .otherwise(F.when(key == "", first).otherwise(key))
+    )
+
+
+def sql_nysiis(expr: str) -> str:
+    """DuckDB twin of :func:`nysiis` — the SAME staged recipe; RE2 has
+    no pattern backrefs, so the repeat-collapse is one regexp per
+    letter (equivalent on the all-letters intermediate string)."""
+
+    def _rr(s: str, pat: str, rep: str) -> str:
+        rep = rep.replace("$1", "\\1").replace("$2", "\\2")
+        # anchored passes must NOT use 'g' (RE2 is fine either way for
+        # ^/$ patterns, but keep parity with Java's replaceAll which
+        # is global; 'g' is safe for all of these)
+        return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
+    s = f"upper(regexp_replace(({expr}), '[^A-Za-z]', '', 'g'))"
+    h = s
+    for pat, rep in _NYSIIS_HEAD:
+        h = _rr(h, pat, rep)
+    for pat, rep in _NYSIIS_TAIL:
+        h = _rr(h, pat, rep)
+    first = f"substr({h}, 1, 1)"
+    rest = f"substr({h}, 2)"
+    for pat, rep in _NYSIIS_BODY:
+        rest = _rr(rest, pat, rep)
+    key = f"({first} || {rest})"
+    for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        key = f"regexp_replace({key}, '{ch}{{2,}}', '{ch}', 'g')"
+    for pat, rep in _NYSIIS_END:
+        key = _rr(key, pat, rep)
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN {s} = '' THEN '' "
+        f"WHEN {key} = '' THEN substr({s}, 1, 1) "
+        f"ELSE {key} END)"
+    )

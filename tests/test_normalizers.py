@@ -180,3 +180,61 @@ def test_refined_soundex_vectors_and_sql_parity(spark):
             f"select {sql_refined_soundex(repr(v))}"
         ).fetchone()[0]
         assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
+
+
+def test_nysiis_vectors_and_sql_parity(spark):
+    """NYSIIS staged-recipe goldens (pinned semantics — see the
+    normalizers.py recipe note), then Spark column == DuckDB twin on
+    every value including the degenerate run shapes the global-pass
+    order defines."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.functions.normalizers import (
+        nysiis,
+        sql_nysiis,
+    )
+
+    vals = [
+        "KNIGHT", "knight", "MACDONALD", "PHILLIPS", "SCHMIDT",
+        "BROWN", "O'Brien", "mackenzie", "Knuth", "PFEIFFER",
+        "WASHINGTON", "AARON", "HH", "XHH", "AWAW", "S", "A", "",
+        "  ", "123", "ZHANG", "QUINN", "MEYER", "LEE", "DIAZ",
+        "NGUYEN", "EVANS", "STEWART", "MATTHEWS", "DAY", "SHAW",
+        "HAHN", "mc lean", "smith", "schmitt", "smyth", "a-b-c",
+        "EVEV", "KNKN", "SCHSCH", "PHPH",
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = {
+        r["s"]: r["ny"]
+        for r in sdf.select("s", nysiis(F.col("s")).alias("ny")).collect()
+    }
+    # pinned goldens (classic NYSIIS rule set as ordered global passes)
+    assert got_spark["KNIGHT"] == "NAGT"
+    assert got_spark["knight"] == "NAGT"          # case-insensitive
+    assert got_spark["PHILLIPS"] == "FALAP"
+    assert got_spark["MACDONALD"] == "MCDANALD"
+    assert got_spark["SCHMIDT"] == "SNAD"
+    assert got_spark["PFEIFFER"] == "FAFAR"
+    assert got_spark["O'Brien"] == "OBRAN"        # punctuation stripped
+    assert got_spark[""] == ""
+    assert got_spark["123"] == ""
+    # the DT-tail rule splits what Soundex merges (S530 for both)
+    assert got_spark["smith"] != got_spark["SCHMIDT"]
+    # Y is NOT a NYSIIS vowel: smyth stays distinct from smith
+    # (finer than Soundex, which codes both S530)
+    assert got_spark["smith"] == "SNAT"
+    assert got_spark["smyth"] == "SNYT"
+    con = duckdb.connect()
+    for v in vals:
+        lit = "'" + v.replace("'", "''") + "'"
+        got_duck = con.execute(f"select {sql_nysiis(lit)}").fetchone()[0]
+        assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
+    # NULL -> NULL in both engines
+    assert con.execute(f"select {sql_nysiis('NULL')}").fetchone()[0] is None
+    got_null = (
+        sdf.select(nysiis(F.lit(None).cast("string")).alias("ny"))
+        .limit(1)
+        .collect()[0]["ny"]
+    )
+    assert got_null is None
