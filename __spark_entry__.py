@@ -1227,6 +1227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SMITH/SCHMIDT families Soundex over-merges); same staged
     # regex/translate recipe in both engines, hash-gated
     q["nysiis_keys"] = lambda s, d: _nysiis_keys(s, d)
+    # given-name canonicalization (nickname folding) + the blocking
+    # key built on the FOLDED name — the dictionary bridges
+    # bob<->robert where every phonetic encoder fails (B100 vs R163)
+    q["nickname_keys"] = lambda s, d: _nickname_keys(s, d)
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
     # blocking recall vs planted labels + candidate selectivity
@@ -1628,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NEWEST_FIRST = [
     # round 4c — the latest additions, least established, go first
     "nysiis_keys",
+    "nickname_keys",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -2243,6 +2248,39 @@ def _nysiis_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nysiis(F.col("_f")),
                 F.lit("-"),
                 nysiis(F.col("_s")),
+            ).alias("block_key"),
+        )
+    )
+
+
+def _nickname_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nickname-folded soundex block keys: canonicalize the given-name
+    token through the frozen diminutive dictionary, THEN encode —
+    'bob smith' and 'robert smith' land in the same 'nk:' block, which
+    no phonetic key alone achieves."""
+    from record_linkage_ldu_spark.functions.normalizers import (
+        canonical_given_name,
+    )
+
+    n = _records(spark, sf_dir)
+    toks = F.split(F.col("name"), " ")
+    first = F.try_element_at(toks, F.lit(1))
+    second = F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit(""))
+    canon = canonical_given_name(first)
+    return (
+        n.select(
+            "doc_id", first.alias("_f"), second.alias("_s")
+        )
+        .where(F.col("_f").isNotNull() & (F.col("_f") != ""))
+        .select(
+            "doc_id",
+            F.col("_f").alias("first_tok"),
+            canonical_given_name(F.col("_f")).alias("canonical_first"),
+            F.concat(
+                F.lit("nk:"),
+                F.soundex(canonical_given_name(F.col("_f"))),
+                F.lit("-"),
+                F.soundex(F.col("_s")),
             ).alias("block_key"),
         )
     )
@@ -3620,6 +3658,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                'ny:' || {N.sql_nysiis("first_tok")} || '-' ||
                {N.sql_nysiis("second_tok")} AS block_key
+        FROM toks
+        WHERE first_tok IS NOT NULL AND first_tok <> ''
+    """
+    sql["nickname_keys"] = f"""
+        {_sql_chain("norm")},
+    toks AS (
+        SELECT doc_id,
+               string_split(name, ' ')[1] AS first_tok,
+               coalesce(string_split(name, ' ')[2], '') AS second_tok
+        FROM norm
+    )
+        SELECT doc_id,
+               first_tok,
+               {N.sql_canonical_given_name("first_tok")} AS canonical_first,
+               'nk:' || {N.sql_soundex(N.sql_canonical_given_name("first_tok"))}
+                     || '-' || {N.sql_soundex("second_tok")} AS block_key
         FROM toks
         WHERE first_tok IS NOT NULL AND first_tok <> ''
     """

@@ -293,3 +293,66 @@ FIELD_NORMALIZER: dict[str, str] = {
     "state": "state_then_address", "state2": "state_then_address",
     "country": "country_then_address", "country2": "country_then_address",
 }
+
+# ------------------------------------------------------------------
+# Nickname / diminutive dictionary (given-name canonicalization)
+# ------------------------------------------------------------------
+# variant -> canonical formal name, covering the fixture's given-name
+# vocabulary (sources/datagen.py::_FIRST) plus its common English
+# diminutives.  A frozen literal like the stopword corpora: both
+# engines compile the SAME map, so canonicalization is hash-checkable.
+# At 10^12 docs this stays a ~100-entry expression-level literal map
+# (no join, no broadcast table needed); a tenant-supplied dictionary
+# of thousands of rows would swap in as a broadcast join with the
+# same output contract.
+NICKNAME_ALIASES: dict[str, str] = {
+    "jim": "james", "jimmy": "james", "jamie": "james",
+    "bob": "robert", "rob": "robert", "bobby": "robert",
+    "robbie": "robert", "bert": "robert",
+    "pat": "patricia", "patty": "patricia", "trish": "patricia",
+    "jack": "john", "johnny": "john",
+    "jen": "jennifer", "jenny": "jennifer",
+    "mike": "michael", "mick": "michael", "mickey": "michael",
+    "dave": "david", "davey": "david",
+    "liz": "elizabeth", "beth": "elizabeth", "betsy": "elizabeth",
+    "eliza": "elizabeth", "betty": "elizabeth",
+    "bill": "william", "billy": "william", "will": "william",
+    "willy": "william", "liam": "william",
+    "barb": "barbara",
+    "rick": "richard", "ricky": "richard", "dick": "richard",
+    "rich": "richard", "richie": "richard",
+    "sue": "susan", "susie": "susan",
+    "joe": "joseph", "joey": "joseph",
+    "jess": "jessica",
+    "tom": "thomas", "tommy": "thomas",
+    "sally": "sarah",
+    "charlie": "charles", "chuck": "charles", "chas": "charles",
+    "chris": "christopher", "topher": "christopher",
+    "dan": "daniel", "danny": "daniel",
+    "matt": "matthew", "matty": "matthew",
+    "tony": "anthony",
+    "maggie": "margaret", "meg": "margaret", "peggy": "margaret",
+    "marge": "margaret",
+    "sandy": "sandra",
+    "don": "donald", "donnie": "donald",
+    "steve": "steven", "stevie": "steven",
+    "kim": "kimberly",
+    "andy": "andrew", "drew": "andrew",
+    "josh": "joshua",
+    "shelly": "michelle",
+    "ken": "kenneth", "kenny": "kenneth",
+    "mandy": "amanda",
+    "mel": "melissa",
+    "deb": "deborah", "debbie": "deborah",
+    "tim": "timothy", "timmy": "timothy",
+    "steph": "stephanie",
+    "ron": "ronald", "ronnie": "ronald",
+    "becky": "rebecca", "becca": "rebecca",
+    "ed": "edward", "eddie": "edward", "ted": "edward",
+    "teddy": "edward", "ned": "edward",
+    "jay": "jason",
+    "jeff": "jeffrey",
+    "cindy": "cynthia",
+    "kathy": "kathleen", "kate": "kathleen", "katie": "kathleen",
+    "jake": "jacob",
+}

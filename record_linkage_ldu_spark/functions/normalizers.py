@@ -462,3 +462,28 @@ def sql_nysiis(expr: str) -> str:
         f"WHEN {key} = '' THEN substr({s}, 1, 1) "
         f"ELSE {key} END)"
     )
+
+
+# ------------------------------------------------------------------
+# Given-name canonicalization (nickname / diminutive folding)
+# ------------------------------------------------------------------
+
+
+def canonical_given_name(c: Column) -> Column:
+    """Fold a given-name variant to its canonical formal form
+    ('bob' -> 'robert'); miss keeps the input.  Classic linkage move:
+    Soundex cannot bridge bob<->robert (B100 vs R163), a dictionary
+    can — fold FIRST, then encode.  The ~100-entry frozen literal
+    (config.NICKNAME_ALIASES) compiles to an expression-level map
+    (no join at any scale); a larger tenant dictionary would swap in
+    as a broadcast join with the same contract."""
+    from ..config import NICKNAME_ALIASES
+
+    return _map_lookup(c, NICKNAME_ALIASES)
+
+
+def sql_canonical_given_name(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_given_name` (same literal map)."""
+    from ..config import NICKNAME_ALIASES
+
+    return _sql_map_lookup(expr, NICKNAME_ALIASES)

@@ -238,3 +238,48 @@ def test_nysiis_vectors_and_sql_parity(spark):
         .collect()[0]["ny"]
     )
     assert got_null is None
+
+
+def test_canonical_given_name_parity_and_bridge(spark):
+    """Nickname folding: dictionary hit folds, miss passes through,
+    Spark == DuckDB on the whole dictionary; the folded soundex key
+    bridges bob<->robert (raw soundex cannot: B100 vs R163)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.config import NICKNAME_ALIASES
+    from record_linkage_ldu_spark.functions.normalizers import (
+        canonical_given_name,
+        sql_canonical_given_name,
+    )
+
+    vals = list(NICKNAME_ALIASES) + ["robert", "zzz-unknown", "", "Bob "]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = {
+        r["s"]: r["c"]
+        for r in sdf.select(
+            "s", canonical_given_name(F.col("s")).alias("c")
+        ).collect()
+    }
+    assert got_spark["bob"] == "robert"
+    assert got_spark["Bob "] == "robert"     # trim + case-fold on probe
+    assert got_spark["robert"] == "robert"   # formal name passes through
+    assert got_spark["zzz-unknown"] == "zzz-unknown"
+    con = duckdb.connect()
+    for v in vals:
+        lit = "'" + v.replace("'", "''") + "'"
+        got_duck = con.execute(
+            f"select {sql_canonical_given_name(lit)}"
+        ).fetchone()[0]
+        assert got_duck == got_spark[v], (v, got_duck, got_spark[v])
+    # the bridge: folded-then-encoded keys collide for bob/robert
+    folded = sdf.select(
+        "s", F.soundex(canonical_given_name(F.col("s"))).alias("k")
+    )
+    keys = {r["s"]: r["k"] for r in folded.collect()}
+    assert keys["bob"] == keys["robert"]
+    raw = {
+        r["s"]: r["k"]
+        for r in sdf.select("s", F.soundex("s").alias("k")).collect()
+    }
+    assert raw["bob"] != raw["robert"]
