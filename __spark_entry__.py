@@ -976,6 +976,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
     )
+    # target-mixture downsampling: keep probabilities DERIVED from the
+    # measured stratum frequencies (DoReMi-style reweighting as pure
+    # downsampling) — stratified_sample takes rates as given, this
+    # computes them from the corpus
+    q["mixture_rebalance"] = lambda s, d: corpus.mixture_rebalance(
+        _t(s, d, "documents"),
+        targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
+    )
     # per-stratum mixing evidence (requested vs realized rates)
     q["mixture_stats"] = lambda s, d: corpus.mixture_stats(
         _t(s, d, "documents"),
@@ -1633,6 +1641,7 @@ _NEWEST_FIRST = [
     # round 4c — the latest additions, least established, go first
     "nysiis_keys",
     "nickname_keys",
+    "mixture_rebalance",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -3527,6 +3536,10 @@ def oracle_sql() -> dict[str, str]:
         strata_col="lang",
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
+    )
+    sql["mixture_rebalance"] = corpus.sql_mixture_rebalance(
+        "documents",
+        targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
     )
     sql["mixture_stats"] = corpus.sql_mixture_stats(
         "documents",

@@ -2587,3 +2587,115 @@ def sql_zipf_slope(
         GROUP BY 1
         HAVING count(*) > 1
     """
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    seed: str = "rebal",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Downsample to a TARGET mixture: given desired output shares per
+    stratum (e.g. ``{"en": .4, "fr": .3, "de": .3}``), derive each
+    stratum's keep probability from its measured frequency and apply
+    the deterministic hash draw.  This is the mixture-weighting step
+    of a pretraining data pipeline (DoReMi-style reweighting, applied
+    as pure downsampling): ``stratified_sample`` takes rates as GIVEN;
+    this op computes them FROM the corpus so the OUTPUT hits the
+    requested proportions in expectation.
+
+    keep_prob_g = ratio_g / max_h(ratio_h) with ratio_g = t_g * N /
+    n_g — scaling by the max ratio means the scarcest-vs-target
+    stratum is kept whole and everything else downsamples toward the
+    target shape (no upsampling/duplication).  Strata absent from
+    ``targets`` get ratio 0 and are dropped.
+
+    Scale shape: one groupBy over the strata domain (tiny), two
+    1-partition window aggregates over that TINY counts frame (|strata|
+    rows, never the corpus), a broadcast join back, one filter — the
+    corpus itself is never shuffled.  Deterministic across runs,
+    cluster sizes, and engines (same md5-draw contract as
+    ``stratified_sample``; ``hash_fn="xxhash64"`` is the production
+    knob, no DuckDB twin).
+    """
+    from pyspark.sql.window import Window as W
+
+    target: Column = F.lit(0.0)
+    for key, t in sorted(targets.items()):
+        target = F.when(F.col(strata_col) == key, F.lit(float(t))).otherwise(
+            target
+        )
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    w = W.partitionBy()
+    ratio = target * F.sum("_n").over(w) / F.col("_n")
+    probs = (
+        counts.withColumn("_ratio", ratio)
+        .withColumn(
+            "_mx", F.max(F.when(F.col("_ratio") > 0, F.col("_ratio"))).over(w)
+        )
+        .where(F.col("_ratio") > 0)
+        .select(
+            strata_col,
+            (F.col("_ratio") / F.col("_mx")).alias("_keep_prob"),
+        )
+    )
+    draw = _uniform_draw(F.col(id_col), seed, hash_fn)
+    return (
+        df.join(F.broadcast(probs), strata_col)
+        .withColumn("_draw", draw)
+        .where(F.col("_draw") < F.col("_keep_prob"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            F.round(F.col("_keep_prob"), 6).alias("keep_prob"),
+            F.round(F.col("_draw"), 6).alias("draw"),
+        )
+    )
+
+
+def sql_mixture_rebalance(
+    table: str,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    seed: str = "rebal",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`mixture_rebalance` — same literal targets,
+    same expression shapes/order so the IEEE doubles agree bit-for-bit
+    (ratio = t * N / n, keep = ratio / max_ratio, draw = md5 32-bit
+    over 2^32)."""
+    target = "0.0"
+    for key, t in sorted(targets.items()):
+        target = (
+            f"CASE WHEN {strata_col} = '{key}' THEN {float(t)} "
+            f"ELSE {target} END"
+        )
+    draw = _sql_uniform_draw(id_expr=id_col, seed=seed)
+    return f"""
+        WITH counts AS (
+            SELECT {strata_col}, CAST(count(*) AS DOUBLE) AS _n
+            FROM {table} GROUP BY {strata_col}
+        ),
+        ratios AS (
+            SELECT {strata_col},
+                   ({target}) * sum(_n) OVER () / _n AS _ratio
+            FROM counts
+        ),
+        probs AS (
+            SELECT {strata_col},
+                   _ratio / max(CASE WHEN _ratio > 0 THEN _ratio END)
+                            OVER () AS _keep_prob
+            FROM ratios
+            WHERE _ratio > 0
+        )
+        SELECT d.{id_col} AS doc_id,
+               d.{strata_col} AS stratum,
+               round(p._keep_prob, 6) AS keep_prob,
+               round({draw}, 6) AS draw
+        FROM {table} d JOIN probs p USING ({strata_col})
+        WHERE {draw} < p._keep_prob
+    """

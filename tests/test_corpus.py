@@ -1033,3 +1033,36 @@ def test_zipf_slope_exact_power_law(spark):
     r = out[0]
     assert r["stratum"] == "en" and r["n_types"] == 4
     assert -3.5 < r["zipf_slope"] < -1.0
+
+
+def test_mixture_rebalance_hits_target_shape(spark):
+    """Derived keep probabilities: the scarcest-vs-target stratum is
+    kept whole (prob 1), realized output shares approach the target
+    mixture, untargeted strata are dropped, and the draw is a pure
+    function of the id (repartition-invariant)."""
+    from record_linkage_ldu_spark.operators.corpus import mixture_rebalance
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    targets = {"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2}
+    out = mixture_rebalance(docs, targets=targets).cache()
+    rows = out.collect()
+    assert rows, "rebalance produced no rows"
+    # zh is not in targets -> dropped entirely
+    assert not [r for r in rows if r["stratum"] == "zh"]
+    # the stratum with the max ratio keeps prob 1.0
+    probs = {r["stratum"]: r["keep_prob"] for r in rows}
+    assert max(probs.values()) == 1.0
+    # realized shares within sampling noise of the target shape:
+    # fr is scarce (64 docs at sf0.01) so give +-40% relative slack
+    from collections import Counter
+
+    n = len(rows)
+    shares = Counter(r["stratum"] for r in rows)
+    for g, t in targets.items():
+        realized = shares[g] / n
+        assert abs(realized - t) / t < 0.4, (g, realized, t)
+    # partitioning does not change the sample
+    out2 = mixture_rebalance(docs.repartition(13), targets=targets)
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in out2.collect()
+    }
