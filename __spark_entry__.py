@@ -77,7 +77,9 @@ from record_linkage_ldu_spark.operators.cc import (
     pagerank,
     repair_clusters,
     sql_pagerank,
+    sql_topk_edge_sparsify,
     stable_cluster_ids,
+    topk_edge_sparsify,
     star_clusters,
 )
 from record_linkage_ldu_spark.operators.multimodal import (
@@ -1620,6 +1622,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id_1", "doc_id_2"),
         _records(s, d).select("doc_id"),
     )
+    # degree-capped closure: CC over the mutual top-2 edge graph —
+    # the hairball safeguard (one promiscuous record cannot weld
+    # thousands of entities when per-node degree is bounded)
+    q["sparsified_clusters"] = lambda s, d: connected_components(
+        topk_edge_sparsify(
+            _matches(s, d).select("doc_id_1", "doc_id_2", "score"),
+            k=2,
+            mode="mutual",
+        ),
+        vertices=_records(s, d).select("doc_id"),
+        method="alternating-star",
+    )
     q["stable_cluster_ids"] = lambda s, d: stable_cluster_ids(
         connected_components(
             _matches(s, d)
@@ -1642,6 +1656,7 @@ _NEWEST_FIRST = [
     "nysiis_keys",
     "nickname_keys",
     "mixture_rebalance",
+    "sparsified_clusters",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -5278,6 +5293,27 @@ def oracle_sql() -> dict[str, str]:
     # stable ids: prev run = CC over the score>=5.5 edge subset,
     # curr run = standard CC; carryover by max-overlap argmax with
     # split resolution (one winner per prev id), minted new:<id> else
+    sql["sparsified_clusters"] = f"""
+{_sql_chain("matches").replace("WITH ", "WITH RECURSIVE ", 1)},
+    sparse AS MATERIALIZED (
+        {sql_topk_edge_sparsify(
+            "SELECT doc_id_1, doc_id_2, score FROM matches",
+            k=2, mode="mutual",
+        )}
+    ),
+    nodes AS (SELECT doc_id FROM synth),
+    sedges AS MATERIALIZED (
+        SELECT doc_id_1 AS s, doc_id_2 AS d FROM sparse
+        UNION
+        SELECT doc_id_2 AS s, doc_id_1 AS d FROM sparse
+    ),
+    sreach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, e.d FROM sreach r JOIN sedges e ON r.b = e.s
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM sreach GROUP BY a
+    """
     sql["stable_cluster_ids"] = f"""
 {_SQL_CC},
     m2 AS (SELECT doc_id_1, doc_id_2 FROM matches WHERE score >= 5.5),

@@ -914,3 +914,98 @@ def sql_pagerank(
         "WITH " + ",\n        ".join(parts)
         + f"\n        SELECT node AS doc_id, rank FROM it{int(iterations)}"
     )
+
+
+def topk_edge_sparsify(
+    scored_edges: DataFrame,
+    k: int = 2,
+    score_col: str = "score",
+    mode: str = "mutual",
+    pin: bool = True,
+) -> DataFrame:
+    """Degree-capped match graph: keep an edge iff it ranks in each
+    endpoint's top-``k`` by ``(score DESC, neighbor id ASC)`` —
+    ``mode="mutual"`` requires BOTH endpoints (true degree bound <= k),
+    ``mode="union"`` either (keeps hub stars).
+
+    The 10^12-doc safeguard for transitive closure: CC chains entities
+    through ANY accepted edge, so one promiscuous record (a shared
+    office address, a placeholder email) welds thousands of entities
+    into a hairball whose CC iterations and downstream joins all key on
+    one cluster_id.  Capping per-node degree BEFORE closure bounds both
+    the cluster diameter growth rate and the per-key skew — the
+    mutual-kNN graph construction from the dedup/clustering literature
+    (cf. Hassanzadeh et al. VLDB'09's sparsification framing), sitting
+    between full CC (recall-maximal) and star clustering (depth-one).
+
+    Input ``scored_edges(doc_id_1, doc_id_2, score_col)`` (one row per
+    undirected pair); output the kept pairs, canonical orientation
+    ``doc_id_1 < doc_id_2``.  Scale shape: symmetrize (narrow union),
+    ONE window keyed on the endpoint (the same shuffle key the
+    degree census uses — never the pair set squared), one groupBy on
+    the canonical pair.  ``pin`` materializes the input once (it fans
+    out into both union arms; see edge_corroboration).
+    """
+    from .dedup import _pin
+
+    base = _pin(
+        scored_edges.select("doc_id_1", "doc_id_2", score_col), pin
+    )
+    sym = base.select(
+        F.col("doc_id_1").alias("a"),
+        F.col("doc_id_2").alias("b"),
+        F.col(score_col).alias("_s"),
+    ).union(
+        base.select(
+            F.col("doc_id_2").alias("a"),
+            F.col("doc_id_1").alias("b"),
+            F.col(score_col).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("_s").desc(), F.col("b").asc()
+    )
+    kept = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select(
+            F.least("a", "b").alias("doc_id_1"),
+            F.greatest("a", "b").alias("doc_id_2"),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("_n"))
+    )
+    need = 2 if mode == "mutual" else 1
+    return kept.where(F.col("_n") >= need).select("doc_id_1", "doc_id_2")
+
+
+def sql_topk_edge_sparsify(
+    edges_select: str, k: int = 2, score_col: str = "score",
+    mode: str = "mutual",
+) -> str:
+    """DuckDB twin of :func:`topk_edge_sparsify` as a CTE fragment:
+    ``edges_select`` must yield (doc_id_1, doc_id_2, score_col).
+    Returns SQL selecting the kept canonical pairs."""
+    need = 2 if mode == "mutual" else 1
+    return f"""
+        SELECT doc_id_1, doc_id_2 FROM (
+            SELECT least(a, b) AS doc_id_1, greatest(a, b) AS doc_id_2,
+                   count(*) AS _n
+            FROM (
+                SELECT a, b,
+                       row_number() OVER (
+                           PARTITION BY a ORDER BY _s DESC, b ASC
+                       ) AS _rn
+                FROM (
+                    SELECT doc_id_1 AS a, doc_id_2 AS b,
+                           {score_col} AS _s FROM ({edges_select})
+                    UNION ALL
+                    SELECT doc_id_2 AS a, doc_id_1 AS b,
+                           {score_col} AS _s FROM ({edges_select})
+                )
+            )
+            WHERE _rn <= {int(k)}
+            GROUP BY least(a, b), greatest(a, b)
+        )
+        WHERE _n >= {need}
+    """

@@ -775,3 +775,55 @@ def test_pagerank_star_and_floor(spark):
     assert out6["h"] > out6["a"] > 0
     assert out6["iso"] == base
     assert sum(out6.values()) <= 1.0 + 1e-6
+
+
+def test_topk_edge_sparsify_busts_hairball(spark):
+    """A promiscuous hub (placeholder-email pathology) welds two
+    genuine entities under plain CC; mutual top-k sparsification
+    drops the weak hub edges and keeps both real clusters intact."""
+    from record_linkage_ldu_spark.operators.cc import (
+        connected_components,
+        topk_edge_sparsify,
+    )
+
+    # two tight triangles {a1,a2,a3} and {b1,b2,b3} (score 5.0),
+    # plus hub h weakly linked to every node (score 3.5)
+    strong = [
+        ("a1", "a2", 5.0), ("a1", "a3", 5.0), ("a2", "a3", 5.0),
+        ("b1", "b2", 5.0), ("b1", "b3", 5.0), ("b2", "b3", 5.0),
+    ]
+    weak = [("h", n, 3.5) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]]
+    edges = spark.createDataFrame(
+        strong + weak, "doc_id_1 string, doc_id_2 string, score double"
+    )
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            edges.select("doc_id_1", "doc_id_2")
+        ).collect()
+    }
+    # plain CC: one hairball (everything reaches everything through h)
+    assert len({c for _, c in full}) == 1
+
+    kept = topk_edge_sparsify(edges, k=2, mode="mutual", pin=False)
+    kept_pairs = {tuple(r) for r in kept.collect()}
+    # every strong edge survives (it is top-2 for both endpoints);
+    # hub edges die: h's side ranks them, but a1 prefers a2/a3
+    assert set(map(tuple, ((a, b) for a, b, _ in strong))) <= kept_pairs
+    assert not [p for p in kept_pairs if "h" in p]
+    sparse = connected_components(kept)
+    clusters = {}
+    for r in sparse.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert {frozenset(m) for m in clusters.values()} == {
+        frozenset({"a1", "a2", "a3"}),
+        frozenset({"b1", "b2", "b3"}),
+    }
+    # union mode keeps the hub's own top-2 (degree unbounded story)
+    union_kept = {
+        tuple(r)
+        for r in topk_edge_sparsify(
+            edges, k=2, mode="union", pin=False
+        ).collect()
+    }
+    assert [p for p in union_kept if "h" in p]
