@@ -986,6 +986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
     )
+    # per-doc novelty: share of the doc's shingles unique to it —
+    # the document-level redundancy dial (template floods score low
+    # even when no single pair crosses a near-dup threshold)
+    q["shingle_novelty"] = lambda s, d: corpus.shingle_novelty(
+        _t(s, d, "documents")
+    )
     # per-stratum mixing evidence (requested vs realized rates)
     q["mixture_stats"] = lambda s, d: corpus.mixture_stats(
         _t(s, d, "documents"),
@@ -1657,6 +1663,7 @@ _NEWEST_FIRST = [
     "nickname_keys",
     "mixture_rebalance",
     "sparsified_clusters",
+    "shingle_novelty",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -3552,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
         rates={"en": 0.5, "fr": 0.8},
         default_rate=0.25,
     )
+    sql["shingle_novelty"] = corpus.sql_shingle_novelty("documents")
     sql["mixture_rebalance"] = corpus.sql_mixture_rebalance(
         "documents",
         targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},

@@ -2699,3 +2699,98 @@ def sql_mixture_rebalance(
         FROM {table} d JOIN probs p USING ({strata_col})
         WHERE {draw} < p._keep_prob
     """
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the share of the doc's DISTINCT w-word
+    shingles that appear in NO other document.  The document-level
+    redundancy dial the pairwise dedup family can't give you: near-dup
+    detection answers "which pairs overlap", novelty answers "how much
+    of THIS doc is new to the corpus" — low-novelty docs are template
+    floods / syndicated copies even when no single pair crosses a
+    near-dup threshold, and the score is the natural keep-priority for
+    budgeted corpus selection.
+
+    Output: one row per input doc — ``n_shingles``, ``n_unique``
+    (corpus-wide df == 1), ``novelty = n_unique / n_shingles`` (NULL
+    for shingle-less docs).
+
+    Scale shape: one narrow explode, one shingle-keyed census groupBy
+    (map-side partials — the same shuffle class as the MinHash
+    signature pass), one shingle-keyed join back, one doc-keyed
+    groupBy, one left join to reinstate empty docs.  No pair
+    materialization anywhere.
+    """
+    from ..functions.text import shingles
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), w=w)).alias("_sh"),
+    )
+    dfc = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    per = (
+        sh.join(dfc, "_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_unique"), F.lit(0).cast("long")).alias(
+                "n_unique"
+            ),
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def sql_shingle_novelty(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+) -> str:
+    """DuckDB twin of :func:`shingle_novelty` (same shingle tokenizer,
+    same NULL-for-empty contract)."""
+    from ..functions.text import sql_shingles
+
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT {id_col} AS doc_id,
+                   unnest({sql_shingles(text_col, w=w)}) AS _sh
+            FROM {table}
+        ),
+        dfc AS MATERIALIZED (
+            SELECT _sh, count(*) AS _df FROM sh GROUP BY _sh
+        ),
+        per AS (
+            SELECT doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN _df = 1 THEN 1 ELSE 0 END) AS n_unique
+            FROM sh JOIN dfc USING (_sh)
+            GROUP BY doc_id
+        )
+        SELECT d.{id_col} AS doc_id,
+               CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+               round(CAST(p.n_unique AS DOUBLE) / p.n_shingles, 6)
+                   AS novelty
+        FROM {table} d LEFT JOIN per p ON d.{id_col} = p.doc_id
+    """

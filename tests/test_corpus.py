@@ -1066,3 +1066,38 @@ def test_mixture_rebalance_hits_target_shape(spark):
     assert {r["doc_id"] for r in rows} == {
         r["doc_id"] for r in out2.collect()
     }
+
+
+def test_shingle_novelty_hand_computed(spark):
+    """Duplicated text -> novelty 0 for every copy; unique text ->
+    novelty 1; partial overlap in between; empty doc -> NULL with a
+    row still present (one row per input doc)."""
+    from record_linkage_ldu_spark.operators.corpus import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "the cat sat on the mat today"),
+            (3, "completely different words entirely here now"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in shingle_novelty(docs).collect()}
+    assert len(got) == 4
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+    # partial overlap: doc 5 shares a prefix run with doc 1
+    docs2 = docs.union(
+        spark.createDataFrame(
+            [(5, "the cat sat on the mat tonight")], "doc_id long, text string"
+        )
+    )
+    got2 = {r["doc_id"]: r for r in shingle_novelty(docs2).collect()}
+    # doc 5 has 5 shingles, 4 shared with docs 1/2 ('...mat tonight' unique)
+    assert got2[5]["n_shingles"] == 5
+    assert got2[5]["n_unique"] == 1
+    assert 0.0 < got2[5]["novelty"] < 1.0
+    # and doc 1's formerly-unique tail is still duplicated by doc 2
+    assert got2[1]["novelty"] == 0.0
