@@ -51,6 +51,15 @@ class BlockingConfig:
     salt_drop_factor: int = 16
     use_soundex: bool = True          # composite two-token soundex
     use_soundex_single: bool = False  # single-token soundex (coarse)
+    # vowel-preserving NYSIIS composite key ('ny:') — recall tier for
+    # name families Soundex over-merges or splits (default off: the
+    # default roster already reaches every fixture pair; turn on for
+    # corpora with heavy surname-spelling drift)
+    use_nysiis: bool = False
+    # nickname-folded soundex key ('nk:') — canonicalize the given
+    # name through config.NICKNAME_ALIASES, then encode; bridges
+    # bob<->robert blocks no phonetic encoder reaches
+    use_nickname_soundex: bool = False
     # sn: PREFIX-EQUALITY key (cheap, but a single long common token
     # degenerates it into a mega-block — measured 30M junk pairs from
     # 9 blocks at 198k docs).  The windowed pass below is the scalable
@@ -120,6 +129,34 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
                 F.concat(F.lit("sx1:"), F.soundex(first_tok)),
             )
         )
+    if cfg.use_nysiis:
+        from ..functions.normalizers import nysiis
+
+        keys.append(
+            F.when(
+                first_tok.isNotNull() & (first_tok != ""),
+                F.concat(
+                    F.lit("ny:"),
+                    nysiis(first_tok),
+                    F.lit("-"),
+                    nysiis(second_tok),
+                ),
+            )
+        )
+    if cfg.use_nickname_soundex:
+        from ..functions.normalizers import canonical_given_name
+
+        keys.append(
+            F.when(
+                first_tok.isNotNull() & (first_tok != ""),
+                F.concat(
+                    F.lit("nk:"),
+                    F.soundex(canonical_given_name(first_tok)),
+                    F.lit("-"),
+                    F.soundex(second_tok),
+                ),
+            )
+        )
     if cfg.use_sorted_neighborhood:
         compact = F.regexp_replace(name, " ", "")
         keys.append(
@@ -147,7 +184,7 @@ def block_keys(records: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> Da
 
     # (doc_id, block_key) is unique BY CONSTRUCTION: every key family
     # emits at most one key per record and each family carries a
-    # distinct prefix (sx:/sx1:/sn:/ph:/em:/zp:/fx:), so no dedup
+    # distinct prefix (sx:/sx1:/ny:/nk:/sn:/ph:/em:/zp:/fx:), so no dedup
     # shuffle is needed here — at web scale that was a full hash
     # shuffle of the entire key table for zero removed rows.  Pair
     # duplicates from multi-key reachability are collapsed once at

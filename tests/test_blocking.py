@@ -687,3 +687,39 @@ def test_stringmap_blocking_triangle_property(spark):
     assert all(
         r["block_key"].startswith("sm:") for r in keys.collect()
     )
+
+
+def test_nysiis_and_nickname_key_families(spark):
+    """The r4c BlockingConfig knobs: default-off (roster unchanged),
+    and when enabled each family emits one prefixed key per record —
+    with the nk: key bridging a nickname pair soundex splits."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        BlockingConfig,
+        block_keys,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            ("d1", "bob smith", "5551234"),
+            ("d2", "robert smith", "5559999"),
+        ],
+        "doc_id string, name string, phone string",
+    )
+    default_keys = block_keys(recs, BlockingConfig())
+    assert not [
+        r
+        for r in default_keys.collect()
+        if r["block_key"].startswith(("ny:", "nk:"))
+    ]
+    cfg = BlockingConfig(use_nysiis=True, use_nickname_soundex=True)
+    rows = block_keys(recs, cfg).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["block_key"])
+    ny = {d: {k for k in ks if k.startswith("ny:")} for d, ks in by_doc.items()}
+    nk = {d: {k for k in ks if k.startswith("nk:")} for d, ks in by_doc.items()}
+    assert len(ny["d1"]) == 1 and len(ny["d2"]) == 1
+    # nickname folding bridges bob<->robert; plain soundex does not
+    assert nk["d1"] == nk["d2"]
+    sx = {d: {k for k in ks if k.startswith("sx:")} for d, ks in by_doc.items()}
+    assert sx["d1"] != sx["d2"]
