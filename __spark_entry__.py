@@ -992,6 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shingle_novelty"] = lambda s, d: corpus.shingle_novelty(
         _t(s, d, "documents")
     )
+    # the flood report: top-N most-duplicated shingles per language —
+    # names the repeated content itself (banners, footers, templates)
+    q["template_floods"] = lambda s, d: corpus.template_floods(
+        _t(s, d, "documents")
+    )
     # per-stratum mixing evidence (requested vs realized rates)
     q["mixture_stats"] = lambda s, d: corpus.mixture_stats(
         _t(s, d, "documents"),
@@ -1664,6 +1669,7 @@ _NEWEST_FIRST = [
     "mixture_rebalance",
     "sparsified_clusters",
     "shingle_novelty",
+    "template_floods",
     # round 4 — cheapest new entries first: the driver's sweep budget
     # cuts the tail, so the chain-building heavies (match_pagerank,
     # fd_profile — whoever runs first PAYS the shared linkage-chain
@@ -3560,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         default_rate=0.25,
     )
     sql["shingle_novelty"] = corpus.sql_shingle_novelty("documents")
+    sql["template_floods"] = corpus.sql_template_floods("documents")
     sql["mixture_rebalance"] = corpus.sql_mixture_rebalance(
         "documents",
         targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},

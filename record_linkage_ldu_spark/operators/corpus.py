@@ -2794,3 +2794,85 @@ def sql_shingle_novelty(
                    AS novelty
         FROM {table} d LEFT JOIN per p ON d.{id_col} = p.doc_id
     """
+
+
+def template_floods(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    w: int = 3,
+    top_n: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-``top_n`` most-duplicated w-shingles per stratum — the
+    template/boilerplate flood report.  ``shingle_novelty`` scores each
+    DOC's redundancy; this names the REPEATED CONTENT itself (cookie
+    banners, syndication footers, SEO templates), per language, ranked
+    by document frequency — the observability table a cleaning pass is
+    tuned against (CCNet/RefinedWeb-style line removal generalized to
+    shingles).
+
+    Output: (stratum, shingle, df, rank), rank 1 = most duplicated,
+    ties broken by shingle text for a total order.  Scale shape: one
+    explode, one (stratum, shingle)-keyed census groupBy (map-side
+    partials), a ``min_df`` pre-filter, then a top-N window over the
+    CENSUS (keyed by stratum — the window input is already one row per
+    distinct shingle, never the corpus).
+    """
+    from ..functions.text import shingles
+
+    sh = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.explode(shingles(F.col(text_col), w=w)).alias("shingle"),
+    )
+    census = (
+        sh.groupBy("stratum", "shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= int(min_df))
+    )
+    from pyspark.sql.window import Window as W
+
+    w_rank = W.partitionBy("stratum").orderBy(
+        F.col("df").desc(), F.col("shingle").asc()
+    )
+    return (
+        census.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= int(top_n))
+        .select("stratum", "shingle", F.col("df").cast("long").alias("df"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_template_floods(
+    table: str,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    w: int = 3,
+    top_n: int = 10,
+    min_df: int = 2,
+) -> str:
+    """DuckDB twin of :func:`template_floods`."""
+    from ..functions.text import sql_shingles
+
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT {strata_col} AS stratum,
+                   unnest({sql_shingles(text_col, w=w)}) AS shingle
+            FROM {table}
+        ),
+        census AS (
+            SELECT stratum, shingle, count(*) AS df
+            FROM sh GROUP BY stratum, shingle
+            HAVING count(*) >= {int(min_df)}
+        )
+        SELECT stratum, shingle, CAST(df AS BIGINT) AS df,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY stratum ORDER BY df DESC, shingle ASC
+            ) AS rank
+            FROM census
+        )
+        WHERE rank <= {int(top_n)}
+    """

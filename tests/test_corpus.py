@@ -1101,3 +1101,31 @@ def test_shingle_novelty_hand_computed(spark):
     assert 0.0 < got2[5]["novelty"] < 1.0
     # and doc 1's formerly-unique tail is still duplicated by doc 2
     assert got2[1]["novelty"] == 0.0
+
+
+def test_template_floods_ranks_duplicated_shingles(spark):
+    """The flood report surfaces the repeated template, ranked by df,
+    per stratum; singleton shingles never appear (min_df)."""
+    from record_linkage_ldu_spark.operators.corpus import template_floods
+
+    tpl = "click here to accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{tpl} welcome to alpha site", "en"),
+            (2, f"{tpl} beta content page here", "en"),
+            (3, f"{tpl} gamma words entirely different", "en"),
+            (4, "unique french text only once", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = template_floods(docs, top_n=3).collect()
+    en = [r for r in out if r["stratum"] == "en"]
+    assert en, "no en floods found"
+    # rank 1 = a shingle from the shared template, df == 3
+    top = min(en, key=lambda r: r["rank"])
+    assert top["df"] == 3
+    assert top["shingle"] in tpl
+    # fr doc is singleton-only -> filtered by min_df
+    assert not [r for r in out if r["stratum"] == "fr"]
+    # ranks are 1..k with no gaps inside a stratum
+    assert sorted(r["rank"] for r in en) == list(range(1, len(en) + 1))
