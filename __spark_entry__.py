@@ -2303,7 +2303,6 @@ def _nickname_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("name"), " ")
     first = F.try_element_at(toks, F.lit(1))
     second = F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit(""))
-    canon = canonical_given_name(first)
     return (
         n.select(
             "doc_id", first.alias("_f"), second.alias("_s")

@@ -948,6 +948,8 @@ def topk_edge_sparsify(
     """
     from .dedup import _pin
 
+    if mode not in ("mutual", "union"):
+        raise ValueError(f"mode must be 'mutual' or 'union', got {mode!r}")
     base = _pin(
         scored_edges.select("doc_id_1", "doc_id_2", score_col), pin
     )
@@ -986,6 +988,8 @@ def sql_topk_edge_sparsify(
     """DuckDB twin of :func:`topk_edge_sparsify` as a CTE fragment:
     ``edges_select`` must yield (doc_id_1, doc_id_2, score_col).
     Returns SQL selecting the kept canonical pairs."""
+    if mode not in ("mutual", "union"):
+        raise ValueError(f"mode must be 'mutual' or 'union', got {mode!r}")
     need = 2 if mode == "mutual" else 1
     return f"""
         SELECT doc_id_1, doc_id_2 FROM (
