@@ -192,7 +192,33 @@ def sessionize_stream(
 
 
 BATCH_MANIFEST = "_batch_manifest.json"
-_STORE_APPEND_TABLES = ("records", "keys", "edges", "entity_ids")
+_STORE_APPEND_TABLES = (
+    "records", "keys", "edges", "entity_ids", "tombstones"
+)
+
+
+def _read_tombstones(spark, store_dir: str):
+    """The store's deletion set: ``tombstones(doc_id)`` (append-only,
+    Iceberg delete-file model — see :func:`delete_documents`), or None
+    when no deletion has ever happened."""
+    path = os.path.join(store_dir, "tombstones")
+    if not os.path.isdir(path) or not _data_files(path):
+        return None
+    return spark.read.parquet(path).select("doc_id").distinct()
+
+
+def _anti_tombstones(df: DataFrame, tomb, *cols: str) -> DataFrame:
+    """Filter tombstoned doc ids out of ``df`` on each id column in
+    ``cols`` (records/keys: one column; edges: both endpoints).  The
+    tombstone set is one row per deleted doc — broadcast anti-joins,
+    never a shuffle of ``df``."""
+    if tomb is None:
+        return df
+    for c in cols:
+        df = df.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", c)), c, "left_anti"
+        )
+    return df
 
 
 def _data_files(path: str) -> list[str]:
@@ -320,9 +346,16 @@ def recover_store(spark, store_dir: str, cfg=None) -> bool:
     edges_path = os.path.join(store_dir, "edges")
     census_path = os.path.join(store_dir, "census")
     clusters_path = os.path.join(store_dir, "clusters")
+    # derived-table rebuilds are tombstone-aware: the rolled-back
+    # tombstones table (pre-crash state) filters keys/records/edges
+    # exactly as live readers do, so a rollback never resurrects
+    # deleted docs into census or clusters
+    tomb = _read_tombstones(spark, store_dir)
     if os.path.isdir(keys_path):
         census = (
-            spark.read.parquet(keys_path)
+            _anti_tombstones(
+                spark.read.parquet(keys_path), tomb, "doc_id"
+            )
             .groupBy("block_key")
             .agg(F.count("*").alias("block_size"))
         )
@@ -330,9 +363,16 @@ def recover_store(spark, store_dir: str, cfg=None) -> bool:
     else:
         shutil.rmtree(census_path, ignore_errors=True)
     if os.path.isdir(records_path):
-        records = spark.read.parquet(records_path)
+        records = _anti_tombstones(
+            spark.read.parquet(records_path), tomb, "doc_id"
+        )
         if os.path.isdir(edges_path):
-            edges = spark.read.parquet(edges_path)
+            edges = _anti_tombstones(
+                spark.read.parquet(edges_path),
+                tomb,
+                "doc_id_1",
+                "doc_id_2",
+            )
         else:
             edges = spark.createDataFrame(
                 [], "doc_id_1 string, doc_id_2 string"
@@ -456,11 +496,18 @@ def incremental_linkage_batch(
     ).localCheckpoint(eager=True)
 
     have_store = os.path.exists(records_path)
+    tomb = _read_tombstones(spark, store_dir)
     if have_store:
-        old_records = spark.read.parquet(records_path)
-        # idempotent replay: a doc already in the store is not "new"
+        old_records_raw = spark.read.parquet(records_path)
+        old_records = _anti_tombstones(old_records_raw, tomb, "doc_id")
+        # idempotent replay: a doc already in the store is not "new";
+        # a TOMBSTONED id is not re-ingested either (deletion is
+        # permanent by contract — see delete_documents)
         new_records = new_records.join(
-            old_records.select("doc_id"), "doc_id", "left_anti"
+            old_records_raw.select("doc_id"), "doc_id", "left_anti"
+        )
+        new_records = _anti_tombstones(
+            new_records, tomb, "doc_id"
         ).localCheckpoint(eager=True)
         all_records = old_records.unionByName(new_records)
     else:
@@ -506,9 +553,9 @@ def incremental_linkage_batch(
     # input stays proportional to the batch, not the store)
     touched = new_keys.select("block_key").distinct()
     if have_store and os.path.exists(keys_path):
-        store_keys = spark.read.parquet(keys_path).join(
-            F.broadcast(touched), "block_key", "left_semi"
-        )
+        store_keys = _anti_tombstones(
+            spark.read.parquet(keys_path), tomb, "doc_id"
+        ).join(F.broadcast(touched), "block_key", "left_semi")
     else:
         # empty frame from new_keys' OWN schema: a hardcoded DDL string
         # diverges from later batches when doc ids are non-string
@@ -582,7 +629,9 @@ def incremental_linkage_batch(
     n_scored = scored.count()
 
     if have_store and os.path.exists(edges_path):
-        edges = spark.read.parquet(edges_path).unionByName(new_edges)
+        edges = _anti_tombstones(
+            spark.read.parquet(edges_path), tomb, "doc_id_1", "doc_id_2"
+        ).unionByName(new_edges)
     else:
         edges = new_edges
 
@@ -652,11 +701,15 @@ def incremental_linkage_batch(
             store_dir, {"status": "complete", "new_docs": n_new}
         )
     return {
-        "docs": spark.read.parquet(records_path).count(),
+        "docs": _anti_tombstones(
+            spark.read.parquet(records_path), tomb, "doc_id"
+        ).count(),
         "new_docs": n_new,
         "pairs_scored": n_scored,
         "candidate_key_rows": n_key_rows,
-        "edges": spark.read.parquet(edges_path).count(),
+        "edges": _anti_tombstones(
+            spark.read.parquet(edges_path), tomb, "doc_id_1", "doc_id_2"
+        ).count(),
         "clusters": spark.read.parquet(clusters_path)
         .select("cluster_id")
         .distinct()
@@ -669,6 +722,206 @@ def incremental_linkage_batch(
             r["block_key"]
             for r in dropped.select("block_key").limit(100).collect()
         ],
+    }
+
+
+def delete_documents(
+    spark,
+    store_dir: str,
+    doc_ids,
+    cfg=None,
+) -> dict:
+    """Retract documents from the incremental store (right-to-erasure
+    / bad-ingest rollback) — the Iceberg delete-file model: deletion
+    APPENDS to a ``tombstones(doc_id)`` table under the same
+    manifest-gated atomic commit as ingestion, every reader
+    (``incremental_linkage_batch``, ``recover_store`` rebuilds, the
+    stats counters) anti-joins it, and ``compact_store`` physically
+    purges tombstoned rows on the normal maintenance cadence.  No
+    store table is rewritten at delete time — the commit is O(deleted
+    docs + derived-table refresh), not O(store).
+
+    What one call does:
+      1. tombstones the ids that are actually in the store and not
+         already tombstoned (idempotent — re-deleting is a no-op);
+      2. decrements the block census by the deleted docs' key counts
+         (one keys semi-join against the broadcast deletion set —
+         never a full recount);
+      3. recomputes ``clusters`` over the surviving edge set (every
+         edge touching a deleted doc dies — a cluster welded through
+         a deleted record SPLITS, exactly as a fresh batch run over
+         the surviving corpus would produce);
+      4. appends a new ``entity_ids`` snapshot (seq+1) with stable-id
+         carryover for surviving clusters.
+
+    Deletion is PERMANENT by contract: a tombstoned doc_id arriving in
+    a later micro-batch is ignored (the replay anti-join treats it as
+    seen).  Re-admitting an id would require removing its tombstone
+    row, which breaks append-only recovery — ingest reborn entities
+    under a new doc_id instead.
+
+    Crash-safety: the manifest records the pre-commit file set of
+    every append table (tombstones included); a crash mid-commit rolls
+    back the tombstone/entity_ids appends and rebuilds census/clusters
+    from the rolled-back state — ``recover_store``'s rebuilds are
+    tombstone-aware, so a PREVIOUS successful deletion survives a
+    LATER crashed batch's rollback.
+
+    ``doc_ids``: a list of ids or a DataFrame with a ``doc_id``
+    column.  Returns counters (requested, newly tombstoned, surviving
+    docs/edges/clusters/entities).
+    """
+    from ..operators.cc import connected_components, stable_cluster_ids
+    from ..plans.linkage import LinkageConfig
+
+    cfg = cfg or LinkageConfig()
+    recover_store(spark, store_dir, cfg=cfg)
+    records_path = os.path.join(store_dir, "records")
+    keys_path = os.path.join(store_dir, "keys")
+    census_path = os.path.join(store_dir, "census")
+    edges_path = os.path.join(store_dir, "edges")
+    clusters_path = os.path.join(store_dir, "clusters")
+    ids_path = os.path.join(store_dir, "entity_ids")
+    tomb_path = os.path.join(store_dir, "tombstones")
+    if not os.path.isdir(records_path):
+        raise ValueError(f"no incremental store at {store_dir}")
+
+    records_raw = spark.read.parquet(records_path)
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+    else:
+        id_type = records_raw.schema["doc_id"].dataType.simpleString()
+        ids = spark.createDataFrame(
+            [(d,) for d in doc_ids], f"doc_id {id_type}"
+        ).distinct()
+    n_requested = ids.count()
+
+    prev_tomb = _read_tombstones(spark, store_dir)
+    # only ids that exist in the store and are not already tombstoned
+    new_tomb = ids.join(
+        records_raw.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    if prev_tomb is not None:
+        new_tomb = new_tomb.join(prev_tomb, "doc_id", "left_anti")
+    new_tomb = new_tomb.localCheckpoint(eager=True)
+    n_new = new_tomb.count()
+    all_tomb = (
+        new_tomb if prev_tomb is None
+        else prev_tomb.unionByName(new_tomb).distinct()
+    )
+
+    if n_new == 0:
+        surviving = _anti_tombstones(records_raw, prev_tomb, "doc_id")
+        return {
+            "requested": n_requested,
+            "deleted": 0,
+            "docs": surviving.count(),
+        }
+
+    # census decrement: the deleted docs' key rows, counted per block
+    # (semi-join against the broadcast deletion set — O(deleted keys))
+    if os.path.isdir(keys_path):
+        deleted_counts = (
+            spark.read.parquet(keys_path)
+            .join(F.broadcast(new_tomb), "doc_id", "left_semi")
+            .groupBy("block_key")
+            .agg(F.count("*").alias("_n_del"))
+        )
+        if os.path.isdir(census_path):
+            census = (
+                spark.read.parquet(census_path)
+                .join(deleted_counts, "block_key", "left")
+                .select(
+                    "block_key",
+                    (
+                        F.col("block_size")
+                        - F.coalesce(F.col("_n_del"), F.lit(0))
+                    ).alias("block_size"),
+                )
+                .where(F.col("block_size") > 0)
+            )
+        else:
+            census = (
+                _anti_tombstones(
+                    spark.read.parquet(keys_path), all_tomb, "doc_id"
+                )
+                .groupBy("block_key")
+                .agg(F.count("*").alias("block_size"))
+            )
+        census = census.localCheckpoint(eager=True)
+    else:
+        census = None
+
+    surviving = _anti_tombstones(
+        records_raw, all_tomb, "doc_id"
+    ).localCheckpoint(eager=True)
+    if os.path.isdir(edges_path):
+        edges_kept = _anti_tombstones(
+            spark.read.parquet(edges_path), all_tomb, "doc_id_1", "doc_id_2"
+        )
+    else:
+        edges_kept = spark.createDataFrame(
+            [], "doc_id_1 string, doc_id_2 string"
+        )
+    clusters = connected_components(
+        edges_kept, vertices=surviving.select("doc_id"),
+        method=cfg.cc_method,
+    )
+
+    # stable-id carryover, same seq-versioned append contract as the
+    # batch path (deleted docs simply vanish from the new snapshot)
+    if os.path.isdir(ids_path):
+        stored_ids = spark.read.parquet(ids_path)
+        cur_seq = stored_ids.agg(F.max("seq")).collect()[0][0] or 0
+        prev_map = (
+            stored_ids.where(F.col("seq") == cur_seq)
+            .join(F.broadcast(all_tomb), "doc_id", "left_anti")
+            .select("doc_id", F.col("stable_id").alias("cluster_id"))
+        )
+        mapping = stable_cluster_ids(
+            prev_map, clusters, mint_prefix=f"e{cur_seq + 1}:"
+        )
+        entity_ids = clusters.join(
+            mapping.select("cluster_id", "stable_id"), "cluster_id"
+        ).select("doc_id", "stable_id", F.lit(cur_seq + 1).alias("seq"))
+        entity_ids = entity_ids.localCheckpoint(eager=True)
+    else:
+        entity_ids = None
+
+    _write_batch_manifest(
+        store_dir,
+        {
+            "status": "in-progress",
+            "deleted_docs": n_new,
+            "pre": {
+                t: _data_files(os.path.join(store_dir, t))
+                for t in _STORE_APPEND_TABLES
+            },
+        },
+    )
+    _atomic_overwrite(clusters, clusters_path)
+    new_tomb.write.mode("append").parquet(tomb_path)
+    if entity_ids is not None:
+        entity_ids.write.mode("append").parquet(ids_path)
+    if census is not None:
+        _atomic_overwrite(census, census_path)
+    _write_batch_manifest(
+        store_dir, {"status": "complete", "deleted_docs": n_new}
+    )
+    return {
+        "requested": n_requested,
+        "deleted": n_new,
+        "docs": surviving.count(),
+        "edges": edges_kept.count(),
+        "clusters": spark.read.parquet(clusters_path)
+        .select("cluster_id")
+        .distinct()
+        .count(),
+        "entities": (
+            entity_ids.select("stable_id").distinct().count()
+            if entity_ids is not None
+            else None
+        ),
     }
 
 
@@ -741,6 +994,13 @@ def compact_store(
     """
     recover_store(spark, store_dir)
     stats: dict = {}
+    # physical purge of tombstoned rows happens HERE (the Iceberg
+    # rewrite_data_files analogue): readers already anti-join the
+    # tombstone set, so the rewrite is content-identical for every
+    # consumer — it just makes the anti-join a no-op afterwards.  The
+    # tombstones table itself is retained (tiny: one id per deleted
+    # doc) so the permanent-deletion contract survives compaction.
+    tomb = _read_tombstones(spark, store_dir)
     for name in _STORE_APPEND_TABLES:
         path = os.path.join(store_dir, name)
         if not os.path.isdir(path):
@@ -751,6 +1011,10 @@ def compact_store(
             cur = df.agg(F.max("seq")).collect()[0][0]
             if cur is not None:
                 df = df.where(F.col("seq") == cur)
+        elif name in ("records", "keys"):
+            df = _anti_tombstones(df, tomb, "doc_id")
+        elif name == "edges":
+            df = _anti_tombstones(df, tomb, "doc_id_1", "doc_id_2")
         df = df.repartition(files_per_table).localCheckpoint(eager=True)
         n = df.count()
         _safe_swap(df, path)

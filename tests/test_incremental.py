@@ -601,3 +601,105 @@ def test_compaction_crash_windows_recover(spark, tmp_path):
     recover_store(spark, store)
     assert not os.path.exists(records + ".compact_old")
     assert os.path.isdir(records)
+
+
+def test_delete_documents_tombstone_semantics(spark, tmp_path):
+    """Right-to-erasure over the incremental store: the deleted doc
+    vanishes from every reader, its partner's cluster splits exactly
+    as a fresh run over the surviving corpus would, the census stays
+    consistent, deletion is idempotent AND permanent (re-ingestion is
+    ignored), and compaction physically purges the rows."""
+    from record_linkage_ldu_spark.operators.blocking import BlockingConfig
+    from record_linkage_ldu_spark.streaming.incremental import (
+        compact_store,
+        delete_documents,
+    )
+
+    # window-free blocking: per-record keys only, so a fresh run over
+    # the survivors is pair-for-pair comparable (the SN window tier
+    # re-ranks neighbors and is deliberately not re-run on delete)
+    cfg = LinkageConfig(blocking=BlockingConfig())
+    docs = _docs(spark).localCheckpoint(eager=True)
+    store = str(tmp_path / "store")
+    incremental_linkage_batch(spark, docs, store, cfg=cfg)
+
+    before = spark.read.parquet(f"{store}/clusters")
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in before.groupBy("cluster_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    cid2 = next(c for c, n in sorted(sizes.items()) if n == 2)
+    victim, partner = sorted(
+        r["doc_id"]
+        for r in before.where(F.col("cluster_id") == cid2).collect()
+    )
+
+    stats = delete_documents(spark, store, [victim], cfg=cfg)
+    assert stats["requested"] == 1 and stats["deleted"] == 1
+    after = spark.read.parquet(f"{store}/clusters")
+    ids_after = {r["doc_id"] for r in after.select("doc_id").collect()}
+    assert victim not in ids_after and partner in ids_after
+    partner_cid = after.where(F.col("doc_id") == partner).collect()[0][
+        "cluster_id"
+    ]
+    assert after.where(F.col("cluster_id") == partner_cid).count() == 1
+
+    # equivalence: clusters == a fresh pipeline run over the survivors
+    full = LinkagePipeline(spark, cfg).run(
+        docs.where(F.col("doc_id") != victim)
+    )
+    assert _cluster_set(after) == _cluster_set(full.clusters)
+
+    # census == recount of surviving keys
+    census = {
+        r["block_key"]: r["block_size"]
+        for r in spark.read.parquet(f"{store}/census").collect()
+    }
+    keys = spark.read.parquet(f"{store}/keys").where(
+        F.col("doc_id") != victim
+    )
+    recount = {
+        r["block_key"]: r["n"]
+        for r in keys.groupBy("block_key").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert census == recount
+
+    # idempotent re-delete
+    assert delete_documents(spark, store, [victim], cfg=cfg)["deleted"] == 0
+
+    # permanent: re-ingesting the tombstoned id is ignored
+    s = incremental_linkage_batch(
+        spark, docs.where(F.col("doc_id") == victim), store, cfg=cfg
+    )
+    assert s["new_docs"] == 0
+    assert victim not in {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/clusters")
+        .select("doc_id")
+        .collect()
+    }
+
+    # compaction physically purges the tombstoned rows, content intact
+    compact_store(spark, store)
+    raw_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/records")
+        .select("doc_id")
+        .collect()
+    }
+    assert victim not in raw_ids
+    assert _cluster_set(spark.read.parquet(f"{store}/clusters")) == (
+        _cluster_set(full.clusters)
+    )
+    # stable ids: the current snapshot no longer contains the victim
+    ids_tbl = spark.read.parquet(f"{store}/entity_ids")
+    cur = ids_tbl.agg(F.max("seq")).collect()[0][0]
+    cur_ids = {
+        r["doc_id"]
+        for r in ids_tbl.where(F.col("seq") == cur).collect()
+    }
+    assert victim not in cur_ids and partner in cur_ids
