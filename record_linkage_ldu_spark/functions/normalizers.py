@@ -487,3 +487,70 @@ def sql_canonical_given_name(expr: str) -> str:
     from ..config import NICKNAME_ALIASES
 
     return _sql_map_lookup(expr, NICKNAME_ALIASES)
+
+
+# ------------------------------------------------------------------
+# Accent / diacritic folding (Latin-1 + Latin Extended-A)
+# ------------------------------------------------------------------
+
+# One codepoint map run by translate() in BOTH engines, derived ONCE
+# at import from NFD decomposition (strip combining marks) over the
+# Latin-1 Supplement + Latin Extended-A letters — the European-name
+# range.  Both engines consume the SAME Python-computed map, so
+# cross-engine parity is by construction.  Letters NFD cannot reach
+# (stroked/crossed forms) are added explicitly; multi-char expansions
+# (ae/oe/ss/th) cannot go through translate (1:1 codepoints) and use
+# a short replace chain, identical in both engines.
+
+
+def _build_accent_map() -> tuple[str, str]:
+    import unicodedata
+
+    src_chars, dst_chars = [], []
+    for cp in range(0x00C0, 0x0180):
+        ch = chr(cp)
+        de = unicodedata.normalize("NFD", ch)
+        base = "".join(c for c in de if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            src_chars.append(ch)
+            dst_chars.append(base)
+    for ch, base in (
+        ("\u00f8", "o"), ("\u00d8", "O"),   # ø Ø
+        ("\u0142", "l"), ("\u0141", "L"),   # ł Ł
+        ("\u0111", "d"), ("\u0110", "D"),   # đ Đ
+        ("\u0127", "h"), ("\u0126", "H"),   # ħ Ħ
+        ("\u0167", "t"), ("\u0166", "T"),   # ŧ Ŧ
+        ("\u0131", "i"),                      # ı
+        ("\u00f0", "d"), ("\u00d0", "D"),   # ð Ð
+    ):
+        src_chars.append(ch)
+        dst_chars.append(base)
+    return "".join(src_chars), "".join(dst_chars)
+
+
+_ACCENT_IN, _ACCENT_OUT = _build_accent_map()
+_ACCENT_EXPANSIONS = (
+    ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
+    ("ß", "ss"), ("þ", "th"), ("Þ", "TH"),
+)
+
+
+def fold_accents(c: Column) -> Column:
+    """Fold Latin diacritics to ASCII ('müller' -> 'muller', 'Łódź' ->
+    'Lodz', 'Cœur' -> 'Coeur').  Run BEFORE normalize_name when a
+    corpus carries accented names: the normalizers strip non-[a-z0-9]
+    chars, so an unfolded 'müller' would otherwise collapse to 'mller'
+    and land in the wrong soundex/NYSIIS block."""
+    for src, dst in _ACCENT_EXPANSIONS:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.translate(c, _ACCENT_IN, _ACCENT_OUT)
+
+
+def sql_fold_accents(expr: str) -> str:
+    """DuckDB twin of :func:`fold_accents` (same map, same order)."""
+    out = expr
+    for src, dst in _ACCENT_EXPANSIONS:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return (
+        f"translate({out}, '{_ACCENT_IN}', '{_ACCENT_OUT}')"
+    )

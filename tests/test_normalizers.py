@@ -283,3 +283,58 @@ def test_canonical_given_name_parity_and_bridge(spark):
         for r in sdf.select("s", F.soundex("s").alias("k")).collect()
     }
     assert raw["bob"] != raw["robert"]
+
+
+def test_fold_accents_parity_and_goldens(spark):
+    """Accent folding: NFD-derived 1:1 map + multi-char expansions,
+    identical output from the Spark chain and the DuckDB twin; folding
+    BEFORE normalize_name keeps 'müller' out of the 'mller' block."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.functions.normalizers import (
+        fold_accents,
+        normalize_name,
+        sql_fold_accents,
+    )
+
+    vals = [
+        "müller", "Łódź", "Cœur", "Ærøskøbing", "François", "Dvořák",
+        "straße", "Þórður", "İstanbul", "no accents", "", "ñandú",
+        "Gödel-Escher", "señor", "crème brûlée", "ĐĦŧıð",
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["f"]
+        for r in sdf.select("s", fold_accents(F.col("s")).alias("f")).collect()
+    }
+    assert got["müller"] == "muller"
+    assert got["Łódź"] == "Lodz"
+    assert got["Cœur"] == "Coeur"
+    assert got["straße"] == "strasse"
+    assert got["Ærøskøbing"] == "AEroskobing"
+    assert got["no accents"] == "no accents"
+    con = duckdb.connect()
+    for v in vals:
+        lit = "'" + v.replace("'", "''") + "'"
+        d = con.execute(f"select {sql_fold_accents(lit)}").fetchone()[0]
+        assert d == got[v], (v, got[v], d)
+    # null propagation
+    assert (
+        sdf.select(fold_accents(F.lit(None).cast("string")).alias("f"))
+        .limit(1)
+        .collect()[0]["f"]
+        is None
+    )
+    # the blocking motivation: folded-then-normalized keeps the vowel
+    folded_norm = (
+        sdf.where(F.col("s") == "müller")
+        .select(normalize_name(fold_accents(F.col("s"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    raw_norm = (
+        sdf.where(F.col("s") == "müller")
+        .select(normalize_name(F.col("s")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert folded_norm == "muller" and raw_norm == "mller"
