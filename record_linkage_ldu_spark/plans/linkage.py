@@ -68,6 +68,13 @@ class LinkageConfig:
     # full waves; REPARTITION_BY_NUM shuffles are exempt from AQE
     # coalescing, so the width sticks.  0 = off.
     score_partitions_per_core: int = 8
+    # mutual top-k edge sparsification before transitive closure
+    # (cc.topk_edge_sparsify): bounds per-node degree so one
+    # promiscuous record cannot weld thousands of entities into a
+    # hairball cluster.  0 = off (default: CC is recall-maximal and
+    # the fixture has no hub pathology); set 2-3 for corpora with
+    # placeholder contact values.
+    sparsify_top_k: int = 0
 
 
 _FAMILIES = {
@@ -208,8 +215,19 @@ class LinkagePipeline:
         if self.store is None and cfg.materialize:
             matches = matches.localCheckpoint(eager=False)
 
+        cc_edges = matches.select("doc_id_1", "doc_id_2")
+        if cfg.sparsify_top_k > 0:
+            from ..operators.cc import topk_edge_sparsify
+
+            # matches is already pinned above (localCheckpoint/stage)
+            cc_edges = topk_edge_sparsify(
+                matches.select("doc_id_1", "doc_id_2", "score"),
+                k=cfg.sparsify_top_k,
+                mode="mutual",
+                pin=False,
+            )
         clusters = connected_components(
-            matches.select("doc_id_1", "doc_id_2"),
+            cc_edges,
             vertices=records.select("doc_id"),
             method=cfg.cc_method,
         )

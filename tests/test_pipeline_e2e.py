@@ -209,3 +209,29 @@ def test_multimodal_matches_fusion_tiers(spark):
         ["doc_id_1", "doc_id_2"]
     ).count()
     assert fused.where(F.col("doc_id_1") >= F.col("doc_id_2")).count() == 0
+
+
+def test_pipeline_sparsify_knob(spark):
+    """sparsify_top_k=0 (default) leaves the pipeline byte-identical;
+    a generous k changes nothing on the hub-free fixture (every true
+    cluster is <= 3 members, mutual top-3 keeps all their edges)."""
+    from record_linkage_ldu_spark.plans.linkage import (
+        LinkageConfig,
+        LinkagePipeline,
+    )
+    from record_linkage_ldu_spark.sources.synth import synth_documents
+
+    docs = synth_documents(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    ).localCheckpoint(eager=True)
+    base = LinkagePipeline(spark, LinkageConfig()).run(docs)
+    sparse = LinkagePipeline(
+        spark, LinkageConfig(sparsify_top_k=3)
+    ).run(docs)
+    want = {
+        (r["doc_id"], r["cluster_id"]) for r in base.clusters.collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"]) for r in sparse.clusters.collect()
+    }
+    assert got == want
