@@ -1252,6 +1252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key built on the FOLDED name — the dictionary bridges
     # bob<->robert where every phonetic encoder fails (B100 vs R163)
     q["nickname_keys"] = lambda s, d: _nickname_keys(s, d)
+    # contact canonicalization: email aliasing (plus-tags, provider
+    # domain aliases, gmail dot-insensitivity) + E.164-lite phones —
+    # the exact-contact-key hardening pass; a literal alias fixture
+    # rides along because the synthetic corpus has no aliased contacts
+    q["contact_canonical"] = lambda s, d: _contact_canonical(s, d)
     # ---------- rows-only (no SQL twin: RO/JW) ----------
     q["ro_jw_pair_scores"] = lambda s, d: _ro_jw_scores(s, d)
     # blocking recall vs planted labels + candidate selectivity
@@ -1666,6 +1671,7 @@ _NEWEST_FIRST = [
     # round 4c — the latest additions, least established, go first
     "nysiis_keys",
     "nickname_keys",
+    "contact_canonical",
     "mixture_rebalance",
     "sparsified_clusters",
     "shingle_novelty",
@@ -2319,6 +2325,40 @@ def _nickname_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.soundex(F.col("_s")),
             ).alias("block_key"),
         )
+    )
+
+
+# literal alias fixture shared VERBATIM by the Spark query and the
+# DuckDB twin (the synthetic corpus carries no aliased contacts, so
+# these rows are what proves the folding rules fire)
+_CONTACT_FIXTURE = [
+    ("x1", "John.Doe+news@GoogleMail.com ", "(415) 555-0199"),
+    ("x2", "john.doe@gmail.com", "+1 415 555 0199"),
+    ("x3", "j.o.h.n.doe+a+b@gmail.com", "0044 20 7946 0958"),
+    ("x4", "Jane.Roe@Example.com", "555-1234"),
+    ("x5", "not-an-email", ""),
+    ("x6", None, None),
+]
+
+
+def _contact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_linkage_ldu_spark.functions.normalizers import (
+        canonical_email,
+        canonical_phone,
+    )
+
+    fixture = spark.createDataFrame(
+        _CONTACT_FIXTURE, "doc_id string, email string, phone string"
+    )
+    base = (
+        synth_records(_t(spark, sf_dir, "customer"))
+        .select("doc_id", "email", "phone")
+        .unionByName(fixture)
+    )
+    return base.select(
+        "doc_id",
+        canonical_email(F.col("email")).alias("canonical_email"),
+        canonical_phone(F.col("phone")).alias("canonical_phone"),
     )
 
 
@@ -3702,6 +3742,27 @@ def oracle_sql() -> dict[str, str]:
                {N.sql_nysiis("second_tok")} AS block_key
         FROM toks
         WHERE first_tok IS NOT NULL AND first_tok <> ''
+    """
+    _cf_rows = ", ".join(
+        "({}, {}, {})".format(
+            f"'{i}'",
+            "NULL" if e is None else "'" + e.replace("'", "''") + "'",
+            "NULL" if p is None else "'" + p.replace("'", "''") + "'",
+        )
+        for i, e, p in _CONTACT_FIXTURE
+    )
+    sql["contact_canonical"] = f"""
+        WITH {synth_sql_cte()},
+        fixture(doc_id, email, phone) AS (VALUES {_cf_rows}),
+        allrows AS (
+            SELECT doc_id, email, phone FROM synth
+            UNION ALL
+            SELECT doc_id, email, phone FROM fixture
+        )
+        SELECT doc_id,
+               {N.sql_canonical_email("email")} AS canonical_email,
+               {N.sql_canonical_phone("phone")} AS canonical_phone
+        FROM allrows
     """
     sql["nickname_keys"] = f"""
         {_sql_chain("norm")},

@@ -554,3 +554,83 @@ def sql_fold_accents(expr: str) -> str:
     return (
         f"translate({out}, '{_ACCENT_IN}', '{_ACCENT_OUT}')"
     )
+
+
+# ------------------------------------------------------------------
+# Contact canonicalization (email aliasing + phone E.164-lite)
+# ------------------------------------------------------------------
+
+# Email aliasing rules that defeat exact contact keys in real-world
+# ER: provider domain aliases (googlemail == gmail), plus-addressing
+# (user+tag@ == user@), and gmail's dot-insensitivity in the local
+# part.  The dot strip is an unrolled fixed-pass regex chain (one dot
+# removed per pass, same chain in both engines — RE2-safe, no
+# lookaround); _EMAIL_DOT_PASSES bounds the dots handled, beyond
+# which leftover dots stay (documented, deterministic).
+_EMAIL_DOT_PASSES = 12
+_DOT_INSENSITIVE_DOMAINS = ("gmail.com",)
+
+
+def canonical_email(c: Column) -> Column:
+    """Canonical email for exact-key matching: lower/trim, fold
+    googlemail.com -> gmail.com, strip one +tag from the local part
+    (any domain), strip local-part dots for dot-insensitive providers.
+    Non-email strings (no '@') just lower/trim."""
+    e = F.lower(F.trim(c))
+    e = F.regexp_replace(e, "@googlemail\\.com$", "@gmail.com")
+    e = F.regexp_replace(e, "\\+[^@]*@", "@")
+    for dom in _DOT_INSENSITIVE_DOMAINS:
+        d = dom.replace(".", "\\.")
+        for _ in range(_EMAIL_DOT_PASSES):
+            e = F.regexp_replace(
+                e, f"^([^@]*)\\.([^@]*@{d})$", "$1$2"
+            )
+    return e
+
+
+def sql_canonical_email(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_email` (same pass chain)."""
+    e = f"lower(trim({expr}))"
+    e = f"regexp_replace({e}, '@googlemail\\.com$', '@gmail.com')"
+    e = f"regexp_replace({e}, '\\+[^@]*@', '@')"
+    for dom in _DOT_INSENSITIVE_DOMAINS:
+        d = dom.replace(".", "\\.")
+        for _ in range(_EMAIL_DOT_PASSES):
+            e = (
+                f"regexp_replace({e}, "
+                f"'^([^@]*)\\.([^@]*@{d})$', '\\1\\2')"
+            )
+    return e
+
+
+def canonical_phone(
+    c: Column, default_cc: str = "1", nsn_len: int = 10
+) -> Column:
+    """E.164-lite phone canonicalization: digits only, strip an
+    international '00' prefix, prepend ``default_cc`` to bare
+    ``nsn_len``-digit national numbers, '+' prefix.  Numbers that fit
+    neither shape keep their digits ('+'-prefixed) — deterministic,
+    never guessed.  Empty/no digits -> ''."""
+    d = F.regexp_replace(c, "[^0-9]", "")
+    d = F.regexp_replace(d, "^00", "")
+    cc = default_cc
+    full = (
+        F.when(F.length(d) == nsn_len, F.concat(F.lit(cc), d))
+        .otherwise(d)
+    )
+    return F.when(F.length(d) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("+"), full)
+    )
+
+
+def sql_canonical_phone(
+    expr: str, default_cc: str = "1", nsn_len: int = 10
+) -> str:
+    """DuckDB twin of :func:`canonical_phone`."""
+    d = f"regexp_replace(regexp_replace({expr}, '[^0-9]', '', 'g'), '^00', '')"
+    return (
+        f"(CASE WHEN length({d}) = 0 THEN '' "
+        f"WHEN length({d}) = {int(nsn_len)} "
+        f"THEN '+' || '{default_cc}' || {d} "
+        f"ELSE '+' || {d} END)"
+    )

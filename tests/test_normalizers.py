@@ -338,3 +338,77 @@ def test_fold_accents_parity_and_goldens(spark):
         .collect()[0]["n"]
     )
     assert folded_norm == "muller" and raw_norm == "mller"
+
+
+def test_contact_canonicalization(spark):
+    """Email aliasing (googlemail fold, plus-tag strip, gmail dot
+    insensitivity) and E.164-lite phones: all gmail alias spellings
+    collapse to one exact key; twins agree on every vector."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.functions.normalizers import (
+        canonical_email,
+        canonical_phone,
+        sql_canonical_email,
+        sql_canonical_phone,
+    )
+
+    emails = [
+        "John.Doe+news@GoogleMail.com ", "john.doe@gmail.com",
+        "j.o.h.n.doe+a+b@gmail.com", "johndoe@gmail.com",
+        "Jane.Roe@Example.com", "jane.roe+x@example.com",
+        "not-an-email", "", "a.b@c.d@weird",
+    ]
+    phones = [
+        "(415) 555-0199", "+1 415 555 0199", "1-415-555-0199",
+        "0044 20 7946 0958", "5551234", "", "ext. only",
+    ]
+    sdf = spark.createDataFrame([(v,) for v in emails], "s string")
+    got_e = {
+        r["s"]: r["c"]
+        for r in sdf.select(
+            "s", canonical_email(F.col("s")).alias("c")
+        ).collect()
+    }
+    # the four gmail alias spellings collapse to one key
+    assert (
+        got_e["John.Doe+news@GoogleMail.com "]
+        == got_e["john.doe@gmail.com"]
+        == got_e["j.o.h.n.doe+a+b@gmail.com"]
+        == got_e["johndoe@gmail.com"]
+        == "johndoe@gmail.com"
+    )
+    # non-gmail keeps dots but sheds the plus-tag
+    assert got_e["jane.roe+x@example.com"] == "jane.roe@example.com"
+    assert got_e["Jane.Roe@Example.com"] == "jane.roe@example.com"
+    assert got_e["not-an-email"] == "not-an-email"
+    pdf = spark.createDataFrame([(v,) for v in phones], "s string")
+    got_p = {
+        r["s"]: r["c"]
+        for r in pdf.select(
+            "s", canonical_phone(F.col("s")).alias("c")
+        ).collect()
+    }
+    assert (
+        got_p["(415) 555-0199"]
+        == got_p["+1 415 555 0199"]
+        == got_p["1-415-555-0199"]
+        == "+14155550199"
+    )
+    assert got_p["0044 20 7946 0958"] == "+442079460958"
+    assert got_p["5551234"] == "+5551234"  # neither shape: digits kept
+    assert got_p[""] == "" and got_p["ext. only"] == ""
+    con = duckdb.connect()
+    for v in emails:
+        lit = "'" + v.replace("'", "''") + "'"
+        assert (
+            con.execute(f"select {sql_canonical_email(lit)}").fetchone()[0]
+            == got_e[v]
+        ), v
+    for v in phones:
+        lit = "'" + v.replace("'", "''") + "'"
+        assert (
+            con.execute(f"select {sql_canonical_phone(lit)}").fetchone()[0]
+            == got_p[v]
+        ), v
