@@ -938,6 +938,11 @@ def topk_edge_sparsify(
     (cf. Hassanzadeh et al. VLDB'09's sparsification framing), sitting
     between full CC (recall-maximal) and star clustering (depth-one).
 
+    Losslessness rule: mutual top-k keeps EVERY edge of a clique with
+    <= k+1 members (each member ranks its <= k clique edges top-k), so
+    pick k >= max expected true-cluster size - 1; smaller k trades
+    many-copy entities' recall for the degree bound — deliberate.
+
     Input ``scored_edges(doc_id_1, doc_id_2, score_col)`` (one row per
     undirected pair); output the kept pairs, canonical orientation
     ``doc_id_1 < doc_id_2``.  Scale shape: symmetrize (narrow union),

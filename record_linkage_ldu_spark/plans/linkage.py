@@ -72,8 +72,10 @@ class LinkageConfig:
     # (cc.topk_edge_sparsify): bounds per-node degree so one
     # promiscuous record cannot weld thousands of entities into a
     # hairball cluster.  0 = off (default: CC is recall-maximal and
-    # the fixture has no hub pathology); set 2-3 for corpora with
-    # placeholder contact values.
+    # the fixture has no hub pathology).  Pick k >= max expected
+    # true-cluster size - 1 (mutual top-k is lossless on cliques of
+    # <= k+1 members); smaller k deliberately trades many-copy
+    # entities' recall for the degree bound.
     sparsify_top_k: int = 0
 
 

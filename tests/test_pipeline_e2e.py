@@ -235,3 +235,26 @@ def test_pipeline_sparsify_knob(spark):
         (r["doc_id"], r["cluster_id"]) for r in sparse.clusters.collect()
     }
     assert got == want
+
+
+def test_pipeline_all_r4c_knobs_on_keeps_f1(spark, small_gen):
+    """Turning on every r4c knob at once (NYSIIS + nickname key
+    families, mutual top-k sparsified closure) must not break the
+    fixture's F1 gate.  k follows the losslessness rule (mutual top-k
+    keeps every edge of a clique with <= k+1 members; this fixture
+    plants duplicate families up to 8 copies, so k=8) — a SMALL k on
+    clean many-copy entities deliberately trades their recall for the
+    degree bound, which is the knob's documented contract, not a
+    bug."""
+    import dataclasses
+
+    from record_linkage_ldu_spark.plans.linkage import default_blocking
+
+    blk = dataclasses.replace(
+        default_blocking(), use_nysiis=True, use_nickname_soundex=True
+    )
+    res = _run(spark, small_gen, blocking=blk, sparsify_top_k=8)
+    lab = labeled_pairs(small_gen.select("doc_id", "entity_id"))
+    pred = clusters_to_pairs(res.clusters)
+    overall = pairwise_prf(pred, lab)
+    assert overall["f1"] >= 0.99, overall
