@@ -412,3 +412,53 @@ def test_contact_canonicalization(spark):
             con.execute(f"select {sql_canonical_phone(lit)}").fetchone()[0]
             == got_p[v]
         ), v
+
+
+def test_encoder_fuzz_parity_seeded(spark):
+    """Seeded adversarial fuzz: 400 random strings over a hostile
+    alphabet (letters, accents, digits, punctuation, apostrophes,
+    repeats) through NYSIIS, accent folding, and email
+    canonicalization — Spark and DuckDB must agree on every one.
+    Makes the review-time fuzz permanent."""
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from record_linkage_ldu_spark.functions.normalizers import (
+        canonical_email,
+        fold_accents,
+        nysiis,
+        sql_canonical_email,
+        sql_fold_accents,
+        sql_nysiis,
+    )
+
+    rng = random.Random(42)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "àéîõüßæœłđçñ .-'@+_0123456789"
+        "HHWWKNSCHPHEVAY"
+    )
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(400)
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: (r["ny"], r["fa"], r["ce"])
+        for r in sdf.select(
+            "s",
+            nysiis(F.col("s")).alias("ny"),
+            fold_accents(F.col("s")).alias("fa"),
+            canonical_email(F.col("s")).alias("ce"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in set(vals):
+        lit = "'" + v.replace("'", "''") + "'"
+        row = con.execute(
+            f"select {sql_nysiis(lit)}, {sql_fold_accents(lit)}, "
+            f"{sql_canonical_email(lit)}"
+        ).fetchone()
+        assert tuple(row) == got[v], (v, got[v], row)
