@@ -505,6 +505,62 @@ def main(sf_dir: str) -> int:
         and "BatchEvalPython" not in rj_plan,
     )
 
+    # r4c: mutual top-k sparsification — endpoint-keyed window + pair
+    # groupBy only; the pair set is never squared and no Python eval
+    from record_linkage_ldu_spark.operators.cc import topk_edge_sparsify
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 4.0)],
+        "doc_id_1 string, doc_id_2 string, score double",
+    )
+    sp_plan = executed_plan(
+        topk_edge_sparsify(edges, k=2, mode="mutual", pin=False)
+    )
+    check(
+        "topk sparsify: window + agg, no cartesian, no Python",
+        "Window" in sp_plan
+        and "CartesianProduct" not in sp_plan
+        and "BroadcastNestedLoopJoin" not in sp_plan
+        and "BatchEvalPython" not in sp_plan,
+    )
+
+    # r4c: shingle novelty — parquet scan prunes to (doc_id, text);
+    # payload columns (lang/source/n_chars) never leave the scan
+    from record_linkage_ldu_spark.operators.corpus import shingle_novelty
+
+    nov = shingle_novelty(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    nov_expl = optimized_explain(nov)
+    import re as _re
+
+    read_schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", nov_expl)
+    check(
+        "shingle novelty: scan prunes to doc_id+text",
+        bool(read_schemas)
+        and all(
+            set(
+                c.split(":")[0] for c in rs.split(",") if c
+            ) <= {"doc_id", "text"}
+            for rs in read_schemas
+        ),
+        f"schemas={read_schemas}",
+    )
+
+    # r4c: mixture rebalance — probs side broadcast, corpus never
+    # exchanged for the join
+    from record_linkage_ldu_spark.operators.corpus import mixture_rebalance
+
+    mr_plan = executed_plan(
+        mixture_rebalance(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            targets={"en": 0.5, "fr": 0.5},
+        )
+    )
+    check(
+        "mixture rebalance: broadcast probs join, no Python",
+        "BroadcastHashJoin" in mr_plan
+        and "BatchEvalPython" not in mr_plan,
+    )
+
     print(f"\n{len(FAILURES)} failures: {FAILURES}")
     spark.stop()
     return 1 if FAILURES else 0

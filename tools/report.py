@@ -466,6 +466,47 @@ def main(sf_dir: str, out_dir: str) -> None:
         "",
     ]
 
+    # corpus-health pair (r4c): per-doc novelty distribution + the
+    # named flood report — the two views a cleaning pass is tuned
+    # against (both from hash-green driver queries)
+    nov = {
+        r["b"]: r["n"]
+        for r in qs["shingle_novelty"](spark, sf_dir)
+        .where(F.col("novelty").isNotNull())
+        .groupBy(F.round("novelty", 1).alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total_nov = sum(nov.values()) or 1
+    lines += [
+        "## Document novelty (share of corpus-unique shingles per doc)",
+        "",
+        "| novelty bucket | docs | |",
+        "|---|---|---|",
+    ]
+    for b in sorted(nov):
+        frac = nov[b] / total_nov
+        lines.append(f"| {b:.1f} | {nov[b]} | `{_bar(frac)}` |")
+    lines += [
+        "",
+        "a fat low-novelty head = template floods / syndication; the "
+        "flood table below names the content.",
+        "",
+        "## Template floods (top duplicated shingles per language)",
+        "",
+        "| lang | shingle | df |",
+        "|---|---|---|",
+    ]
+    floods = (
+        qs["template_floods"](spark, sf_dir)
+        .where(F.col("rank") <= 3)
+        .orderBy("stratum", "rank")
+        .collect()
+    )
+    for r in floods:
+        lines.append(f"| {r['stratum']} | {r['shingle']} | {r['df']} |")
+    lines.append("")
+
     # the reference's FINAL artifact: the 3-sheet review workbook
     # ('all' / 'verified' / 'not verified', main_ldu_hw.py:468-471),
     # emitted by the stdlib xlsx sink over the same hash-green
