@@ -1375,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # meta-blocking (Papadakis et al.): CBS-weight every candidate by
     # its shared-block count and keep the corroborated pairs
     q["meta_blocking_pairs"] = lambda s, d: _meta_block_pairs(s, d)
+    # WNP (per-node adaptive) meta-blocking — the other published
+    # pruning shape; sparse records keep their weak-but-only evidence
+    q["wnp_pruned_pairs"] = lambda s, d: _wnp_pruned_pairs(s, d)
     # dynamic hierarchical block refinement (McNeill et al. KDD'12
     # workshop): oversized blocks get their key EXTENDED with the next
     # component and re-censused instead of capped/salted/dropped —
@@ -1672,6 +1675,7 @@ _NEWEST_FIRST = [
     "nysiis_keys",
     "nickname_keys",
     "contact_canonical",
+    "wnp_pruned_pairs",
     "mixture_rebalance",
     "sparsified_clusters",
     "shingle_novelty",
@@ -2555,6 +2559,31 @@ def _meta_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared_blocks"))
         .where(F.col("n_shared_blocks") >= 2)
     )
+
+
+def _wnp_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking, WNP variant (Weighted Node Pruning, Papadakis et
+    al. TKDE'14): keep a pair iff its CBS weight reaches the AVERAGE
+    weight of either endpoint's neighborhood — the per-node adaptive
+    threshold, vs `meta_blocking_pairs`' global CBS >= 2 (WEP).  A
+    sparse record whose best evidence is 1 shared block keeps its
+    pairs (avg = 1); a dense record sheds its weak tail.  Together the
+    two queries cover the pruning family's both published shapes.
+
+    Scale shape: the same per-key enumeration the candidate join
+    already does, ONE pair groupBy for CBS, one narrow symmetrize +
+    node groupBy for the averages (node-keyed, no pair join), two
+    broadcast-friendly joins back onto the pair set."""
+    from record_linkage_ldu_spark.operators.blocking import (
+        candidate_pairs,
+        wnp_prune,
+    )
+
+    per_key = candidate_pairs(_capped_keys(spark, sf_dir), dedup=False)
+    cbs = per_key.groupBy("doc_id_1", "doc_id_2").agg(
+        F.count("*").cast("long").alias("n_shared_blocks")
+    )
+    return wnp_prune(cbs)
 
 
 def _token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4889,6 +4918,31 @@ def oracle_sql() -> dict[str, str]:
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """
+    sql["wnp_pruned_pairs"] = f"""
+        {_sql_chain("keys")},
+        cbs AS MATERIALIZED (
+            SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                   CAST(count(*) AS BIGINT) AS n_shared_blocks
+            FROM keys_capped a JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT doc_id_1 AS node, n_shared_blocks FROM cbs
+            UNION ALL
+            SELECT doc_id_2 AS node, n_shared_blocks FROM cbs
+        ),
+        node_avg AS MATERIALIZED (
+            SELECT node, avg(n_shared_blocks) AS avg_w
+            FROM sym GROUP BY node
+        )
+        SELECT c.doc_id_1, c.doc_id_2, c.n_shared_blocks
+        FROM cbs c
+        JOIN node_avg a1 ON c.doc_id_1 = a1.node
+        JOIN node_avg a2 ON c.doc_id_2 = a2.node
+        WHERE c.n_shared_blocks >= a1.avg_w
+           OR c.n_shared_blocks >= a2.avg_w
     """
     sql["progressive_recall_curve"] = f"""
         {_sql_chain("keys")},

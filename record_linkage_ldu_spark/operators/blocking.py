@@ -1869,3 +1869,40 @@ def sql_stringmap_block_keys(
             SELECT doc_id, '{prefix}' || cellkey AS block_key FROM smkey
             WHERE cellkey IN (SELECT cellkey FROM smsel)
         )"""
+
+
+def wnp_prune(cbs: DataFrame, weight_col: str = "n_shared_blocks") -> DataFrame:
+    """Weighted Node Pruning (Papadakis et al., TKDE'14) over a
+    CBS-weighted pair graph ``cbs(doc_id_1, doc_id_2, weight_col)``:
+    keep a pair iff its weight reaches the AVERAGE weight of either
+    endpoint's neighborhood.  The per-node adaptive complement of the
+    global-threshold WEP cut — a sparse record whose only evidence is
+    weight 1 keeps its pairs (its avg is 1), a dense record sheds its
+    weak tail.
+
+    Scale shape: one narrow symmetrize + node-keyed groupBy for the
+    averages, two joins back onto the pair set keyed on the
+    endpoints — no pair-level blowup."""
+    sym = cbs.select(
+        F.col("doc_id_1").alias("node"), weight_col
+    ).unionByName(cbs.select(F.col("doc_id_2").alias("node"), weight_col))
+    node_avg = sym.groupBy("node").agg(F.avg(weight_col).alias("_avg_w"))
+    return (
+        cbs.join(
+            node_avg.select(
+                F.col("node").alias("doc_id_1"), F.col("_avg_w").alias("_a1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            node_avg.select(
+                F.col("node").alias("doc_id_2"), F.col("_avg_w").alias("_a2")
+            ),
+            "doc_id_2",
+        )
+        .where(
+            (F.col(weight_col) >= F.col("_a1"))
+            | (F.col(weight_col) >= F.col("_a2"))
+        )
+        .select("doc_id_1", "doc_id_2", weight_col)
+    )

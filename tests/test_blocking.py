@@ -723,3 +723,42 @@ def test_nysiis_and_nickname_key_families(spark):
     assert nk["d1"] == nk["d2"]
     sx = {d: {k for k in ks if k.startswith("sx:")} for d, ks in by_doc.items()}
     assert sx["d1"] != sx["d2"]
+
+
+def test_wnp_prune_adaptive_threshold(spark):
+    """WNP semantics: a dense node sheds its below-average pairs, a
+    sparse node's only (weak) pair survives through ITS endpoint's
+    average even when the other endpoint is dense."""
+    from record_linkage_ldu_spark.operators.blocking import wnp_prune
+
+    # hub h: weights 5,5,1 (avg 11/3≈3.67) — the weight-1 pair dies
+    # UNLESS its other endpoint is sparse (s's avg = 1 keeps it)
+    cbs = spark.createDataFrame(
+        [
+            ("h", "a", 5), ("h", "b", 5), ("h", "s", 1),
+            ("x", "y", 2),
+        ],
+        "doc_id_1 string, doc_id_2 string, n_shared_blocks long",
+    )
+    kept = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in wnp_prune(cbs).collect()
+    }
+    # (h,s): h's avg 3.67 > 1 but s's avg is 1 -> kept via s
+    assert ("h", "s") in kept
+    assert ("h", "a") in kept and ("h", "b") in kept
+    assert ("x", "y") in kept  # both avgs are 2
+    # now make s dense with strong pairs: (h,s) loses both lifelines
+    cbs2 = spark.createDataFrame(
+        [
+            ("h", "a", 5), ("h", "b", 5), ("h", "s", 1),
+            ("s", "t", 4), ("s", "u", 4),
+        ],
+        "doc_id_1 string, doc_id_2 string, n_shared_blocks long",
+    )
+    kept2 = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in wnp_prune(cbs2).collect()
+    }
+    assert ("h", "s") not in kept2
+    assert ("s", "t") in kept2 and ("s", "u") in kept2
