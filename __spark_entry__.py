@@ -1378,6 +1378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WNP (per-node adaptive) meta-blocking — the other published
     # pruning shape; sparse records keep their weak-but-only evidence
     q["wnp_pruned_pairs"] = lambda s, d: _wnp_pruned_pairs(s, d)
+    # null-model calibration: the score distribution of hash-seeded
+    # RANDOM pairs — shows the rule cutoffs sitting above the null
+    # mass, as data
+    q["null_score_histogram"] = lambda s, d: _null_score_histogram(s, d)
     # dynamic hierarchical block refinement (McNeill et al. KDD'12
     # workshop): oversized blocks get their key EXTENDED with the next
     # component and re-censused instead of capped/salted/dropped —
@@ -1676,6 +1680,7 @@ _NEWEST_FIRST = [
     "nickname_keys",
     "contact_canonical",
     "wnp_pruned_pairs",
+    "null_score_histogram",
     "mixture_rebalance",
     "sparsified_clusters",
     "shingle_novelty",
@@ -2584,6 +2589,45 @@ def _wnp_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_shared_blocks")
     )
     return wnp_prune(cbs)
+
+
+def _null_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-model score distribution: score DETERMINISTIC random pairs
+    (adjacent ranks in md5-shuffled doc order — a hash-seeded
+    derangement, no blocking bias) and histogram the combined score.
+    The calibration view the reference picks thresholds WITHOUT: the
+    match rules' cutoffs (4.9 / 3.4) should sit far above the null
+    mass, and this query shows the separation as data.
+
+    Scale shape: the distributed sample-quantile rank (global_ranks —
+    no single-partition window), one self-join on the pair index
+    (equi-join keyed on floor(rank/2)), the native scoring projection,
+    one tiny histogram groupBy.  n/2 pairs total — O(corpus), not
+    O(pairs)."""
+    from record_linkage_ldu_spark.operators.blocking import global_ranks
+
+    records = _records(spark, sf_dir)
+    ranks = global_ranks(
+        records.select("doc_id"),
+        F.md5(F.concat(F.lit("rk:"), F.col("doc_id"))),
+        materialize=True,
+    )
+    pid = F.floor((F.col("_rank") - 1) / 2).alias("pid")
+    a = ranks.where(F.col("_rank") % 2 == 1).select(
+        pid, F.col("doc_id").alias("_da")
+    )
+    b = ranks.where(F.col("_rank") % 2 == 0).select(
+        pid, F.col("doc_id").alias("_db")
+    )
+    pairs = a.join(b, "pid").select(
+        F.least("_da", "_db").alias("doc_id_1"),
+        F.greatest("_da", "_db").alias("doc_id_2"),
+    )
+    scored = _native_scores(records, pairs)
+    return (
+        scored.groupBy(F.round(F.col("score"), 1).alias("score_bin"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
 
 
 def _token_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4918,6 +4962,47 @@ def oracle_sql() -> dict[str, str]:
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """
+    _null_sims = ",\n               ".join(
+        sql_lev_sim(f'n1."{f}"', f'n2."{f}"') + f' AS "{f}"'
+        for f in _PAIR_FIELDS
+    )
+    _null_total = " + ".join(f'"{f}"' for f in _PAIR_FIELDS)
+    _null_score = " + ".join(
+        f'("{f}" * {SCORE_MULTIPLIERS[f]!r} * '
+        f'(CASE WHEN "{f}" >= {SCORE_THRESHOLDS[f]!r} THEN 1.0 ELSE 0.0 END))'
+        for f in SELF_SCORE_FIELDS
+    )
+    sql["null_score_histogram"] = f"""
+        {_sql_chain("norm")},
+        ranked AS MATERIALIZED (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('rk:' || doc_id), doc_id
+                   ) AS r
+            FROM norm
+        ),
+        prs AS (
+            SELECT least(a.doc_id, b.doc_id) AS doc_id_1,
+                   greatest(a.doc_id, b.doc_id) AS doc_id_2
+            FROM ranked a JOIN ranked b
+              ON (a.r - 1) // 2 = (b.r - 1) // 2
+             AND a.r % 2 = 1 AND b.r % 2 = 0
+        ),
+        nsims AS (
+            SELECT p.doc_id_1, p.doc_id_2,
+               {_null_sims},
+               CAST(0.0 AS DOUBLE) AS fax
+            FROM prs p
+            JOIN norm n1 ON p.doc_id_1 = n1.doc_id
+            JOIN norm n2 ON p.doc_id_2 = n2.doc_id
+        ),
+        nscored AS (
+            SELECT *, {_null_score} AS score FROM nsims
+        )
+        SELECT round(score, 1) AS score_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM nscored GROUP BY 1
     """
     sql["wnp_pruned_pairs"] = f"""
         {_sql_chain("keys")},

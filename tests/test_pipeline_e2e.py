@@ -258,3 +258,24 @@ def test_pipeline_all_r4c_knobs_on_keeps_f1(spark, small_gen):
     pred = clusters_to_pairs(res.clusters)
     overall = pairwise_prf(pred, lab)
     assert overall["f1"] >= 0.99, overall
+
+
+def test_null_score_model_separates_from_cutoffs(spark):
+    """The calibration claim as data: hash-seeded random pairs score
+    far below the rule cutoffs — (virtually) all null mass sits under
+    the lowest threshold (3.4), and nothing reaches the hard 4.9."""
+    import sys, os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as E
+
+    rows = E.queries()["null_score_histogram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    assert total > 100
+    below = sum(r["n_pairs"] for r in rows if r["score_bin"] < 3.4)
+    assert below / total >= 0.99, (below, total)
+    assert not [r for r in rows if r["score_bin"] >= 4.9]
