@@ -1382,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # RANDOM pairs — shows the rule cutoffs sitting above the null
     # mass, as data
     q["null_score_histogram"] = lambda s, d: _null_score_histogram(s, d)
+    # per-pair blocking provenance: which key families compared it
+    q["pair_provenance"] = lambda s, d: _pair_provenance(s, d)
     # dynamic hierarchical block refinement (McNeill et al. KDD'12
     # workshop): oversized blocks get their key EXTENDED with the next
     # component and re-censused instead of capped/salted/dropped —
@@ -1681,6 +1683,7 @@ _NEWEST_FIRST = [
     "contact_canonical",
     "wnp_pruned_pairs",
     "null_score_histogram",
+    "pair_provenance",
     "mixture_rebalance",
     "sparsified_clusters",
     "shingle_novelty",
@@ -2589,6 +2592,43 @@ def _wnp_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_shared_blocks")
     )
     return wnp_prune(cbs)
+
+
+def _pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair blocking provenance: WHICH key families (sx:/sn:/ph:/
+    em:/zp:) generated each candidate pair, and how many corroborate
+    it.  The explain-side twin of `match_explanations` (that one says
+    why a pair SCORED as a match; this says why it was ever COMPARED) —
+    and the observability a blocking-family change is judged against:
+    a family whose pairs are all single-provenance is carrying unique
+    recall, one whose pairs are all corroborated is redundant.
+
+    Scale shape: the same per-key equi-join candidate generation runs,
+    carrying the key; one pair-keyed groupBy collects the distinct
+    family prefixes — no extra join over the standard pair pass."""
+    keys = _capped_keys(spark, sf_dir).select(
+        "doc_id",
+        "block_key",
+        F.substring_index(F.col("block_key"), ":", 1).alias("_fam"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a._fam").alias("_fam"),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("_fam")), ","
+            ).alias("families"),
+            F.size(F.collect_set("_fam")).cast("long").alias("n_families"),
+        )
+    )
 
 
 def _null_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5003,6 +5043,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT round(score, 1) AS score_bin,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM nscored GROUP BY 1
+    """
+    sql["pair_provenance"] = f"""
+        {_sql_chain("keys")},
+        fams AS (
+            SELECT doc_id, block_key,
+                   string_split(block_key, ':')[1] AS _fam
+            FROM keys_capped
+        )
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               string_agg(DISTINCT a._fam, ',' ORDER BY a._fam)
+                   AS families,
+               CAST(count(DISTINCT a._fam) AS BIGINT) AS n_families
+        FROM fams a JOIN fams b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
     sql["wnp_pruned_pairs"] = f"""
         {_sql_chain("keys")},
