@@ -348,6 +348,16 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
 
     timed("retrieval_quality", _retrieval)
 
+    # r4c corpus-health + pruning family: per-doc novelty, the named
+    # flood report, WNP adaptive candidate pruning, pair provenance
+    def _r4c():
+        _force(qs["shingle_novelty"](spark, sf_dir))
+        _force(qs["template_floods"](spark, sf_dir))
+        _force(qs["wnp_pruned_pairs"](spark, sf_dir))
+        _force(qs["pair_provenance"](spark, sf_dir))
+
+    timed("r4c_ops", _r4c)
+
     # production-hash note (VERDICT r3 #8): the oracle-parity md5 path
     # vs the xxhash64 production knob, same operator + input, measured
     # side by side (the headline minhash_dedup row above is md5).
