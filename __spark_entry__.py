@@ -5007,7 +5007,6 @@ def oracle_sql() -> dict[str, str]:
         sql_lev_sim(f'n1."{f}"', f'n2."{f}"') + f' AS "{f}"'
         for f in _PAIR_FIELDS
     )
-    _null_total = " + ".join(f'"{f}"' for f in _PAIR_FIELDS)
     _null_score = " + ".join(
         f'("{f}" * {SCORE_MULTIPLIERS[f]!r} * '
         f'(CASE WHEN "{f}" >= {SCORE_THRESHOLDS[f]!r} THEN 1.0 ELSE 0.0 END))'

@@ -591,8 +591,12 @@ def canonical_email(c: Column) -> Column:
 def sql_canonical_email(expr: str) -> str:
     """DuckDB twin of :func:`canonical_email` (same pass chain)."""
     e = f"lower(trim({expr}))"
+    # the anchored ($) passes can match at most once, but the
+    # plus-strip is unanchored and Spark's regexp_replace is ALWAYS
+    # global (Java replaceAll) — DuckDB needs the explicit 'g' or a
+    # multi-@ string diverges between engines
     e = f"regexp_replace({e}, '@googlemail\\.com$', '@gmail.com')"
-    e = f"regexp_replace({e}, '\\+[^@]*@', '@')"
+    e = f"regexp_replace({e}, '\\+[^@]*@', '@', 'g')"
     for dom in _DOT_INSENSITIVE_DOMAINS:
         d = dom.replace(".", "\\.")
         for _ in range(_EMAIL_DOT_PASSES):

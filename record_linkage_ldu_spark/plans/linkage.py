@@ -77,6 +77,12 @@ class LinkageConfig:
     # <= k+1 members); smaller k deliberately trades many-copy
     # entities' recall for the degree bound.
     sparsify_top_k: int = 0
+    # fold Latin diacritics to ASCII BEFORE the normalizer chains
+    # (normalizers strip non-[a-z0-9], so an unfolded 'müller'
+    # collapses to 'mller' and misses both the exact-name rule and the
+    # right phonetic block).  Default off: the reference corpus is
+    # unaccented and the fold costs one extra projection pass.
+    fold_accents: bool = False
 
 
 _FAMILIES = {
@@ -94,7 +100,15 @@ def records_view(documents: DataFrame, cfg: LinkageConfig | None = None) -> Data
     """documents(doc_id, spans) -> normalized canonical record columns.
     One narrow projection chain end-to-end (scan -> project)."""
     cfg = cfg or LinkageConfig()
-    wide = normalize_fields(extract_fields(documents))
+    wide = extract_fields(documents)
+    if cfg.fold_accents:
+        from ..functions.normalizers import fold_accents as _fold
+        from ..operators.spans import SPAN_FIELD_KINDS as _KINDS
+
+        wide = wide.withColumns(
+            {k: _fold(F.col(k)) for k in _KINDS if k in wide.columns}
+        )
+    wide = normalize_fields(wide)
     cols = [F.col("doc_id"), F.col("source"), F.col("spans")]
     for fam in SELF_COMPARE_FIELDS:
         members = _FAMILIES.get(fam, (fam,))
@@ -221,12 +235,17 @@ class LinkagePipeline:
         if cfg.sparsify_top_k > 0:
             from ..operators.cc import topk_edge_sparsify
 
-            # matches is already pinned above (localCheckpoint/stage)
+            # matches is pinned when store-backed (_stage scan) or
+            # localCheckpoint'd (materialize=True); only the
+            # no-store/no-materialize combination leaves it lazy, and
+            # there the sparsifier MUST pin — its symmetrize union
+            # references matches twice, which would re-run the whole
+            # scoring chain per arm
             cc_edges = topk_edge_sparsify(
                 matches.select("doc_id_1", "doc_id_2", "score"),
                 k=cfg.sparsify_top_k,
                 mode="mutual",
-                pin=False,
+                pin=self.store is None and not cfg.materialize,
             )
         clusters = connected_components(
             cc_edges,

@@ -359,6 +359,10 @@ def test_contact_canonicalization(spark):
         "j.o.h.n.doe+a+b@gmail.com", "johndoe@gmail.com",
         "Jane.Roe@Example.com", "jane.roe+x@example.com",
         "not-an-email", "", "a.b@c.d@weird",
+        # multi-@ multi-plus: Spark's regexp_replace is always global;
+        # the DuckDB twin needs its explicit 'g' (review-caught parity
+        # break — both plus segments must strip)
+        "a+b@x+c@gmail.com", "++@@++",
     ]
     phones = [
         "(415) 555-0199", "+1 415 555 0199", "1-415-555-0199",

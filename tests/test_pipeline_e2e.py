@@ -279,3 +279,39 @@ def test_null_score_model_separates_from_cutoffs(spark):
     below = sum(r["n_pairs"] for r in rows if r["score_bin"] < 3.4)
     assert below / total >= 0.99, (below, total)
     assert not [r for r in rows if r["score_bin"] >= 4.9]
+
+
+def test_fold_accents_knob_recovers_accented_match(spark):
+    """LinkageConfig(fold_accents=True): 'Müller GmbH' and 'Muller
+    GmbH' match via the exact-name rule after folding; without the
+    knob the normalizers strip the accented codepoint ('mller') and
+    the pair is missed — the documented recall failure the knob
+    exists for."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [("name", "Müller GmbH", None, 0)],
+            ),
+            (
+                "d2",
+                [("name", "Muller GmbH", None, 0)],
+            ),
+        ],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    base = LinkagePipeline(spark, LinkageConfig()).run(docs)
+    assert base.matches.count() == 0
+    folded = LinkagePipeline(
+        spark, LinkageConfig(fold_accents=True)
+    ).run(docs)
+    got = [
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in folded.matches.select("doc_id_1", "doc_id_2").collect()
+    ]
+    assert got == [("d1", "d2")]
+    # clusters merge only under the fold
+    n_base = base.clusters.select("cluster_id").distinct().count()
+    n_fold = folded.clusters.select("cluster_id").distinct().count()
+    assert n_base == 2 and n_fold == 1

@@ -504,7 +504,8 @@ def main(sf_dir: str, out_dir: str) -> None:
         .collect()
     )
     for r in floods:
-        lines.append(f"| {r['stratum']} | {r['shingle']} | {r['df']} |")
+        shingle = str(r["shingle"]).replace("|", "\\|")
+        lines.append(f"| {r['stratum']} | {shingle} | {r['df']} |")
     lines.append("")
 
     # the reference's FINAL artifact: the 3-sheet review workbook
