@@ -986,6 +986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
     )
+    # the upsampling twin: epochs-per-source with per-doc copy
+    # ordinals (scarce strata repeat, total output ~N shaped as
+    # targets)
+    q["mixture_epochs"] = lambda s, d: corpus.mixture_epochs(
+        _t(s, d, "documents"),
+        targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
+    )
     # per-doc novelty: share of the doc's shingles unique to it —
     # the document-level redundancy dial (template floods score low
     # even when no single pair crosses a near-dup threshold)
@@ -1685,6 +1692,7 @@ _NEWEST_FIRST = [
     "null_score_histogram",
     "pair_provenance",
     "mixture_rebalance",
+    "mixture_epochs",
     "sparsified_clusters",
     "shingle_novelty",
     "template_floods",
@@ -3720,6 +3728,10 @@ def oracle_sql() -> dict[str, str]:
     sql["shingle_novelty"] = corpus.sql_shingle_novelty("documents")
     sql["template_floods"] = corpus.sql_template_floods("documents")
     sql["mixture_rebalance"] = corpus.sql_mixture_rebalance(
+        "documents",
+        targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
+    )
+    sql["mixture_epochs"] = corpus.sql_mixture_epochs(
         "documents",
         targets={"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2},
     )

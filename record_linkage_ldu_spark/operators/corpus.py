@@ -2876,3 +2876,117 @@ def sql_template_floods(
         )
         WHERE rank <= {int(top_n)}
     """
+
+
+def mixture_epochs(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Target mixture WITH upsampling: emit each doc ``floor(r)`` or
+    ``ceil(r)`` times where ``r = target_share * N / n_stratum`` — the
+    epochs-per-source knob of a pretraining mix (a scarce in-target
+    stratum repeats across epochs; an over-represented one
+    downsamples), keeping the TOTAL output at ~N rows shaped exactly
+    like ``targets``.  :func:`mixture_rebalance` is the pure-
+    downsampling variant (keep probs <= 1); this one duplicates, so
+    the output carries a ``copy`` ordinal per emitted duplicate (the
+    training-order shuffle treats copies as distinct rows).
+
+    Fractional epochs are resolved per-doc by the deterministic hash
+    draw: copies = floor(r) + (draw < frac(r)), so expectation is
+    exactly r with every decision a pure function of (seed, id).
+    Strata absent from ``targets`` emit nothing.
+
+    Scale shape: identical to ``mixture_rebalance`` (tiny counts
+    groupBy + one window + broadcast join) plus one narrow
+    explode(sequence) — output rows ~N, never quadratic.
+    """
+    from pyspark.sql.window import Window as W
+
+    target: Column = F.lit(0.0)
+    for key, t in sorted(targets.items()):
+        target = F.when(F.col(strata_col) == key, F.lit(float(t))).otherwise(
+            target
+        )
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    w = W.partitionBy()
+    probs = (
+        counts.withColumn(
+            "_r", target * F.sum("_n").over(w) / F.col("_n")
+        )
+        .where(F.col("_r") > 0)
+        .select(strata_col, "_r")
+    )
+    draw = _uniform_draw(F.col(id_col), seed, hash_fn)
+    with_copies = (
+        df.join(F.broadcast(probs), strata_col)
+        .withColumn("_draw", draw)
+        .withColumn(
+            "_copies",
+            (
+                F.floor(F.col("_r"))
+                + F.when(
+                    F.col("_draw") < F.col("_r") - F.floor(F.col("_r")), 1
+                ).otherwise(0)
+            ).cast("long"),
+        )
+        .where(F.col("_copies") >= 1)
+    )
+    return with_copies.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+        ).alias("copy"),
+        F.round(F.col("_r"), 6).alias("epochs"),
+    )
+
+
+def sql_mixture_epochs(
+    table: str,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`mixture_epochs` (same expression shapes,
+    generate_series(1, 0) is naturally empty)."""
+    target = "0.0"
+    for key, t in sorted(targets.items()):
+        target = (
+            f"CASE WHEN {strata_col} = '{key}' THEN {float(t)} "
+            f"ELSE {target} END"
+        )
+    draw = _sql_uniform_draw(id_expr=id_col, seed=seed)
+    return f"""
+        WITH counts AS (
+            SELECT {strata_col}, CAST(count(*) AS DOUBLE) AS _n
+            FROM {table} GROUP BY {strata_col}
+        ),
+        probs AS (
+            SELECT {strata_col}, _r FROM (
+                SELECT {strata_col},
+                       ({target}) * sum(_n) OVER () / _n AS _r
+                FROM counts
+            ) WHERE _r > 0
+        ),
+        wc AS (
+            SELECT d.{id_col} AS doc_id,
+                   d.{strata_col} AS stratum,
+                   p._r,
+                   CAST(floor(p._r) + (CASE WHEN {draw} < p._r - floor(p._r)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS _copies
+            FROM {table} d JOIN probs p USING ({strata_col})
+        )
+        SELECT doc_id, stratum,
+               CAST(unnest(range(1, _copies + 1)) AS BIGINT) AS copy,
+               round(_r, 6) AS epochs
+        FROM wc
+        WHERE _copies >= 1
+    """

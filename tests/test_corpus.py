@@ -1129,3 +1129,43 @@ def test_template_floods_ranks_duplicated_shingles(spark):
     assert not [r for r in out if r["stratum"] == "fr"]
     # ranks are 1..k with no gaps inside a stratum
     assert sorted(r["rank"] for r in en) == list(range(1, len(en) + 1))
+
+
+def test_mixture_epochs_upsampling_shape(spark):
+    """Epochs-per-source: output totals ~N shaped as targets, the
+    scarce-vs-target stratum actually REPEATS docs (copy >= 2),
+    untargeted strata vanish, and copies per doc differ by at most 1
+    from r's floor/ceil; repartition-invariant."""
+    from collections import Counter
+
+    from record_linkage_ldu_spark.operators.corpus import mixture_epochs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    targets = {"en": 0.3, "fr": 0.25, "de": 0.25, "es": 0.2}
+    out = mixture_epochs(docs, targets=targets).cache()
+    rows = out.collect()
+    n_in = docs.count()
+    n_out = len(rows)
+    # totals within sampling noise of N
+    assert abs(n_out - n_in) / n_in < 0.15, (n_out, n_in)
+    shares = Counter(r["stratum"] for r in rows)
+    assert "zh" not in shares
+    for g, t in targets.items():
+        assert abs(shares[g] / n_out - t) / t < 0.35, (g, shares[g] / n_out)
+    # fr is scarce vs target (64 docs, target 0.25 of ~500) -> epochs
+    # ~2: its docs repeat
+    fr_copies = Counter(
+        r["doc_id"] for r in rows if r["stratum"] == "fr"
+    )
+    assert max(fr_copies.values()) >= 2
+    # per-doc copies = floor(r) or ceil(r)
+    by_doc = Counter((r["doc_id"], r["stratum"]) for r in rows)
+    eps_by_stratum = {r["stratum"]: r["epochs"] for r in rows}
+    import math
+
+    for (doc, g), c in by_doc.items():
+        eps = eps_by_stratum[g]
+        assert c in (math.floor(eps), math.ceil(eps)), (doc, g, c, eps)
+    # determinism under repartitioning
+    out2 = mixture_epochs(docs.repartition(17), targets=targets)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
