@@ -1073,3 +1073,57 @@ def hypertable_rollup_stream(
             "vmax",
         )
     )
+
+
+def store_stats(spark, store_dir: str) -> dict:
+    """Operational snapshot of an incremental store: per-table row and
+    file counts, live vs tombstoned docs, edge count, entity-id
+    snapshot depth, and the last commit manifest's status — the
+    at-a-glance view an operator checks before/after a batch,
+    deletion, or compaction (file counts growing much faster than rows
+    = compaction overdue; a non-'complete' manifest = the next run
+    will roll back).
+
+    Read-only: no recovery, no mutation — safe to call concurrently
+    with nothing else guaranteed."""
+    out: dict = {"store_dir": store_dir, "tables": {}}
+    for name in _STORE_APPEND_TABLES + ("census", "clusters"):
+        path = os.path.join(store_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = _data_files(path)
+        if not files:
+            continue
+        df = spark.read.parquet(path)
+        out["tables"][name] = {
+            "rows": df.count(),
+            "files": len(files),
+        }
+    tomb = _read_tombstones(spark, store_dir)
+    n_tomb = tomb.count() if tomb is not None else 0
+    out["tombstoned_docs"] = n_tomb
+    if "records" in out["tables"]:
+        live = _anti_tombstones(
+            spark.read.parquet(os.path.join(store_dir, "records")),
+            tomb,
+            "doc_id",
+        ).count()
+        out["live_docs"] = live
+    ids_path = os.path.join(store_dir, "entity_ids")
+    if os.path.isdir(ids_path) and _data_files(ids_path):
+        ids = spark.read.parquet(ids_path)
+        out["entity_id_seqs"] = (
+            ids.select("seq").distinct().count()
+        )
+        cur = ids.agg(F.max("seq")).collect()[0][0]
+        out["entities"] = (
+            ids.where(F.col("seq") == cur)
+            .select("stable_id")
+            .distinct()
+            .count()
+        )
+    mpath = os.path.join(store_dir, BATCH_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            out["last_commit_status"] = json.load(f).get("status")
+    return out

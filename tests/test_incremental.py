@@ -703,3 +703,33 @@ def test_delete_documents_tombstone_semantics(spark, tmp_path):
         for r in ids_tbl.where(F.col("seq") == cur).collect()
     }
     assert victim not in cur_ids and partner in cur_ids
+
+
+def test_store_stats_snapshot(spark, tmp_path):
+    """store_stats reflects ingest, deletion, and commit state —
+    read-only (a second call changes nothing)."""
+    from record_linkage_ldu_spark.streaming.incremental import (
+        delete_documents,
+        store_stats,
+    )
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    store = str(tmp_path / "store")
+    incremental_linkage_batch(spark, docs, store)
+    s1 = store_stats(spark, store)
+    assert s1["last_commit_status"] == "complete"
+    assert s1["tombstoned_docs"] == 0
+    assert s1["live_docs"] == docs.count()
+    assert s1["tables"]["records"]["rows"] == docs.count()
+    assert s1["entity_id_seqs"] == 1 and s1["entities"] > 0
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][
+        "doc_id"
+    ]
+    delete_documents(spark, store, [victim])
+    s2 = store_stats(spark, store)
+    assert s2["tombstoned_docs"] == 1
+    assert s2["live_docs"] == docs.count() - 1
+    # records table still physically holds the row until compaction
+    assert s2["tables"]["records"]["rows"] == docs.count()
+    assert s2["entity_id_seqs"] == 2
+    assert store_stats(spark, store) == s2
