@@ -105,9 +105,11 @@ from record_linkage_ldu_spark.operators.scoring import (
     value_specific_odds,
 )
 from record_linkage_ldu_spark.operators.spans import (
+    benford_profile,
     profile_dependencies,
     profile_fields,
     span_fingerprint,
+    sql_benford_profile,
     sql_profile_dependencies,
 )
 from record_linkage_ldu_spark.plans.linkage import (
@@ -1587,6 +1589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_records"] = lambda s, d: profile_fields(
         _records(s, d), _PAIR_FIELDS
     )
+    # Benford first-digit screen over the digit-bearing fields — the
+    # fabricated-data detector from the fraud/data-quality literature
+    q["benford_profile"] = lambda s, d: benford_profile(
+        _records(s, d), ("phone", "zip")
+    )
     # privacy-preserving linkage (Schnell et al. 2009): CLK bloom
     # encodings of the name q-grams + Dice over the candidate pairs —
     # the protocol when the two sources may not see each other's raw
@@ -1693,6 +1700,7 @@ _NEWEST_FIRST = [
     "pair_provenance",
     "mixture_rebalance",
     "mixture_epochs",
+    "benford_profile",
     "sparsified_clusters",
     "shingle_novelty",
     "template_floods",
@@ -4242,6 +4250,10 @@ def oracle_sql() -> dict[str, str]:
     _prof_melt = "\n            UNION ALL ".join(
         f"SELECT '{f}' AS field, \"{f}\" AS value FROM norm"
         for f in _PAIR_FIELDS
+    )
+    sql["benford_profile"] = sql_benford_profile(
+        _sql_chain("norm") + " SELECT * FROM norm",
+        ("phone", "zip"),
     )
     sql["profile_records"] = f"""
         {_sql_chain("norm")},

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -299,4 +300,138 @@ def sql_profile_dependencies(
                    AS holds
         FROM groups
         GROUP BY 1
+    """
+
+
+# Benford first-digit expectation, injected as LITERALS in both
+# engines (log10(1 + 1/d) precomputed here — no cross-engine libm in
+# the query plan, so the doubles agree by construction)
+BENFORD_EXPECTED = {
+    str(d): round(__import__("math").log10(1.0 + 1.0 / d), 9)
+    for d in range(1, 10)
+}
+
+
+def benford_profile(
+    records: DataFrame, fields: tuple[str, ...]
+) -> DataFrame:
+    """First-significant-digit distribution per numeric-ish field vs
+    Benford's law, with the per-field total-variation distance — the
+    fabricated-data screen from the fraud/data-quality literature
+    (invented phone/zip/id values cluster on convenient digits;
+    organically grown ones approximate Benford).  A field whose TVD
+    spikes between snapshots changed its generating process — worth a
+    look before it poisons match weights.
+
+    Output: one row per (field, digit 1-9) — ``n``, ``share``,
+    ``expected``, ``tvd`` (the field's TVD repeated on each of its
+    rows; absent digits carry n=0 and still contribute to TVD).
+    Scale shape: one melt projection + one (field, digit) groupBy
+    (81 cells max), a literal 9x|fields| grid join, two tiny windows.
+    """
+    spark = records.sparkSession
+    first = lambda c: F.regexp_extract(  # noqa: E731
+        F.regexp_replace(c, "[^0-9]", ""), "^0*([1-9])", 1
+    )
+    melted = records.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        first(F.col(f)).alias("digit"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("_m")
+    ).select("_m.field", "_m.digit")
+    counts = (
+        melted.where(F.col("digit") != "")
+        .groupBy("field", "digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(f, str(d)) for f in fields for d in range(1, 10)],
+        "field string, digit string",
+    )
+    expected = F.lit(None).cast("double")
+    for d, e in sorted(BENFORD_EXPECTED.items()):
+        expected = F.when(F.col("digit") == d, F.lit(e)).otherwise(expected)
+    w = Window.partitionBy("field")
+    full = (
+        grid.join(counts, ["field", "digit"], "left")
+        .select(
+            "field",
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+        .withColumn("_tot", F.sum("n").over(w))
+        .withColumn(
+            "share",
+            F.when(F.col("_tot") > 0, F.col("n") / F.col("_tot")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("expected", expected)
+    )
+    tvd = F.sum(F.abs(F.col("share") - F.col("expected"))).over(w) / 2
+    return full.select(
+        "field",
+        "digit",
+        "n",
+        F.round("share", 6).alias("share"),
+        F.round("expected", 6).alias("expected"),
+        F.round(tvd, 6).alias("tvd"),
+    )
+
+
+def sql_benford_profile(
+    records_select: str, fields: tuple[str, ...]
+) -> str:
+    """DuckDB twin of :func:`benford_profile` (same literal expected
+    values, same melt/grid/window shapes)."""
+    melts = "\n            UNION ALL\n            ".join(
+        f"SELECT '{f}' AS field, "
+        f"regexp_extract(regexp_replace(\"{f}\", '[^0-9]', '', 'g'), "
+        f"'^0*([1-9])', 1) AS digit FROM recs"
+        for f in fields
+    )
+    grid = ", ".join(
+        f"('{f}', '{d}')" for f in fields for d in range(1, 10)
+    )
+    expected = "CAST(NULL AS DOUBLE)"
+    for d, e in sorted(BENFORD_EXPECTED.items()):
+        expected = (
+            f"CASE WHEN digit = '{d}' THEN {e!r} ELSE {expected} END"
+        )
+    return f"""
+        WITH recs AS MATERIALIZED ({records_select}),
+        melted AS (
+            {melts}
+        ),
+        counts AS (
+            SELECT field, digit, CAST(count(*) AS BIGINT) AS n
+            FROM melted WHERE digit <> '' GROUP BY field, digit
+        ),
+        grid(field, digit) AS (VALUES {grid}),
+        full_grid AS (
+            SELECT g.field, g.digit, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.field = c.field AND g.digit = c.digit
+        ),
+        shared AS (
+            SELECT field, digit, CAST(n AS BIGINT) AS n,
+                   CASE WHEN sum(n) OVER (PARTITION BY field) > 0
+                        THEN n / sum(n) OVER (PARTITION BY field)
+                        ELSE 0.0 END AS share,
+                   {expected} AS expected
+            FROM full_grid
+        )
+        SELECT field, digit, n,
+               round(share, 6) AS share,
+               round(expected, 6) AS expected,
+               round(sum(abs(share - expected))
+                     OVER (PARTITION BY field) / 2, 6) AS tvd
+        FROM shared
     """

@@ -70,3 +70,36 @@ def test_profile_fields_hand_computed(spark):
     assert (nm["avg_len"], nm["max_len"]) == (4.0, 5)
     em = out["email"]
     assert (em["n_filled"], em["n_distinct"], em["avg_len"], em["max_len"]) == (2, 1, 7.0, 7)
+
+
+def test_benford_profile_hand_computed(spark):
+    """First-digit screen: counts/shares per digit, absent digits kept
+    at n=0 and contributing to TVD, and a fabricated constant-digit
+    field scores (much) worse than a Benford-faithful one."""
+    from record_linkage_ldu_spark.operators.spans import benford_profile
+
+    # 'good': first digits drawn ~Benford (many 1s, few 9s);
+    # 'bad': everything starts with 5 (fabricated placeholder)
+    rows = []
+    benfordish = [1] * 30 + [2] * 18 + [3] * 12 + [4] * 10 + [5] * 8 + [
+        6
+    ] * 7 + [7] * 6 + [8] * 5 + [9] * 4
+    for i, d in enumerate(benfordish):
+        rows.append((f"{d}{i:03d}", f"5550{i:03d}"))
+    df = spark.createDataFrame(rows, "good string, bad string")
+    out = benford_profile(df, ("good", "bad"))
+    got = {(r["field"], r["digit"]): r for r in out.collect()}
+    assert len(got) == 18  # 2 fields x digits 1-9, zeros kept
+    # 'bad' puts all mass on 5 — every other digit present with n=0
+    assert got[("bad", "5")]["share"] == 1.0
+    assert got[("bad", "1")]["n"] == 0
+    tvd_bad = got[("bad", "5")]["tvd"]
+    tvd_good = got[("good", "1")]["tvd"]
+    assert tvd_bad > 0.9 > tvd_good > 0.0
+    # leading zeros are skipped to the first significant digit
+    df2 = spark.createDataFrame([("007",), ("0-0-9",)], "v string")
+    got2 = {
+        r["digit"]: r["n"]
+        for r in benford_profile(df2, ("v",)).collect()
+    }
+    assert got2["7"] == 1 and got2["9"] == 1
