@@ -2589,6 +2589,60 @@ def sql_zipf_slope(
     """
 
 
+def _mixture_ratios(
+    df: DataFrame, targets: dict[str, float], strata_col: str
+) -> DataFrame:
+    """Shared ratio derivation for the mixture family: one tiny counts
+    groupBy + one 1-partition window over the |strata|-row frame,
+    yielding (strata_col, _n, _ratio) with ratio = t_g * N / n_g.
+    Both the downsampling (`mixture_rebalance`) and upsampling
+    (`mixture_epochs`) twins and BOTH engine sides derive from this
+    one definition, so a ratio-rule change cannot silently diverge.
+
+    Contract note (both consumers): targets for strata ABSENT from
+    the corpus contribute nothing and are NOT renormalized — the
+    realized output lands at ~(sum of present targets)·N and the
+    realized shares are t_g / (that sum).  Check `mixture_stats` for
+    requested-vs-realized evidence when target strata may be missing.
+    """
+    from pyspark.sql.window import Window as W
+
+    target: Column = F.lit(0.0)
+    for key, t in sorted(targets.items()):
+        target = F.when(F.col(strata_col) == key, F.lit(float(t))).otherwise(
+            target
+        )
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    w = W.partitionBy()
+    return counts.withColumn(
+        "_ratio", target * F.sum("_n").over(w) / F.col("_n")
+    )
+
+
+def _sql_mixture_ratio_ctes(
+    table: str, targets: dict[str, float], strata_col: str
+) -> str:
+    """DuckDB twin of :func:`_mixture_ratios` as `counts`/`ratios`
+    CTE text (same literal targets, same expression order)."""
+    target = "0.0"
+    for key, t in sorted(targets.items()):
+        target = (
+            f"CASE WHEN {strata_col} = '{key}' THEN {float(t)} "
+            f"ELSE {target} END"
+        )
+    return f"""counts AS (
+            SELECT {strata_col}, CAST(count(*) AS DOUBLE) AS _n
+            FROM {table} GROUP BY {strata_col}
+        ),
+        ratios AS (
+            SELECT {strata_col},
+                   ({target}) * sum(_n) OVER () / _n AS _ratio
+            FROM counts
+        )"""
+
+
 def mixture_rebalance(
     df: DataFrame,
     targets: dict[str, float],
@@ -2622,18 +2676,9 @@ def mixture_rebalance(
     """
     from pyspark.sql.window import Window as W
 
-    target: Column = F.lit(0.0)
-    for key, t in sorted(targets.items()):
-        target = F.when(F.col(strata_col) == key, F.lit(float(t))).otherwise(
-            target
-        )
-    counts = df.groupBy(strata_col).agg(
-        F.count("*").cast("double").alias("_n")
-    )
     w = W.partitionBy()
-    ratio = target * F.sum("_n").over(w) / F.col("_n")
     probs = (
-        counts.withColumn("_ratio", ratio)
+        _mixture_ratios(df, targets, strata_col)
         .withColumn(
             "_mx", F.max(F.when(F.col("_ratio") > 0, F.col("_ratio"))).over(w)
         )
@@ -2668,23 +2713,9 @@ def sql_mixture_rebalance(
     same expression shapes/order so the IEEE doubles agree bit-for-bit
     (ratio = t * N / n, keep = ratio / max_ratio, draw = md5 32-bit
     over 2^32)."""
-    target = "0.0"
-    for key, t in sorted(targets.items()):
-        target = (
-            f"CASE WHEN {strata_col} = '{key}' THEN {float(t)} "
-            f"ELSE {target} END"
-        )
     draw = _sql_uniform_draw(id_expr=id_col, seed=seed)
     return f"""
-        WITH counts AS (
-            SELECT {strata_col}, CAST(count(*) AS DOUBLE) AS _n
-            FROM {table} GROUP BY {strata_col}
-        ),
-        ratios AS (
-            SELECT {strata_col},
-                   ({target}) * sum(_n) OVER () / _n AS _ratio
-            FROM counts
-        ),
+        WITH {_sql_mixture_ratio_ctes(table, targets, strata_col)},
         probs AS (
             SELECT {strata_col},
                    _ratio / max(CASE WHEN _ratio > 0 THEN _ratio END)
@@ -2885,6 +2916,7 @@ def mixture_epochs(
     seed: str = "epoch",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    max_epochs: float = 100.0,
 ) -> DataFrame:
     """Target mixture WITH upsampling: emit each doc ``floor(r)`` or
     ``ceil(r)`` times where ``r = target_share * N / n_stratum`` — the
@@ -2899,29 +2931,26 @@ def mixture_epochs(
     Fractional epochs are resolved per-doc by the deterministic hash
     draw: copies = floor(r) + (draw < frac(r)), so expectation is
     exactly r with every decision a pure function of (seed, id).
-    Strata absent from ``targets`` emit nothing.
+    Strata absent from ``targets`` emit nothing; targets for strata
+    absent from the CORPUS are not renormalized (see
+    ``_mixture_ratios``).  ``max_epochs`` caps r — a tiny stratum
+    with a nonzero target would otherwise explode into t*N/n copies
+    of a handful of docs (one task exploding a huge sequence, and a
+    "target-shaped" mix that is mostly duplicates of nothing); the
+    cap bounds per-doc fanout and surfaces as epochs == max_epochs in
+    the output, at the cost of that stratum under-filling its target.
 
     Scale shape: identical to ``mixture_rebalance`` (tiny counts
     groupBy + one window + broadcast join) plus one narrow
     explode(sequence) — output rows ~N, never quadratic.
     """
-    from pyspark.sql.window import Window as W
-
-    target: Column = F.lit(0.0)
-    for key, t in sorted(targets.items()):
-        target = F.when(F.col(strata_col) == key, F.lit(float(t))).otherwise(
-            target
-        )
-    counts = df.groupBy(strata_col).agg(
-        F.count("*").cast("double").alias("_n")
-    )
-    w = W.partitionBy()
     probs = (
-        counts.withColumn(
-            "_r", target * F.sum("_n").over(w) / F.col("_n")
+        _mixture_ratios(df, targets, strata_col)
+        .where(F.col("_ratio") > 0)
+        .select(
+            strata_col,
+            F.least(F.col("_ratio"), F.lit(float(max_epochs))).alias("_r"),
         )
-        .where(F.col("_r") > 0)
-        .select(strata_col, "_r")
     )
     draw = _uniform_draw(F.col(id_col), seed, hash_fn)
     with_copies = (
@@ -2954,27 +2983,18 @@ def sql_mixture_epochs(
     strata_col: str = "lang",
     seed: str = "epoch",
     id_col: str = "doc_id",
+    max_epochs: float = 100.0,
 ) -> str:
-    """DuckDB twin of :func:`mixture_epochs` (same expression shapes,
-    generate_series(1, 0) is naturally empty)."""
-    target = "0.0"
-    for key, t in sorted(targets.items()):
-        target = (
-            f"CASE WHEN {strata_col} = '{key}' THEN {float(t)} "
-            f"ELSE {target} END"
-        )
+    """DuckDB twin of :func:`mixture_epochs` (same shared ratio CTEs,
+    same cap; unnest(range()) — DuckDB 1.0 lacks lateral column
+    args)."""
     draw = _sql_uniform_draw(id_expr=id_col, seed=seed)
     return f"""
-        WITH counts AS (
-            SELECT {strata_col}, CAST(count(*) AS DOUBLE) AS _n
-            FROM {table} GROUP BY {strata_col}
-        ),
+        WITH {_sql_mixture_ratio_ctes(table, targets, strata_col)},
         probs AS (
-            SELECT {strata_col}, _r FROM (
-                SELECT {strata_col},
-                       ({target}) * sum(_n) OVER () / _n AS _r
-                FROM counts
-            ) WHERE _r > 0
+            SELECT {strata_col},
+                   least(_ratio, {float(max_epochs)}) AS _r
+            FROM ratios WHERE _ratio > 0
         ),
         wc AS (
             SELECT d.{id_col} AS doc_id,

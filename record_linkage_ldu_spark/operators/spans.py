@@ -306,9 +306,10 @@ def sql_profile_dependencies(
 # Benford first-digit expectation, injected as LITERALS in both
 # engines (log10(1 + 1/d) precomputed here — no cross-engine libm in
 # the query plan, so the doubles agree by construction)
+import math as _math
+
 BENFORD_EXPECTED = {
-    str(d): round(__import__("math").log10(1.0 + 1.0 / d), 9)
-    for d in range(1, 10)
+    str(d): round(_math.log10(1.0 + 1.0 / d), 9) for d in range(1, 10)
 }
 
 
@@ -317,15 +318,19 @@ def benford_profile(
 ) -> DataFrame:
     """First-significant-digit distribution per numeric-ish field vs
     Benford's law, with the per-field total-variation distance — the
-    fabricated-data screen from the fraud/data-quality literature
-    (invented phone/zip/id values cluster on convenient digits;
-    organically grown ones approximate Benford).  A field whose TVD
-    spikes between snapshots changed its generating process — worth a
-    look before it poisons match weights.
+    fabricated-data screen from the fraud/data-quality literature.
+    Read it as a DRIFT metric, not an absolute verdict: assigned
+    numbers (NANP phones never start with 1, zip codes are
+    geographic) sit at a stable nonzero TVD when healthy — the signal
+    is a field whose TVD MOVES between snapshots (its generating
+    process changed, e.g. a placeholder flood), which is why the full
+    per-digit distribution ships alongside the scalar.
 
     Output: one row per (field, digit 1-9) — ``n``, ``share``,
     ``expected``, ``tvd`` (the field's TVD repeated on each of its
-    rows; absent digits carry n=0 and still contribute to TVD).
+    rows; absent digits carry n=0 and still contribute to TVD; a
+    field with NO digit-bearing values gets NULL share/tvd rather
+    than masquerading as a mid-range score).
     Scale shape: one melt projection + one (field, digit) groupBy
     (81 cells max), a literal 9x|fields| grid join, two tiny windows.
     """
@@ -370,7 +375,7 @@ def benford_profile(
         .withColumn(
             "share",
             F.when(F.col("_tot") > 0, F.col("n") / F.col("_tot")).otherwise(
-                F.lit(0.0)
+                F.lit(None).cast("double")
             ),
         )
         .withColumn("expected", expected)
@@ -424,7 +429,7 @@ def sql_benford_profile(
             SELECT field, digit, CAST(n AS BIGINT) AS n,
                    CASE WHEN sum(n) OVER (PARTITION BY field) > 0
                         THEN n / sum(n) OVER (PARTITION BY field)
-                        ELSE 0.0 END AS share,
+                        ELSE CAST(NULL AS DOUBLE) END AS share,
                    {expected} AS expected
             FROM full_grid
         )

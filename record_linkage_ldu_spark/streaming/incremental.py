@@ -1087,6 +1087,7 @@ def store_stats(spark, store_dir: str) -> dict:
     Read-only: no recovery, no mutation — safe to call concurrently
     with nothing else guaranteed."""
     out: dict = {"store_dir": store_dir, "tables": {}}
+    frames: dict = {}
     for name in _STORE_APPEND_TABLES + ("census", "clusters"):
         path = os.path.join(store_dir, name)
         if not os.path.isdir(path):
@@ -1095,6 +1096,7 @@ def store_stats(spark, store_dir: str) -> dict:
         if not files:
             continue
         df = spark.read.parquet(path)
+        frames[name] = df
         out["tables"][name] = {
             "rows": df.count(),
             "files": len(files),
@@ -1102,19 +1104,13 @@ def store_stats(spark, store_dir: str) -> dict:
     tomb = _read_tombstones(spark, store_dir)
     n_tomb = tomb.count() if tomb is not None else 0
     out["tombstoned_docs"] = n_tomb
-    if "records" in out["tables"]:
-        live = _anti_tombstones(
-            spark.read.parquet(os.path.join(store_dir, "records")),
-            tomb,
-            "doc_id",
+    if "records" in frames:
+        out["live_docs"] = _anti_tombstones(
+            frames["records"], tomb, "doc_id"
         ).count()
-        out["live_docs"] = live
-    ids_path = os.path.join(store_dir, "entity_ids")
-    if os.path.isdir(ids_path) and _data_files(ids_path):
-        ids = spark.read.parquet(ids_path)
-        out["entity_id_seqs"] = (
-            ids.select("seq").distinct().count()
-        )
+    if "entity_ids" in frames:
+        ids = frames["entity_ids"]
+        out["entity_id_seqs"] = ids.select("seq").distinct().count()
         cur = ids.agg(F.max("seq")).collect()[0][0]
         out["entities"] = (
             ids.where(F.col("seq") == cur)

@@ -103,3 +103,10 @@ def test_benford_profile_hand_computed(spark):
         for r in benford_profile(df2, ("v",)).collect()
     }
     assert got2["7"] == 1 and got2["9"] == 1
+    # a field with NO digit-bearing values reports NULL share/tvd
+    # (review-caught: 0.0 shares made an empty field score a
+    # mid-range TVD of 0.5, masquerading as moderately fabricated)
+    df3 = spark.createDataFrame([("abc",), (None,)], "v string")
+    empty_rows = benford_profile(df3, ("v",)).collect()
+    assert all(r["n"] == 0 for r in empty_rows)
+    assert all(r["share"] is None and r["tvd"] is None for r in empty_rows)
