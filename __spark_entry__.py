@@ -1393,6 +1393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["null_score_histogram"] = lambda s, d: _null_score_histogram(s, d)
     # per-pair blocking provenance: which key families compared it
     q["pair_provenance"] = lambda s, d: _pair_provenance(s, d)
+    # per-miss diagnosis: labels a soundex-only scheme misses + both
+    # sides' family sets (which tier rescues each miss)
+    q["blocking_miss_diagnosis"] = lambda s, d: _blocking_miss_diagnosis(
+        s, d
+    )
     # dynamic hierarchical block refinement (McNeill et al. KDD'12
     # workshop): oversized blocks get their key EXTENDED with the next
     # component and re-censused instead of capped/salted/dropped —
@@ -1698,6 +1703,7 @@ _NEWEST_FIRST = [
     "wnp_pruned_pairs",
     "null_score_histogram",
     "pair_provenance",
+    "blocking_miss_diagnosis",
     "mixture_rebalance",
     "mixture_epochs",
     "benford_profile",
@@ -2193,6 +2199,59 @@ def _blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_covered") / F.col("n_candidates"), 6).alias(
             "pair_efficiency"
         ),
+    )
+
+
+def _blocking_miss_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-miss blocking diagnosis: the labeled pairs a SOUNDEX-ONLY
+    scheme fails to reach, each with both sides' full key-family sets —
+    naming the family that RESCUES it under the production multi-key
+    union.  `blocking_recall` says HOW MANY true pairs the blocking
+    covers; this says, pair by pair, WHY a miss happened (both sides
+    carry sx: keys that disagree — a name typo crossed the phonetic
+    boundary) and which tier (ph:/em:/zp:/sn:) recovers it — the
+    evidence behind the multi-key design, as a table.
+
+    Scale shape: labels are O(corpus) (entity-suffix equi-join), the
+    weak-scheme pair join runs over the sx:-filtered key table, the
+    anti-join is label-keyed, and the family sets come from one
+    doc-keyed groupBy over the full key table joined to the (tiny)
+    miss set."""
+    keys = _capped_keys(spark, sf_dir)
+    sx_pairs = candidate_pairs(
+        keys.where(F.col("block_key").startswith("sx:"))
+    )
+    missed = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2").join(
+        sx_pairs, ["doc_id_1", "doc_id_2"], "left_anti"
+    )
+    fams = (
+        keys.select(
+            "doc_id",
+            F.substring_index(F.col("block_key"), ":", 1).alias("_fam"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("_fam")), ",").alias(
+                "_fams"
+            )
+        )
+    )
+    return (
+        missed.join(
+            fams.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("_fams").alias("families_1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            fams.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("_fams").alias("families_2"),
+            ),
+            "doc_id_2",
+        )
+        .select("doc_id_1", "doc_id_2", "families_1", "families_2")
     )
 
 
@@ -5081,6 +5140,41 @@ def oracle_sql() -> dict[str, str]:
         FROM fams a JOIN fams b
           ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """
+    sql["blocking_miss_diagnosis"] = f"""
+        {_sql_chain("keys")},
+        labels AS (
+            SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+            FROM synth s1 JOIN synth s2
+              ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
+             AND s1.doc_id < s2.doc_id
+        ),
+        sx_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+            FROM keys_capped a JOIN keys_capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            WHERE a.block_key LIKE 'sx:%'
+        ),
+        missed AS (
+            SELECT l.doc_id_1, l.doc_id_2 FROM labels l
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sx_pairs p
+                WHERE p.doc_id_1 = l.doc_id_1
+                  AND p.doc_id_2 = l.doc_id_2
+            )
+        ),
+        fams AS (
+            SELECT doc_id,
+                   string_agg(DISTINCT string_split(block_key, ':')[1],
+                              ',' ORDER BY string_split(block_key, ':')[1])
+                       AS _fams
+            FROM keys_capped GROUP BY doc_id
+        )
+        SELECT m.doc_id_1, m.doc_id_2,
+               f1._fams AS families_1, f2._fams AS families_2
+        FROM missed m
+        JOIN fams f1 ON m.doc_id_1 = f1.doc_id
+        JOIN fams f2 ON m.doc_id_2 = f2.doc_id
     """
     sql["wnp_pruned_pairs"] = f"""
         {_sql_chain("keys")},

@@ -762,3 +762,31 @@ def test_wnp_prune_adaptive_threshold(spark):
     }
     assert ("h", "s") not in kept2
     assert ("s", "t") in kept2 and ("s", "u") in kept2
+
+
+def test_blocking_miss_diagnosis_names_the_rescuing_family(spark):
+    """Every miss of the soundex-only scheme is (a) reachable under
+    the full multi-key union (blocking recall stays 1.0) and (b)
+    explained: both sides carry at least one non-sx family."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    missed = E.queries()["blocking_miss_diagnosis"](spark, sf)
+    rows = missed.collect()
+    assert rows, "sx-only scheme should miss some labeled pairs"
+    for r in rows:
+        fams1 = set(r["families_1"].split(","))
+        fams2 = set(r["families_2"].split(","))
+        assert fams1 - {"sx"} and fams2 - {"sx"}, r
+    # the full scheme covers every one of them
+    cands = E._cand_pairs(spark, sf)
+    uncovered = missed.join(
+        cands, ["doc_id_1", "doc_id_2"], "left_anti"
+    ).count()
+    assert uncovered == 0
