@@ -1123,3 +1123,200 @@ def store_stats(spark, store_dir: str) -> dict:
         with open(mpath) as f:
             out["last_commit_status"] = json.load(f).get("status")
     return out
+
+
+_DEDUP_STORE_TABLES = ("bands", "flags")
+
+
+def _recover_dedup_store(store_dir: str) -> bool:
+    """Roll back a half-committed dedup-store batch (same manifest
+    pattern as the linkage store; both tables are append-only, so
+    rollback = delete files the dead batch appended)."""
+    import shutil
+
+    mpath = os.path.join(store_dir, BATCH_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("status") != "in-progress":
+        return False
+    pre = manifest.get("pre", {})
+    for name in _DEDUP_STORE_TABLES:
+        path = os.path.join(store_dir, name)
+        keep = set(pre.get(name, []))
+        if not os.path.isdir(path):
+            continue
+        if not keep:
+            shutil.rmtree(path)
+            continue
+        for fn in os.listdir(path):
+            if fn not in keep:
+                fp = os.path.join(path, fn)
+                if os.path.isdir(fp):
+                    shutil.rmtree(fp)
+                else:
+                    os.remove(fp)
+    manifest["status"] = "rolled-back"
+    _write_batch_manifest(store_dir, manifest)
+    return True
+
+
+def incremental_dedup_batch(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+) -> dict:
+    """Ingest-time near-duplicate guard over a GROWING corpus — the
+    dedup sibling of ``incremental_linkage_batch``: each micro-batch's
+    MinHash band keys probe a persisted band-key store, colliding docs
+    are flagged ``duplicate_of`` the earliest kept holder, and only
+    KEPT (non-duplicate) docs' bands enter the store.  Keep-first
+    semantics match the batch ``near_dup_keep_list``'s min-id
+    representative, and because duplicates never contribute bands,
+    every later collision resolves directly to a kept doc — no chains.
+
+    Per-batch work is O(batch): the store side of the probe is pruned
+    to the band keys this batch TOUCHES (broadcast semi-join — same
+    shape as the linkage store's touched-blocks join), new-vs-new
+    collisions run the standard band self-join within the batch, and
+    both store tables (``bands``, ``flags``) are append-only behind
+    the manifest-gated atomic commit (replaying a crashed batch
+    re-ingests from scratch; a doc already in the store — kept or
+    flagged — is skipped, so replay is idempotent).
+
+    Within-batch representative = the doc's MINIMUM collision partner
+    (per band bucket), not a full transitive closure — the ingest
+    guard flags against its immediate collision; corpus-wide
+    retro-dedup with CC stays the batch family's job (documented
+    trade, same as ``exact_dedup_stream``).
+
+    Returns counters: ``new_docs``, ``flagged_vs_store``,
+    ``flagged_within_batch``, ``kept``, ``stored_docs``,
+    ``stored_flags``, ``probe_band_rows``.
+    """
+    from ..operators.dedup import minhash_signatures
+
+    _recover_dedup_store(store_dir)
+    bands_path = os.path.join(store_dir, "bands")
+    flags_path = os.path.join(store_dir, "flags")
+
+    new = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).dropDuplicates(["doc_id"])
+    have_bands = os.path.isdir(bands_path) and bool(_data_files(bands_path))
+    have_flags = os.path.isdir(flags_path) and bool(_data_files(flags_path))
+    seen_ids = None
+    if have_bands:
+        seen_ids = spark.read.parquet(bands_path).select("doc_id").distinct()
+    if have_flags:
+        flagged_ids = (
+            spark.read.parquet(flags_path).select("doc_id").distinct()
+        )
+        seen_ids = (
+            flagged_ids
+            if seen_ids is None
+            else seen_ids.unionByName(flagged_ids).distinct()
+        )
+    if seen_ids is not None:
+        new = new.join(seen_ids, "doc_id", "left_anti")
+    new = new.localCheckpoint(eager=True)
+    n_new = new.count()
+
+    bands_new = minhash_signatures(
+        new,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_size=shingle_size,
+        hash_fn=hash_fn,
+    ).localCheckpoint(eager=True)
+
+    if have_bands:
+        touched = bands_new.select("band_key").distinct()
+        store_side = spark.read.parquet(bands_path).join(
+            F.broadcast(touched), "band_key", "left_semi"
+        )
+    else:
+        store_side = spark.createDataFrame([], bands_new.schema)
+    n_probe = store_side.count()
+
+    # vs-store: duplicate_of = min kept holder over all band collisions
+    vs_store = (
+        bands_new.join(
+            store_side.select(
+                "band_key", F.col("doc_id").alias("_kept")
+            ),
+            "band_key",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_kept").alias("duplicate_of"))
+    )
+    survivors = bands_new.join(
+        vs_store.select("doc_id"), "doc_id", "left_anti"
+    )
+    # within-batch: min collision partner per doc (band self-join)
+    a, b = survivors.alias("a"), survivors.alias("b")
+    within = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") > F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("_partner"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_partner").alias("duplicate_of"))
+    )
+    flags_new = (
+        vs_store.unionByName(within).localCheckpoint(eager=True)
+    )
+    n_vs_store = vs_store.count()
+    n_within = within.count()
+    kept_bands = bands_new.join(
+        flags_new.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    if n_new > 0:
+        _write_batch_manifest(
+            store_dir,
+            {
+                "status": "in-progress",
+                "new_docs": n_new,
+                "pre": {
+                    t: _data_files(os.path.join(store_dir, t))
+                    for t in _DEDUP_STORE_TABLES
+                },
+            },
+        )
+        kept_bands.write.mode("append").parquet(bands_path)
+        if n_vs_store + n_within > 0:
+            flags_new.write.mode("append").parquet(flags_path)
+        _write_batch_manifest(
+            store_dir, {"status": "complete", "new_docs": n_new}
+        )
+    n_stored = (
+        spark.read.parquet(bands_path).select("doc_id").distinct().count()
+        if os.path.isdir(bands_path)
+        else 0
+    )
+    n_flags = (
+        spark.read.parquet(flags_path).count()
+        if os.path.isdir(flags_path) and _data_files(flags_path)
+        else 0
+    )
+    return {
+        "new_docs": n_new,
+        "flagged_vs_store": n_vs_store,
+        "flagged_within_batch": n_within,
+        "kept": n_new - n_vs_store - n_within,
+        "stored_docs": n_stored,
+        "stored_flags": n_flags,
+        "probe_band_rows": n_probe,
+    }

