@@ -2218,8 +2218,10 @@ def _blocking_miss_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed groupBy over the full key table joined to the (tiny)
     miss set."""
     keys = _capped_keys(spark, sf_dir)
+    # dedup=False: the only consumer is a left_anti join, for which
+    # duplicate pairs are irrelevant — skip the pair-set shuffle
     sx_pairs = candidate_pairs(
-        keys.where(F.col("block_key").startswith("sx:"))
+        keys.where(F.col("block_key").startswith("sx:")), dedup=False
     )
     missed = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2").join(
         sx_pairs, ["doc_id_1", "doc_id_2"], "left_anti"

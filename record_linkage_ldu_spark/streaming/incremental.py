@@ -235,6 +235,33 @@ def _write_batch_manifest(store_dir: str, payload: dict) -> None:
     os.replace(tmp, os.path.join(store_dir, BATCH_MANIFEST))
 
 
+def _rollback_appends(
+    store_dir: str, manifest: dict, tables: tuple[str, ...]
+) -> None:
+    """Delete every file a dead batch appended beyond the manifest's
+    recorded pre-commit file sets (parquet appends only ever ADD
+    uniquely-named part files) — shared by the linkage and dedup
+    store recoveries."""
+    import shutil
+
+    pre = manifest.get("pre", {})
+    for name in tables:
+        path = os.path.join(store_dir, name)
+        keep = set(pre.get(name, []))
+        if not os.path.isdir(path):
+            continue
+        if not keep:
+            shutil.rmtree(path)
+            continue
+        for fn in os.listdir(path):
+            if fn not in keep:
+                fp = os.path.join(path, fn)
+                if os.path.isdir(fp):
+                    shutil.rmtree(fp)
+                else:
+                    os.remove(fp)
+
+
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
     """Write-to-temp + atomic rename, the StageStore commit pattern
     (sources/io.py): a kill mid-write leaves the OLD table intact.  On
@@ -323,22 +350,7 @@ def recover_store(spark, store_dir: str, cfg=None) -> bool:
     if manifest.get("status") != "in-progress":
         return compact_fixed
 
-    pre = manifest.get("pre", {})
-    for name in _STORE_APPEND_TABLES:
-        path = os.path.join(store_dir, name)
-        keep = set(pre.get(name, []))
-        if not os.path.isdir(path):
-            continue
-        if not keep:
-            shutil.rmtree(path)
-            continue
-        for fn in os.listdir(path):
-            if fn not in keep:
-                fp = os.path.join(path, fn)
-                if os.path.isdir(fp):
-                    shutil.rmtree(fp)
-                else:
-                    os.remove(fp)
+    _rollback_appends(store_dir, manifest, _STORE_APPEND_TABLES)
 
     cfg = cfg or LinkageConfig()
     records_path = os.path.join(store_dir, "records")
@@ -1125,15 +1137,13 @@ def store_stats(spark, store_dir: str) -> dict:
     return out
 
 
-_DEDUP_STORE_TABLES = ("bands", "flags")
+_DEDUP_STORE_TABLES = ("bands", "shingles", "flags")
 
 
 def _recover_dedup_store(store_dir: str) -> bool:
     """Roll back a half-committed dedup-store batch (same manifest
-    pattern as the linkage store; both tables are append-only, so
+    pattern as the linkage store; all tables are append-only, so
     rollback = delete files the dead batch appended)."""
-    import shutil
-
     mpath = os.path.join(store_dir, BATCH_MANIFEST)
     if not os.path.exists(mpath):
         return False
@@ -1141,22 +1151,7 @@ def _recover_dedup_store(store_dir: str) -> bool:
         manifest = json.load(f)
     if manifest.get("status") != "in-progress":
         return False
-    pre = manifest.get("pre", {})
-    for name in _DEDUP_STORE_TABLES:
-        path = os.path.join(store_dir, name)
-        keep = set(pre.get(name, []))
-        if not os.path.isdir(path):
-            continue
-        if not keep:
-            shutil.rmtree(path)
-            continue
-        for fn in os.listdir(path):
-            if fn not in keep:
-                fp = os.path.join(path, fn)
-                if os.path.isdir(fp):
-                    shutil.rmtree(fp)
-                else:
-                    os.remove(fp)
+    _rollback_appends(store_dir, manifest, _DEDUP_STORE_TABLES)
     manifest["status"] = "rolled-back"
     _write_batch_manifest(store_dir, manifest)
     return True
@@ -1171,40 +1166,79 @@ def incremental_dedup_batch(
     num_hashes: int = 12,
     band_size: int = 3,
     shingle_size: int = 3,
+    threshold: float = 0.7,
     hash_fn: str = "md5",
+    max_bucket_size: int = 1000,
+    salt_buckets: int = 8,
+    drop_factor: int = 16,
 ) -> dict:
     """Ingest-time near-duplicate guard over a GROWING corpus — the
-    dedup sibling of ``incremental_linkage_batch``: each micro-batch's
-    MinHash band keys probe a persisted band-key store, colliding docs
-    are flagged ``duplicate_of`` the earliest kept holder, and only
-    KEPT (non-duplicate) docs' bands enter the store.  Keep-first
-    semantics match the batch ``near_dup_keep_list``'s min-id
-    representative, and because duplicates never contribute bands,
-    every later collision resolves directly to a kept doc — no chains.
+    dedup sibling of ``incremental_linkage_batch``, with the SAME
+    decision standard as the batch ``minhash_near_duplicates``: an LSH
+    band collision is only a CANDIDATE; the flag fires on exact
+    shingle-set Jaccard >= ``threshold`` (raw band collisions
+    false-positive at J^band_size per band — unverified flagging would
+    permanently drop non-duplicates).
 
-    Per-batch work is O(batch): the store side of the probe is pruned
-    to the band keys this batch TOUCHES (broadcast semi-join — same
-    shape as the linkage store's touched-blocks join), new-vs-new
-    collisions run the standard band self-join within the batch, and
-    both store tables (``bands``, ``flags``) are append-only behind
-    the manifest-gated atomic commit (replaying a crashed batch
-    re-ingests from scratch; a doc already in the store — kept or
-    flagged — is skipped, so replay is idempotent).
+    Per batch: new docs' band keys probe the persisted band store
+    pruned to TOUCHED keys; verified store collisions flag
+    ``duplicate_of`` the earliest kept holder (only kept docs' bands
+    and shingle sets live in the store, so store flags never chain);
+    surviving new docs run the batch operator's own tiered band
+    self-join (census/cap/salt with dropped-census reporting) plus
+    Jaccard verify, and within-batch components resolve through
+    CONNECTED COMPONENTS to the min-id representative — chain-free by
+    construction on both paths.  Oversized PROBE keys (a stored
+    band bucket beyond the drop ceiling) are dropped and REPORTED,
+    mirroring the batch family's census contract.
 
-    Within-batch representative = the doc's MINIMUM collision partner
-    (per band bucket), not a full transitive closure — the ingest
-    guard flags against its immediate collision; corpus-wide
-    retro-dedup with CC stays the batch family's job (documented
-    trade, same as ``exact_dedup_stream``).
+    The store pins its sketch parameters in ``_dedup_params.json`` on
+    creation and refuses a batch with different parameters — band keys
+    from different hash families/shapes silently probe nothing, which
+    would disable dedup without an error.
 
-    Returns counters: ``new_docs``, ``flagged_vs_store``,
-    ``flagged_within_batch``, ``kept``, ``stored_docs``,
-    ``stored_flags``, ``probe_band_rows``.
+    Append-only tables (``bands``, ``shingles``, ``flags``) behind the
+    manifest-gated atomic commit; crashed batches roll back and replay
+    idempotently (docs already in the store — kept or flagged — are
+    skipped).  Batch-local counters only; store-wide numbers belong to
+    a store_stats-style snapshot, not the per-batch hot path.
     """
-    from ..operators.dedup import minhash_signatures
+    from ..operators.cc import connected_components
+    from ..operators.dedup import (
+        _shingled,
+        capped_bucket_pairs,
+        jaccard_col,
+        minhash_signatures,
+    )
 
     _recover_dedup_store(store_dir)
+    os.makedirs(store_dir, exist_ok=True)
+    params = {
+        "num_hashes": num_hashes,
+        "band_size": band_size,
+        "shingle_size": shingle_size,
+        "hash_fn": hash_fn,
+        "threshold": threshold,
+    }
+    ppath = os.path.join(store_dir, "_dedup_params.json")
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            stored_params = json.load(f)
+        if stored_params != params:
+            raise ValueError(
+                "dedup store was built with different sketch parameters "
+                f"({stored_params} vs {params}) — band keys would not "
+                "collide across families; use a new store_dir or the "
+                "original parameters"
+            )
+    else:
+        tmp = ppath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, ppath)
+
     bands_path = os.path.join(store_dir, "bands")
+    sh_path = os.path.join(store_dir, "shingles")
     flags_path = os.path.join(store_dir, "flags")
 
     new = new_docs.select(
@@ -1238,50 +1272,141 @@ def incremental_dedup_batch(
         shingle_size=shingle_size,
         hash_fn=hash_fn,
     ).localCheckpoint(eager=True)
+    toks_new = _shingled(
+        new, "text", "doc_id", shingle_size, out_col="toks"
+    ).localCheckpoint(eager=True)
 
+    n_probe = 0
+    n_probe_dropped = 0
     if have_bands:
         touched = bands_new.select("band_key").distinct()
-        store_side = spark.read.parquet(bands_path).join(
+        probe_raw = spark.read.parquet(bands_path).join(
             F.broadcast(touched), "band_key", "left_semi"
         )
+        # cap oversized probe buckets (a stored band bucket past the
+        # drop ceiling would make the probe quadratic in one key) —
+        # dropped keys are counted, mirroring the census contract
+        probe_census = probe_raw.groupBy("band_key").agg(
+            F.count("*").alias("_n")
+        )
+        ceiling = max_bucket_size * drop_factor
+        over = probe_census.where(F.col("_n") > ceiling)
+        n_probe_dropped = over.count()
+        store_side = probe_raw.join(
+            F.broadcast(over.select("band_key")), "band_key", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_probe = store_side.count()
     else:
         store_side = spark.createDataFrame([], bands_new.schema)
-    n_probe = store_side.count()
 
-    # vs-store: duplicate_of = min kept holder over all band collisions
-    vs_store = (
+    # vs-store: candidates from band collisions, VERIFIED by exact
+    # Jaccard against the stored (kept docs') shingle sets
+    cand_store = (
         bands_new.join(
-            store_side.select(
-                "band_key", F.col("doc_id").alias("_kept")
-            ),
+            store_side.select("band_key", F.col("doc_id").alias("_kept")),
             "band_key",
         )
-        .groupBy("doc_id")
-        .agg(F.min("_kept").alias("duplicate_of"))
+        .select("doc_id", "_kept")
+        .dropDuplicates(["doc_id", "_kept"])
     )
+    if have_bands and os.path.isdir(sh_path):
+        stored_toks = spark.read.parquet(sh_path)
+        verified_store = (
+            cand_store.join(toks_new, "doc_id")
+            .join(
+                stored_toks.select(
+                    F.col("doc_id").alias("_kept"),
+                    F.col("toks").alias("_ktoks"),
+                ),
+                "_kept",
+            )
+            .withColumn(
+                "_j", F.round(jaccard_col(F.col("toks"), F.col("_ktoks")), 6)
+            )
+            .where(F.col("_j") >= threshold)
+        )
+        vs_store = (
+            verified_store.groupBy("doc_id")
+            .agg(F.min(F.struct("_kept", "_j")).alias("_m"))
+            .select(
+                "doc_id",
+                F.col("_m._kept").alias("duplicate_of"),
+                F.col("_m._j").alias("jaccard"),
+                F.lit("store").alias("via"),
+            )
+        )
+    else:
+        vs_store = spark.createDataFrame(
+            [], "doc_id string, duplicate_of string, jaccard double, "
+            "via string"
+        )
+
     survivors = bands_new.join(
         vs_store.select("doc_id"), "doc_id", "left_anti"
     )
-    # within-batch: min collision partner per doc (band self-join)
-    a, b = survivors.alias("a"), survivors.alias("b")
-    within = (
-        a.join(b, "band_key")
-        .where(F.col("a.doc_id") > F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("_partner"),
+    # within-batch: the batch operator's own tiered band self-join +
+    # Jaccard verify + CC to the min-id representative (chain-free)
+    keys_wb = survivors.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("band_idx").cast("string"), "band_key"
+        ).alias("block_key"),
+    )
+    cand_wb, dropped_wb = capped_bucket_pairs(
+        keys_wb, max_bucket_size, salt_buckets, drop_factor
+    )
+    verified_wb = (
+        cand_wb.join(
+            toks_new.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("toks").alias("toks_1"),
+            ),
+            "doc_id_1",
         )
-        .groupBy("doc_id")
-        .agg(F.min("_partner").alias("duplicate_of"))
+        .join(
+            toks_new.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("toks").alias("toks_2"),
+            ),
+            "doc_id_2",
+        )
+        .withColumn(
+            "_j", F.round(jaccard_col(F.col("toks_1"), F.col("toks_2")), 6)
+        )
+        .where(F.col("_j") >= threshold)
+        .select("doc_id_1", "doc_id_2", "_j")
+        .localCheckpoint(eager=True)
     )
-    flags_new = (
-        vs_store.unionByName(within).localCheckpoint(eager=True)
+    comps = connected_components(
+        verified_wb.select("doc_id_1", "doc_id_2")
     )
-    n_vs_store = vs_store.count()
-    n_within = within.count()
+    ev = verified_wb.select(
+        F.col("doc_id_1").alias("doc_id"), "_j"
+    ).unionByName(verified_wb.select(F.col("doc_id_2").alias("doc_id"), "_j"))
+    best_ev = ev.groupBy("doc_id").agg(F.max("_j").alias("jaccard"))
+    within = (
+        comps.where(F.col("doc_id") != F.col("cluster_id"))
+        .join(best_ev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("duplicate_of"),
+            "jaccard",
+            F.lit("batch").alias("via"),
+        )
+    )
+    flags_new = vs_store.unionByName(within).localCheckpoint(eager=True)
+    by_via = {
+        r["via"]: r["n"]
+        for r in flags_new.groupBy("via").agg(F.count("*").alias("n")).collect()
+    }
+    n_vs_store = by_via.get("store", 0)
+    n_within = by_via.get("batch", 0)
     kept_bands = bands_new.join(
         flags_new.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint(eager=True)
+    kept_toks = toks_new.join(
+        flags_new.select("doc_id"), "doc_id", "left_anti"
+    )
 
     if n_new > 0:
         _write_batch_manifest(
@@ -1296,27 +1421,18 @@ def incremental_dedup_batch(
             },
         )
         kept_bands.write.mode("append").parquet(bands_path)
+        kept_toks.write.mode("append").parquet(sh_path)
         if n_vs_store + n_within > 0:
             flags_new.write.mode("append").parquet(flags_path)
         _write_batch_manifest(
             store_dir, {"status": "complete", "new_docs": n_new}
         )
-    n_stored = (
-        spark.read.parquet(bands_path).select("doc_id").distinct().count()
-        if os.path.isdir(bands_path)
-        else 0
-    )
-    n_flags = (
-        spark.read.parquet(flags_path).count()
-        if os.path.isdir(flags_path) and _data_files(flags_path)
-        else 0
-    )
     return {
         "new_docs": n_new,
         "flagged_vs_store": n_vs_store,
         "flagged_within_batch": n_within,
         "kept": n_new - n_vs_store - n_within,
-        "stored_docs": n_stored,
-        "stored_flags": n_flags,
         "probe_band_rows": n_probe,
+        "probe_keys_dropped": n_probe_dropped,
+        "batch_buckets_dropped": dropped_wb.count(),
     }

@@ -736,11 +736,13 @@ def test_store_stats_snapshot(spark, tmp_path):
 
 
 def test_incremental_dedup_batch_guard(spark, tmp_path):
-    """Ingest-time near-dup guard: a later batch's near-copy is
-    flagged against the stored representative, within-batch copies
-    flag to the min partner, replay is idempotent, per-batch probe
-    work is pruned to touched band keys, and every flag is a true
-    near-dup by the batch operator's standards."""
+    """Ingest-time near-dup guard: flags fire only on VERIFIED
+    Jaccard >= threshold (carried in the flag row), a later batch's
+    near-copy resolves to the stored KEPT representative (no chains),
+    within-batch copies resolve through CC to the min-id rep, replay
+    is idempotent, and the store refuses mismatched sketch params."""
+    import pytest as _pytest
+
     from record_linkage_ldu_spark.streaming.incremental import (
         incremental_dedup_batch,
     )
@@ -772,15 +774,39 @@ def test_incremental_dedup_batch_guard(spark, tmp_path):
     s2 = incremental_dedup_batch(spark, b2, store)
     assert s2["flagged_vs_store"] == 1 and s2["kept"] == 1
     flags = {
-        r["doc_id"]: r["duplicate_of"]
-        for r in spark.read.parquet(f"{store}/flags").collect()
+        r["doc_id"]: r for r in spark.read.parquet(f"{store}/flags").collect()
     }
-    assert flags["d002"] == "d001"
-    assert flags["d004"] == "d001"  # resolves to the KEPT rep, no chain
-    # probe side was pruned: far fewer stored band rows than the store
-    total_band_rows = spark.read.parquet(f"{store}/bands").count()
-    assert s2["probe_band_rows"] <= total_band_rows
+    assert flags["d002"]["duplicate_of"] == "d001"
+    assert flags["d004"]["duplicate_of"] == "d001"  # kept rep, no chain
+    # every flag is VERIFIED: jaccard present and >= threshold
+    for r in flags.values():
+        assert r["jaccard"] is not None and r["jaccard"] >= 0.7, r
+    # flags always point at docs whose bands/shingles are IN the store
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {r["duplicate_of"] for r in flags.values()} <= kept_ids
+    # probe pruning is real: batch 2 touched none of d003's band keys,
+    # so its probe saw only d001's rows (d003's 4 bands excluded)
+    per_doc_bands = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{store}/bands")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # only d001's COLLIDING bands are probed (3 of its 4 here — the
+    # 'ending three' drift moves one band), never d003's
+    assert 0 < s2["probe_band_rows"] <= per_doc_bands["d001"]
+    assert s2["probe_band_rows"] < sum(per_doc_bands.values())
     # replay idempotent
     s3 = incremental_dedup_batch(spark, b2, store)
     assert s3["new_docs"] == 0
     assert spark.read.parquet(f"{store}/flags").count() == 2
+    # sketch-parameter pinning: a different hash family is refused
+    with _pytest.raises(ValueError, match="different sketch parameters"):
+        incremental_dedup_batch(spark, b2, store, hash_fn="xxhash64")
