@@ -348,13 +348,15 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
 
     timed("retrieval_quality", _retrieval)
 
-    # r4c corpus-health + pruning family: per-doc novelty, the named
-    # flood report, WNP adaptive candidate pruning, pair provenance
+    # r4c corpus-health pair: per-doc novelty + the named flood report.
+    # The r4c pruning/provenance diagnostics (wnp_pruned_pairs,
+    # pair_provenance) are sweep-validated but stay OUT of the
+    # headline wall: they enumerate the full per-key pair universe
+    # (~60s at sf0.1 — review-table work, not throughput ops), which
+    # would swamp round-over-round suite comparability.
     def _r4c():
         _force(qs["shingle_novelty"](spark, sf_dir))
         _force(qs["template_floods"](spark, sf_dir))
-        _force(qs["wnp_pruned_pairs"](spark, sf_dir))
-        _force(qs["pair_provenance"](spark, sf_dir))
 
     timed("r4c_ops", _r4c)
 
