@@ -255,6 +255,22 @@ def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite two-token soundex table ('sx:FIRST-SECOND') — the
+    weak single-scheme roster: soundex only, no SN/contact families.
+    Shared by the soundex_keys query and the miss-diagnosis weak
+    scheme (ADVICE r4: the diagnosis must test keys that exist)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "soundex_keys",
+        lambda: block_keys(
+            _records(spark, sf_dir),
+            BlockingConfig(use_sorted_neighborhood=False, contact_fields=()),
+        ),
+    )
+
+
 def _native_scores(records: DataFrame, pairs: DataFrame) -> DataFrame:
     """Per-field normalized-Levenshtein scores + total + combined
     score over an arbitrary pair set (all JVM-native =>
@@ -1244,10 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # composite soundex keys — hash-green since r3: sql_soundex
     # replicates Spark's soundex automaton in DuckDB (list_reduce)
-    q["soundex_keys"] = lambda s, d: block_keys(
-        _records(s, d), BlockingConfig(use_sorted_neighborhood=False,
-                                       contact_fields=())
-    )
+    q["soundex_keys"] = lambda s, d: _soundex_keys(s, d)
     # second phonetic encoder: Refined Soundex (9 consonant classes,
     # untruncated — tighter blocks on long names than F.soundex); no
     # Spark builtin, so both engines run the same translate/collapse
@@ -2212,22 +2225,30 @@ def _blocking_miss_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary) and which tier (ph:/em:/zp:/sn:) recovers it — the
     evidence behind the multi-key design, as a table.
 
+    ADVICE r4 fix: the production key table is built with
+    use_soundex=False, so filtering IT for 'sx:' diagnosed a scheme
+    with zero pairs (every labeled pair a vacuous "miss").  The weak
+    scheme under test is now built explicitly — the same composite
+    two-token soundex table the `soundex_block_keys` query exposes,
+    capped like every family — and the family sets union it in, so
+    `families_*` can actually show `sx` alongside the rescuing tier.
+
     Scale shape: labels are O(corpus) (entity-suffix equi-join), the
-    weak-scheme pair join runs over the sx:-filtered key table, the
+    weak-scheme pair join runs over the capped sx: key table, the
     anti-join is label-keyed, and the family sets come from one
-    doc-keyed groupBy over the full key table joined to the (tiny)
+    doc-keyed groupBy over the unioned key table joined to the (tiny)
     miss set."""
-    keys = _capped_keys(spark, sf_dir)
+    sx_keys, _ = cap_blocks(_soundex_keys(spark, sf_dir), _BLK)
     # dedup=False: the only consumer is a left_anti join, for which
     # duplicate pairs are irrelevant — skip the pair-set shuffle
-    sx_pairs = candidate_pairs(
-        keys.where(F.col("block_key").startswith("sx:")), dedup=False
-    )
+    sx_pairs = candidate_pairs(sx_keys, dedup=False)
     missed = _labels(spark, sf_dir).select("doc_id_1", "doc_id_2").join(
         sx_pairs, ["doc_id_1", "doc_id_2"], "left_anti"
     )
     fams = (
-        keys.select(
+        _capped_keys(spark, sf_dir)
+        .unionByName(sx_keys)
+        .select(
             "doc_id",
             F.substring_index(F.col("block_key"), ":", 1).alias("_fam"),
         )
@@ -5151,11 +5172,24 @@ def oracle_sql() -> dict[str, str]:
               ON substr(s1.doc_id, 2, 9) = substr(s2.doc_id, 2, 9)
              AND s1.doc_id < s2.doc_id
         ),
+        sx_toks AS (
+            SELECT doc_id,
+                   string_split(name, ' ')[1] AS first_tok,
+                   coalesce(string_split(name, ' ')[2], '') AS second_tok
+            FROM norm
+        ),
+        sx_keys AS MATERIALIZED (
+            SELECT doc_id,
+                   'sx:' || {N.sql_soundex("first_tok")} || '-' ||
+                   {N.sql_soundex("second_tok")} AS block_key
+            FROM sx_toks
+            WHERE first_tok IS NOT NULL AND first_tok <> ''
+            QUALIFY count(*) OVER (PARTITION BY block_key) <= {MAX_BLOCK}
+        ),
         sx_pairs AS (
             SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-            FROM keys_capped a JOIN keys_capped b
+            FROM sx_keys a JOIN sx_keys b
               ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-            WHERE a.block_key LIKE 'sx:%'
         ),
         missed AS (
             SELECT l.doc_id_1, l.doc_id_2 FROM labels l
@@ -5165,12 +5199,17 @@ def oracle_sql() -> dict[str, str]:
                   AND p.doc_id_2 = l.doc_id_2
             )
         ),
+        allkeys AS (
+            SELECT doc_id, block_key FROM keys_capped
+            UNION
+            SELECT doc_id, block_key FROM sx_keys
+        ),
         fams AS (
             SELECT doc_id,
                    string_agg(DISTINCT string_split(block_key, ':')[1],
                               ',' ORDER BY string_split(block_key, ':')[1])
                        AS _fams
-            FROM keys_capped GROUP BY doc_id
+            FROM allkeys GROUP BY doc_id
         )
         SELECT m.doc_id_1, m.doc_id_2,
                f1._fams AS families_1, f2._fams AS families_2

@@ -75,7 +75,10 @@ class LinkageConfig:
     # the fixture has no hub pathology).  Pick k >= max expected
     # true-cluster size - 1 (mutual top-k is lossless on cliques of
     # <= k+1 members); smaller k deliberately trades many-copy
-    # entities' recall for the degree bound.
+    # entities' recall for the degree bound.  BATCH-ONLY: the
+    # incremental store keeps unscored edges, so
+    # streaming.incremental raises on a nonzero value rather than
+    # silently diverging from this pipeline's clusters (ADVICE r4).
     sparsify_top_k: int = 0
     # fold Latin diacritics to ASCII BEFORE the normalizer chains
     # (normalizers strip non-[a-z0-9], so an unfolded 'müller'

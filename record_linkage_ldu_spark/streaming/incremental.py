@@ -319,6 +319,25 @@ def _recover_compaction(store_dir: str) -> bool:
     return repaired
 
 
+def _reject_sparsify(cfg) -> None:
+    """``LinkageConfig.sparsify_top_k`` is BATCH-ONLY (ADVICE r4): the
+    incremental store persists unscored edges, and CC here runs over
+    the raw accumulated edge set — silently ignoring the knob would
+    make the store's clusters diverge from a batch run under the same
+    cfg, breaking the results-equal-the-full-batch-run contract.
+    Supporting it incrementally would mean persisting per-edge scores
+    and re-sparsifying the WHOLE edge set every batch (O(store), not
+    O(batch)); until a scored edge store exists, refuse loudly."""
+    k = getattr(cfg, "sparsify_top_k", 0)
+    if k:
+        raise ValueError(
+            "sparsify_top_k is batch-only (LinkagePipeline.run): the "
+            "incremental store keeps unscored edges, so top-k edge "
+            "sparsification cannot be replayed incrementally. Run the "
+            f"batch pipeline for sparsified clusters (got top_k={k})."
+        )
+
+
 def recover_store(spark, store_dir: str, cfg=None) -> bool:
     """Roll back a half-committed micro-batch (ADVICE r3: the commit
     spanned four separate writes, and a crash between the records
@@ -341,6 +360,10 @@ def recover_store(spark, store_dir: str, cfg=None) -> bool:
     from ..operators.cc import connected_components
     from ..plans.linkage import LinkageConfig
 
+    if cfg is not None:
+        # guard up front, not only on the rollback path: a sparsify
+        # cfg is wrong for this store whether or not a crash happened
+        _reject_sparsify(cfg)
     compact_fixed = _recover_compaction(store_dir)
     mpath = os.path.join(store_dir, BATCH_MANIFEST)
     if not os.path.exists(mpath):
@@ -493,6 +516,7 @@ def incremental_linkage_batch(
     from ..plans.linkage import LinkageConfig, records_view
 
     cfg = cfg or LinkageConfig()
+    _reject_sparsify(cfg)
     bc = cfg.blocking
     # roll back any half-committed batch before reading the store
     recover_store(spark, store_dir, cfg=cfg)
@@ -787,6 +811,7 @@ def delete_documents(
     from ..plans.linkage import LinkageConfig
 
     cfg = cfg or LinkageConfig()
+    _reject_sparsify(cfg)
     recover_store(spark, store_dir, cfg=cfg)
     records_path = os.path.join(store_dir, "records")
     keys_path = os.path.join(store_dir, "keys")
@@ -1182,13 +1207,20 @@ def incremental_dedup_batch(
 
     Per batch: new docs' band keys probe the persisted band store
     pruned to TOUCHED keys; verified store collisions flag
-    ``duplicate_of`` the earliest kept holder (only kept docs' bands
-    and shingle sets live in the store, so store flags never chain);
-    surviving new docs run the batch operator's own tiered band
-    self-join (census/cap/salt with dropped-census reporting) plus
-    Jaccard verify, and within-batch components resolve through
-    CONNECTED COMPONENTS to the min-id representative — chain-free by
-    construction on both paths.  Oversized PROBE keys (a stored
+    ``duplicate_of`` the MIN-ID kept holder (min over (doc_id,
+    jaccard) structs — only kept docs' bands and shingle sets live in
+    the store, so store flags never chain); surviving new docs run
+    the batch operator's own tiered band self-join (census/cap/salt
+    with dropped-census reporting) plus Jaccard verify, and
+    within-batch components resolve through CONNECTED COMPONENTS to
+    the min-id representative — chain-free by construction on both
+    paths.  The flag row's ``jaccard`` is the verified similarity to
+    ``duplicate_of`` itself whenever a direct verified edge exists
+    (always, for store flags; the normal case within-batch), falling
+    back to the doc's best verified edge into the same component for
+    purely transitive within-batch flags — either way it is a real
+    >= threshold measurement, never a band-collision estimate
+    (ADVICE r4 coupling fix).  Oversized PROBE keys (a stored
     band bucket beyond the drop ceiling) are dropped and REPORTED,
     mirroring the batch family's census contract.
 
@@ -1380,17 +1412,37 @@ def incremental_dedup_batch(
     comps = connected_components(
         verified_wb.select("doc_id_1", "doc_id_2")
     )
+    # jaccard pairs with duplicate_of: prefer the direct verified
+    # edge to the representative; a purely transitive member (no
+    # direct edge to the rep) carries its best verified edge into the
+    # component instead — both are real >= threshold measurements
     ev = verified_wb.select(
-        F.col("doc_id_1").alias("doc_id"), "_j"
-    ).unionByName(verified_wb.select(F.col("doc_id_2").alias("doc_id"), "_j"))
-    best_ev = ev.groupBy("doc_id").agg(F.max("_j").alias("jaccard"))
+        F.col("doc_id_1").alias("doc_id"),
+        F.col("doc_id_2").alias("other"),
+        "_j",
+    ).unionByName(
+        verified_wb.select(
+            F.col("doc_id_2").alias("doc_id"),
+            F.col("doc_id_1").alias("other"),
+            "_j",
+        )
+    )
+    best_ev = ev.groupBy("doc_id").agg(F.max("_j").alias("_best_j"))
+    direct_ev = ev.groupBy("doc_id", "other").agg(
+        F.max("_j").alias("_direct_j")
+    )
     within = (
         comps.where(F.col("doc_id") != F.col("cluster_id"))
+        .join(
+            direct_ev.withColumnRenamed("other", "cluster_id"),
+            ["doc_id", "cluster_id"],
+            "left",
+        )
         .join(best_ev, "doc_id", "left")
         .select(
             "doc_id",
             F.col("cluster_id").alias("duplicate_of"),
-            "jaccard",
+            F.coalesce("_direct_j", "_best_j").alias("jaccard"),
             F.lit("batch").alias("via"),
         )
     )

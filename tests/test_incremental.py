@@ -810,3 +810,28 @@ def test_incremental_dedup_batch_guard(spark, tmp_path):
     # sketch-parameter pinning: a different hash family is refused
     with _pytest.raises(ValueError, match="different sketch parameters"):
         incremental_dedup_batch(spark, b2, store, hash_fn="xxhash64")
+
+
+def test_incremental_rejects_sparsify_top_k(spark, tmp_path):
+    """ADVICE r4: sparsify_top_k is batch-only — the incremental store
+    persists unscored edges, so a nonzero knob must refuse loudly
+    instead of silently diverging from the batch pipeline's clusters.
+    All three store-mutating entry points carry the guard."""
+    import pytest as _pytest
+
+    from record_linkage_ldu_spark.streaming.incremental import (
+        delete_documents,
+        recover_store,
+    )
+
+    cfg = LinkageConfig(sparsify_top_k=5)
+    store = str(tmp_path / "store")
+    with _pytest.raises(ValueError, match="batch-only"):
+        incremental_linkage_batch(spark, _docs(spark), store, cfg=cfg)
+    with _pytest.raises(ValueError, match="batch-only"):
+        recover_store(spark, store, cfg=cfg)
+    with _pytest.raises(ValueError, match="batch-only"):
+        delete_documents(spark, store, ["a000000001"], cfg=cfg)
+    # the default (0) path is unaffected
+    stats = incremental_linkage_batch(spark, _docs(spark), store)
+    assert stats["new_docs"] > 0
