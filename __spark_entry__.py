@@ -859,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_near_duplicates(
         _t(s, d, "documents"), threshold=0.3
     )
+    # script-agnostic variant: char-5-gram sketch units (CJK knob)
+    q["cjk_minhash_near_dups"] = lambda s, d: _cjk_minhash_near_dups(s, d)
     # measured LSH-banding recall vs the exact shingle-Jaccard ground
     # truth (prefix filter over the SAME shingle universe) — the dedup
     # analogue of blocking_recall / ann_recall
@@ -1709,61 +1711,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # unrecorded — the least-established entries must hit the hard signal
 # first.  _ordered() asserts the list and the dict stay in sync.
 _NEWEST_FIRST = [
-    # round 4c — the latest additions, least established, go first
-    "nysiis_keys",
-    "nickname_keys",
-    "contact_canonical",
-    "wnp_pruned_pairs",
-    "null_score_histogram",
-    "pair_provenance",
-    "blocking_miss_diagnosis",
-    "mixture_rebalance",
-    "mixture_epochs",
-    "benford_profile",
-    "sparsified_clusters",
-    "shingle_novelty",
-    "template_floods",
-    # round 4 — cheapest new entries first: the driver's sweep budget
-    # cuts the tail, so the chain-building heavies (match_pagerank,
-    # fd_profile — whoever runs first PAYS the shared linkage-chain
-    # memo) sit after the sub-2s events/documents entries
-    "cube_returns",
-    "latest_events",
-    "hypertable_rollup",
-    "range_join_events",
-    "asof_join_events",
-    "lang_confusion",
-    "zipf_slope",
-    "pmi_collocations",
-    "tfidf_keywords",
-    "weighted_sample",
-    "unigram_lm_scores",
-    "scd2_history",
-    "gapfill_rollup",
-    "bigram_lm_scores",
-    "bm25_search",
-    "match_pagerank",
-    "fd_profile",
-    "minhash_recall",
-    "refined_soundex_keys",
-    "dl_pair_scores",
-    "vocab_stats",
-    "source_quota_sample",
-    "clustering_agreement",
-    "containment_near_dups",
-    "cluster_growth_curve",
-    "stringmap_block_pairs",
-    "qgram_block_pairs",
-    "rule_precision",
-    "multimodal_matches",
-    "ivfpq_topk",
-    "pq_topk",
-    "pq_codes",
-    "cross_coverage",
-    "block_filtered_pairs",
-    "capture_recapture",
-    "cluster_error_taxonomy",
-    "corpus_snapshot_diff",
+    # ---- ROUND-5 DRIVER WINDOW (first 50 = what CORRECTNESS_r05
+    # records; the driver provably takes the first 50 dict entries —
+    # verified against r1-r4 files).  Composition: the r5 addition,
+    # the 5 entries whose last driver status is a stale r02 ERR, and
+    # 44 of the 52 never-driver-checked entries (VERDICT r4 item 1).
+    # The 8 left outside (media_block_pairs, line_dedup,
+    # hashed_bow_learned, media_dedup, jw_pair_scores,
+    # blocking_recall, ivf_probe_topk, rh_lsh_ann_topk) are the
+    # family-redundant ones — every one is hash-green in the r4
+    # judge sweep and in tools/check_oracle.py runs. ----
+    "cjk_minhash_near_dups",
+    "soundex_keys",
+    "span_invariant_check",
+    "simhash_near_dups",
+    "ro_jw_pair_scores",
+    "ivf_ann_topk",
     "dedup_weights",
     "constrained_clusters",
     "blocking_plan",
@@ -1803,27 +1766,73 @@ _NEWEST_FIRST = [
     "token_blocking_pairs",
     "fs_match_probability",
     "fs_em_weights",
-    "media_block_pairs",
     "bloom_decontaminate",
     "url_canonicalize",
-    "line_dedup",
     "incremental_linkage_step",
     "ann_recall",
+    "semdedup",
+    # ---- previously driver-recorded (green in r1-r4 CORRECTNESS
+    # files) or judge-sweep green; order beyond 50 is cosmetic ----
+    "nysiis_keys",
+    "nickname_keys",
+    "contact_canonical",
+    "wnp_pruned_pairs",
+    "null_score_histogram",
+    "pair_provenance",
+    "blocking_miss_diagnosis",
+    "mixture_rebalance",
+    "mixture_epochs",
+    "benford_profile",
+    "sparsified_clusters",
+    "shingle_novelty",
+    "template_floods",
+    "cube_returns",
+    "latest_events",
+    "hypertable_rollup",
+    "range_join_events",
+    "asof_join_events",
+    "lang_confusion",
+    "zipf_slope",
+    "pmi_collocations",
+    "tfidf_keywords",
+    "weighted_sample",
+    "unigram_lm_scores",
+    "scd2_history",
+    "gapfill_rollup",
+    "bigram_lm_scores",
+    "bm25_search",
+    "match_pagerank",
+    "fd_profile",
+    "minhash_recall",
+    "refined_soundex_keys",
+    "dl_pair_scores",
+    "vocab_stats",
+    "source_quota_sample",
+    "clustering_agreement",
+    "containment_near_dups",
+    "cluster_growth_curve",
+    "stringmap_block_pairs",
+    "qgram_block_pairs",
+    "rule_precision",
+    "multimodal_matches",
+    "ivfpq_topk",
+    "pq_topk",
+    "pq_codes",
+    "cross_coverage",
+    "block_filtered_pairs",
+    "capture_recapture",
+    "cluster_error_taxonomy",
+    "corpus_snapshot_diff",
+    "media_block_pairs",
+    "line_dedup",
     "hashed_bow_learned",
-    # round 3 (absent from CORRECTNESS_r03)
     "media_features",
     "media_resize",
     "media_frame_sample",
     "media_dedup",
-    "span_invariant_check",
-    "simhash_near_dups",
     "jw_pair_scores",
     "blocking_recall",
-    "ro_jw_pair_scores",
-    "soundex_keys",
-    "semdedup",
     "ivf_probe_topk",
-    "ivf_ann_topk",
     "rh_lsh_ann_topk",
     "lsh_ann_topk",
     "cosine_topk",
@@ -1831,7 +1840,6 @@ _NEWEST_FIRST = [
     "sessionize",
     "agg_pushdown_q1",
     "broadcast_join_revenue",
-    # rounds 1-3, green in CORRECTNESS_r03
     "embedding_near_dups",
     "pii_scrub",
     "corpus_shuffle_global",
@@ -2441,6 +2449,41 @@ def _nickname_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal alias fixture shared VERBATIM by the Spark query and the
 # DuckDB twin (the synthetic corpus carries no aliased contacts, so
 # these rows are what proves the folding rules fire)
+# planted CJK near-dup pairs (ja and zh, one-token edits) + a distinct
+# Korean doc: the word tokenizer deletes all of these outright
+# (`[^a-z0-9]+` strips every CJK char -> empty shingle set -> no bands,
+# no Jaccard), so only the char-n-gram knob can catch the pairs
+_CJK_FIXTURE = [
+    ("cjk1", "今日は良い天気ですね。公園へ散歩に行きましょう。途中で美味しいお茶を買いましょう。"),
+    ("cjk2", "今日は良い天気ですね。公園へ散歩に行きましょう。途中で美味しい珈琲を買いましょう。"),
+    ("cjk3", "机器学习模型需要大量高质量的训练数据才能取得良好的效果。数据去重是关键步骤之一。"),
+    ("cjk4", "机器学习模型需要大量高质量的训练数据才能取得良好的效果。数据清洗是关键步骤之一。"),
+    ("cjk5", "완전히 다른 내용의 한국어 문서입니다. 중복이 없어야 합니다."),
+]
+
+
+def _cjk_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection under the CHAR-N-GRAM tokenizer
+    knob (VERDICT r4 item 6): the corpus documents plus planted CJK
+    near-dup pairs, sketched on 5-char n-grams instead of 3-word
+    shingles.  The default word tokenizer misses the CJK pairs
+    entirely (pytest-gated contrast in tests/test_dedup.py); this
+    query pins the knob's full chain — normalize, gram, md5 draws,
+    banding, tiered buckets, exact char-gram Jaccard verify — against
+    the DuckDB twin."""
+    fixture = spark.createDataFrame(
+        _CJK_FIXTURE, "doc_id string, text string"
+    )
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .unionByName(fixture)
+    )
+    return dedup.minhash_near_duplicates(
+        base, threshold=0.3, shingle_size=5, tokenizer="char"
+    )
+
+
 _CONTACT_FIXTURE = [
     ("x1", "John.Doe+news@GoogleMail.com ", "(415) 555-0199"),
     ("x2", "john.doe@gmail.com", "+1 415 555 0199"),
@@ -3639,6 +3682,16 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
         "documents", threshold=0.3
+    )
+    _cjk_rows = ", ".join(
+        f"('{i}', '{t}')" for i, t in _CJK_FIXTURE
+    )
+    sql["cjk_minhash_near_dups"] = dedup.sql_minhash_near_duplicates(
+        f"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        f" UNION ALL SELECT * FROM (VALUES {_cjk_rows}) f(doc_id, text))",
+        threshold=0.3,
+        shingle_size=5,
+        tokenizer="char",
     )
     sql["corpus_snapshot_diff"] = """
         WITH newv AS (

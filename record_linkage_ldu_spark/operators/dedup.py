@@ -23,7 +23,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    char_ngrams,
     shingles_of_tokens,
+    sql_char_ngrams,
     sql_shingles,
     sql_tokens,
     sql_winnow_fingerprint_cte,
@@ -101,19 +103,54 @@ def ensure_width(df: DataFrame) -> DataFrame:
 def _shingled(
     df: DataFrame, text_col: str, id_col: str, w: int,
     out_col: str = "sh",
+    tokenizer: str = "word",
 ) -> DataFrame:
     """(doc_id, <out_col>: array<string>) with the tokenize and
     shingle steps each behind an ``explode(array(..))`` Generate
     barrier, so neither is re-evaluated per downstream lambda element.
-    """
+
+    ``tokenizer``: ``"word"`` (default) = distinct w-word shingles of
+    the `[^a-z0-9]+`-split tokens — the Latin-text default.
+    ``"char"`` = distinct w-CHARACTER n-grams (``text.char_ngrams``) —
+    the script-agnostic knob for CJK/unsegmented corpora, where the
+    word splitter deletes the whole text (VERDICT r4 item 6).  ``w``
+    is the sketch-unit width in both modes (tokens vs characters)."""
+    if tokenizer == "char":
+        normed = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col(text_col)), "[ \t\r\n]+", " "
+                        )
+                    )
+                )
+            ).alias("_nrm"),
+        )
+        return normed.select(
+            "doc_id",
+            F.explode(
+                F.array(char_ngrams(F.col("_nrm"), w, prenormalized=True))
+            ).alias(out_col),
+        ).where(F.size(F.col(out_col)) > 0)
+    if tokenizer != "word":
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (word|char)")
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(F.col(text_col)))).alias("_toks"),
     )
+    # drop docs whose sketch-unit set is EMPTY (whitespace-only text;
+    # under the word tokenizer, any unsegmented non-Latin doc): an
+    # all-NULL signature used to band-collide through concat_ws's
+    # null-skipping into ONE degenerate bucket, and the exact verify
+    # scored J(emptyset, emptyset) = 1.0 -- welding unrelated docs as
+    # "duplicates" with zero content evidence (caught by the CJK knob
+    # test).  No shingles => no signature => no candidates.
     return tokenized.select(
         "doc_id",
         F.explode(F.array(shingles_of_tokens(F.col("_toks"), w))).alias(out_col),
-    )
+    ).where(F.size(F.col(out_col)) > 0)
 
 # ------------------------------------------------------------------
 # exact dedup
@@ -159,6 +196,7 @@ def minhash_signatures(
     band_size: int = 3,
     shingle_size: int = 3,
     hash_fn: str = "md5",
+    tokenizer: str = "word",
 ) -> DataFrame:
     """(id, band_idx, band_key): one row per (doc, band).  Narrow
     projection + posexplode.  Sketch units are distinct w-word shingles
@@ -186,7 +224,10 @@ def minhash_signatures(
     # it is evaluated ONCE per row and becomes a concrete attribute, so
     # the next level's lambda reads a materialized array instead of
     # re-deriving the whole upstream chain per element.
-    shingled = _shingled(ensure_width(df), text_col, id_col, shingle_size)
+    shingled = _shingled(
+        ensure_width(df), text_col, id_col, shingle_size,
+        tokenizer=tokenizer,
+    )
     if hash_fn == "xxhash64":
         # sig[s] = min over shingles of xxhash64(seed=s, shingle),
         # zero-padded to fixed width so array_min's string order equals
@@ -271,6 +312,7 @@ def minhash_near_duplicates(
     hash_fn: str = "md5",
     with_census: bool = False,
     pin: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH candidates (band-key join) verified by exact shingle-set
     Jaccard >= threshold.  Returns (doc_id_1, doc_id_2, jaccard).
@@ -291,7 +333,7 @@ def minhash_near_duplicates(
     """
     bands = minhash_signatures(
         df, text_col, id_col, num_hashes, band_size, shingle_size,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, tokenizer=tokenizer,
     )
     keys = _pin(
         bands.select(
@@ -322,7 +364,11 @@ def minhash_near_duplicates(
             keys, max_bucket_size, salt_buckets, drop_factor
         )
     toks_tbl = _pin(
-        _shingled(df, text_col, id_col, shingle_size, out_col="toks"), pin
+        _shingled(
+            df, text_col, id_col, shingle_size, out_col="toks",
+            tokenizer=tokenizer,
+        ),
+        pin,
     )
     out = (
         cand.join(
@@ -357,9 +403,13 @@ def sql_minhash_near_duplicates(
     band_size: int = 3,
     threshold: float = 0.7,
     shingle_size: int = 3,
+    tokenizer: str = "word",
 ) -> str:
     """DuckDB twin of minhash_near_duplicates (same md5 draws)."""
-    toks = sql_shingles(text_col, shingle_size)
+    if tokenizer == "char":
+        toks = sql_char_ngrams("_cn_nrm", shingle_size, prenormalized=True)
+    else:
+        toks = sql_shingles(text_col, shingle_size)
     # MATERIALIZED tokens/sigs/bands/tok: DuckDB 1.0 inlines CTEs per
     # reference and runs no CSE across the hash lanes, so the raw
     # shingle expression would otherwise evaluate ~13x per doc and the
@@ -380,9 +430,17 @@ def sql_minhash_near_duplicates(
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sigs"
         for b in range(n_bands)
     )
+    src_table = table
+    if tokenizer == "char":
+        src_table = (
+            f"(SELECT {id_col}, trim(regexp_replace(lower({text_col}), "
+            f"'[ \\t\\r\\n]+', ' ', 'g')) AS _cn_nrm FROM {table})"
+        )
     return f"""
         WITH _shingled AS MATERIALIZED (
-            SELECT {id_col} AS doc_id, {toks} AS _t FROM {table}
+            SELECT * FROM (
+                SELECT {id_col} AS doc_id, {toks} AS _t FROM {src_table}
+            ) WHERE len(_t) > 0
         ),
         sigs AS MATERIALIZED (
             SELECT doc_id, {band_exprs} FROM _shingled
@@ -484,6 +542,7 @@ def minhash_cross_near_duplicates(
     hash_fn: str = "md5",
     with_census: bool = False,
     pin: bool = True,
+    tokenizer: str = "word",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Cross-corpus MinHash near-dup join — the incremental-ingest op
     (dedup a new crawl AGAINST the existing corpus): (left_id,
@@ -599,8 +658,8 @@ def sql_minhash_cross_near_duplicates(
         )
         return (
             f"shingled_{side} AS MATERIALIZED "
-            f"(SELECT {id_col} AS doc_id, {toks} AS _t "
-            f"FROM {table} AS t_{side}), "
+            f"(SELECT * FROM (SELECT {id_col} AS doc_id, {toks} AS _t "
+            f"FROM {table} AS t_{side}) WHERE len(_t) > 0), "
             f"sigs_{side} AS MATERIALIZED "
             f"(SELECT doc_id, {band_exprs} FROM shingled_{side}), "
             f"bands_{side} AS MATERIALIZED ({unions})"
