@@ -430,10 +430,29 @@ def fixed_ivf_index(
             "centroid set would silently return no rows — pick a "
             "modulus that selects at least one centroid"
         )
+    return centroids, assign_to_centroids(corpus, centroids, id_col, vec_col)
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment against an EXTERNAL centroid table (argmax
+    cosine, rounded to 6, centroid_id tiebreak) — the index-build half
+    of IVF when the quantizer was trained offline (``ivf_index`` /
+    ``tools/train_ann_artifacts.py``) and shipped as an artifact.
+    Same ``assigned(vid, v, centroid_id)`` contract as the in-query
+    builders; one broadcast-centroid pass over the corpus."""
+    base = ensure_width(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
     w = Window.partitionBy("vid").orderBy(
         F.col("_cs").desc(), F.col("centroid_id").asc()
     )
-    assigned = (
+    return (
         base.crossJoin(F.broadcast(centroids))
         .select(
             "vid", "v", "centroid_id",
@@ -443,7 +462,6 @@ def fixed_ivf_index(
         .where(F.col("_r") == 1)
         .select("vid", "v", "centroid_id")
     )
-    return centroids, assigned
 
 
 def sql_ivf_probe_topk(
