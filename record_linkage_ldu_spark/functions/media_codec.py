@@ -259,7 +259,9 @@ def try_decode(data: bytes) -> tuple[int, int, int, bytes] | None:
         pass
     except Exception:
         return None
-    for dec in (decode_png, decode_bmp, decode_gif):
+    from .jpeg_codec import decode_jpeg
+
+    for dec in (decode_png, decode_bmp, decode_gif, decode_jpeg):
         try:
             return tuple(dec(bytes(data)))  # type: ignore[return-value]
         except Exception:

@@ -252,10 +252,16 @@ def dl_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def dl_sim_col(a: Column, b: Column) -> Column:
-    """Normalized Damerau-Levenshtein similarity column (Arrow-batched
-    pandas UDF — no JVM kernel yet; the scoring hot path uses native
-    ``F.levenshtein``, DL is the name-field refinement)."""
-    return dl_sim_udf(a, b)
+    """Normalized Damerau-Levenshtein similarity column: JVM kernel
+    (``rlds.DlSim``) when kernels.jar is on the classpath, Arrow UDF
+    fallback otherwise — same NULL->0.0 wrapper as the RO/JW columns.
+    Closes VERDICT r4 item 5: DL was the one kernel whose opt-in
+    (name-field refinement) re-introduced a Python worker into the
+    scoring stage."""
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .otherwise(_kernel_call("rlds_dl", dl_sim_udf, a, b))
+    )
 
 
 # ------------------------------------------------------------------
@@ -279,7 +285,13 @@ def _jvm_kernels_available(spark) -> bool:
 
         spark.udf.registerJavaFunction("rlds_ro", "rlds.RoSim", _D())
         spark.udf.registerJavaFunction("rlds_jw", "rlds.JwSim", _D())
-        ok = spark.sql("SELECT rlds_ro('ab','ba') AS x").collect()[0]["x"] is not None
+        spark.udf.registerJavaFunction("rlds_dl", "rlds.DlSim", _D())
+        ok = (
+            spark.sql(
+                "SELECT rlds_ro('ab','ba') AS x, rlds_dl('ca','abc') AS y"
+            ).collect()[0]["x"]
+            is not None
+        )
     except Exception:
         ok = False
     spark._rlds_jvm_kernels = ok

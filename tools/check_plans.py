@@ -128,6 +128,34 @@ def main(sf_dir: str) -> int:
     )
     check("census cap join broadcasts", "BroadcastHashJoin" in full)
 
+    # 4b. every opt-in similarity kernel stays JVM-side when
+    # kernels.jar is loadable — DL included (VERDICT r4 item 5: a cfg
+    # routing the name field through DL refinement must not
+    # re-introduce a Python worker into the scoring stage)
+    from record_linkage_ldu_spark.functions.similarity import (
+        dl_sim_col,
+        jw_sim_col,
+        ro_sim_col,
+    )
+
+    two = spark.createDataFrame(
+        [("alpha", "aplha")], "a string, b string"
+    )
+    kplan = executed_plan(
+        two.select(
+            ro_sim_col(F.col("a"), F.col("b")),
+            jw_sim_col(F.col("a"), F.col("b")),
+            dl_sim_col(F.col("a"), F.col("b")),
+        )
+    )
+    check(
+        "RO/JW/DL kernels run as JVM UDFs (no ArrowEvalPython)",
+        "ArrowEvalPython" not in kplan
+        and "BatchEvalPython" not in kplan
+        and "rlds_dl" in kplan,
+        kplan.strip().splitlines()[0][:100],
+    )
+
     # 6. incremental micro-batch: the new-keys side of the pair join is
     # broadcast, so the stored key table is never shuffled per batch
     # (a localCheckpointed new side has no size stats — without the
