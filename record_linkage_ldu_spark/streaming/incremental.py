@@ -227,6 +227,16 @@ def _data_files(path: str) -> list[str]:
     return sorted(os.listdir(path))
 
 
+def _parquet_data_files(path: str) -> list[str]:
+    """Actual data part files — the read-amplification number.
+    `_data_files` (manifest/rollback bookkeeping) deliberately lists
+    EVERYTHING the writer may create (_SUCCESS, .crc) so appends roll
+    back byte-exactly; operator-facing file counts must not inflate
+    with that bookkeeping noise (r5: the compaction-cadence test
+    caught store_stats reporting 6 "files" for a 2-part table)."""
+    return [f for f in _data_files(path) if f.startswith("part-")]
+
+
 def _write_batch_manifest(store_dir: str, payload: dict) -> None:
     os.makedirs(store_dir, exist_ok=True)
     tmp = os.path.join(store_dir, BATCH_MANIFEST + ".tmp")
@@ -1042,7 +1052,7 @@ def compact_store(
         path = os.path.join(store_dir, name)
         if not os.path.isdir(path):
             continue
-        before = len(_data_files(path))
+        before = len(_parquet_data_files(path))
         df = spark.read.parquet(path)
         if name == "entity_ids":
             cur = df.agg(F.max("seq")).collect()[0][0]
@@ -1057,7 +1067,7 @@ def compact_store(
         _safe_swap(df, path)
         stats[name] = {
             "files_before": before,
-            "files_after": len(_data_files(path)),
+            "files_after": len(_parquet_data_files(path)),
             "rows": n,
         }
     return stats
@@ -1129,14 +1139,13 @@ def store_stats(spark, store_dir: str) -> dict:
         path = os.path.join(store_dir, name)
         if not os.path.isdir(path):
             continue
-        files = _data_files(path)
-        if not files:
+        if not _data_files(path):
             continue
         df = spark.read.parquet(path)
         frames[name] = df
         out["tables"][name] = {
             "rows": df.count(),
-            "files": len(files),
+            "files": len(_parquet_data_files(path)),
         }
     tomb = _read_tombstones(spark, store_dir)
     n_tomb = tomb.count() if tomb is not None else 0

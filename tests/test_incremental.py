@@ -835,3 +835,67 @@ def test_incremental_rejects_sparsify_top_k(spark, tmp_path):
     # the default (0) path is unaffected
     stats = incremental_linkage_batch(spark, _docs(spark), store)
     assert stats["new_docs"] > 0
+
+
+def test_compaction_cadence_under_churn(spark, tmp_path):
+    """VERDICT r4 item 8: N micro-batches + deletions drive file-count
+    (read-amplification) growth; compaction returns it to baseline,
+    physically purges tombstoned rows, keeps every reader's view
+    identical — and a batch REPLAYED after compaction is still a
+    no-op, including for deleted docs (the permanent-deletion
+    contract survives the rewrite)."""
+    from record_linkage_ldu_spark.streaming.incremental import (
+        compact_store,
+        delete_documents,
+        store_stats,
+    )
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    batches = [
+        docs.where((F.crc32(F.col("doc_id")) % 4) == i) for i in range(4)
+    ]
+    store = str(tmp_path / "store")
+    for b in batches:
+        incremental_linkage_batch(spark, b, store)
+    victims = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(5).collect()
+    ]
+    d = delete_documents(spark, store, victims)
+    assert d["deleted"] == 5
+
+    pre = store_stats(spark, store)
+    # churn is real: every batch appended at least one part file
+    assert pre["tables"]["records"]["files"] >= 4
+    assert pre["entity_id_seqs"] >= 4
+    pre_clusters = _cluster_set(spark.read.parquet(f"{store}/clusters"))
+    live_pre = pre["live_docs"]
+
+    stats = compact_store(spark, store, files_per_table=2)
+    post = store_stats(spark, store)
+    # read amplification back to baseline on every append table
+    for name, s in post["tables"].items():
+        if name in stats:
+            assert s["files"] <= 2, (name, s)
+    # tombstoned rows physically purged, tombstones retained, view equal
+    rec_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/records")
+        .select("doc_id").collect()
+    }
+    assert not (rec_ids & set(victims))
+    assert post["tombstoned_docs"] == 5
+    assert post["live_docs"] == live_pre
+    assert post["entity_id_seqs"] == 1
+    assert (
+        _cluster_set(spark.read.parquet(f"{store}/clusters")) == pre_clusters
+    )
+
+    # replay after compaction: still a no-op, even for a batch that
+    # contains deleted docs (tombstone survives the rewrite)
+    replay = incremental_linkage_batch(spark, batches[0], store)
+    assert replay["new_docs"] == 0
+    assert (
+        _cluster_set(spark.read.parquet(f"{store}/clusters")) == pre_clusters
+    )
+    assert store_stats(spark, store)["tombstoned_docs"] == 5
