@@ -31,6 +31,40 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Pinned reference seconds for the calibration workload below,
+# measured settled (warmup + best-of-2) on an idle 32-vCPU run of
+# this box.  VERDICT r4 item 2: driver bench rows swung -38% on
+# unchanged code because the host wanders; a fixed pure-CPU workload
+# timed inside the same session turns that wander into a recorded
+# number instead of prose.  normalized = raw * (CALIB_REF / calib_s).
+CALIB_REF_S = 1.67
+_CALIB_ROWS = 16_000_000
+
+
+def calibrate(spark) -> float:
+    """Fixed calibration workload: a 16M-row native levenshtein fold
+    (same JVM expression class as the scoring hot path, no I/O, no
+    shuffle).  One warmup run (JIT), then best-of-2."""
+
+    def one() -> float:
+        t0 = time.time()
+        df = spark.range(_CALIB_ROWS).select(
+            F.concat(
+                F.lit("customer#"),
+                ((F.col("id") * 2654435761) % 1000003).cast("string"),
+            ).alias("a"),
+            F.concat(
+                F.lit("custmoer#"),
+                ((F.col("id") * 40503) % 999983).cast("string"),
+            ).alias("b"),
+        )
+        df.select(F.sum(F.levenshtein("a", "b"))).collect()
+        return time.time() - t0
+
+    one()
+    return round(min(one(), one()), 3)
+
+
 def skew_stress(spark) -> dict:
     """Adversarial-skew scenario: a PLANTED mega-block (one key holding
     10% of all docs — the degenerate-key shape: empty names,
@@ -199,6 +233,11 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+
+    # calibration FIRST (the session is otherwise cold-identical for
+    # every run) and again LAST: the mean tracks host load across the
+    # whole suite, not just its first seconds
+    calib_pre = calibrate(spark)
 
     qs = E.queries()
 
@@ -373,6 +412,10 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
     # suite wall so round-over-round totals stay comparable)
     extras["skew"] = skew_stress(spark)
 
+    calib_post = calibrate(spark)
+    calib = round((calib_pre + calib_post) / 2, 3)
+    norm = round(CALIB_REF_S / calib, 4) if calib > 0 else 1.0
+
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
     out = {
@@ -382,6 +425,172 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
         "queries": timings,
         "sf": float(sf_match.group(1)) if sf_match else None,
         "cpus": cpus,
+        "calib_pre_s": calib_pre,
+        "calib_post_s": calib_post,
+        "calib_ref_s": CALIB_REF_S,
+        "host_factor": norm,
+        "value_normalized": round(total * norm, 3),
+        "queries_normalized": {
+            k: round(v * norm, 3) for k, v in timings.items()
+        },
+        **extras,
+    }
+    if "pairs_per_sec" in out:
+        out["pairs_per_sec_normalized"] = round(
+            out["pairs_per_sec"] / norm, 1
+        )
+    if "docs_per_sec" in out:
+        out["docs_per_sec_normalized"] = round(
+            out["docs_per_sec"] / norm, 1
+        )
+    spark.stop()
+    return out
+
+
+def _scaled_documents(spark, sf_dir: str, mult: int):
+    """MULT disjoint copies of the documents corpus for the sf1 dedup
+    rows: copy i prefixes EVERY token with a per-copy tag, so every
+    shingle/fingerprint/band key is bijectively remapped per copy —
+    within-copy near-dup structure identical, zero cross-copy
+    collisions (pair volume grows linearly in MULT, the same
+    disjointness discipline as bench_scaling._tagged)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = []
+    for i in range(mult):
+        c = base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_019)).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", r"(\S+)", f"q{i}x$1")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run_bench_sf1(cpus: int, mult: int = 16) -> dict:
+    """The at-scale contract row (VERDICT r4 item 3): linkage_e2e over
+    MULT tagged copies of the sf0.1 corpus (528k docs at the default
+    16x — the BENCH.md series, now emitted in the same JSON schema as
+    the per-round bench) plus the dedup families over a MULT-scaled
+    documents corpus.  The gate: per-doc linkage cost flat within 2x
+    of the sf0.1 row (docs/s RISES with corpus size here because the
+    33k-doc run is overhead-bound)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import bench_scaling
+
+    from record_linkage_ldu_spark.operators import dedup
+    from record_linkage_ldu_spark.plans.linkage import (
+        LinkageConfig,
+        LinkagePipeline,
+    )
+    from record_linkage_ldu_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(
+        app_name=f"rl-bench-sf1-{cpus}", master=f"local[{cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    calib_pre = calibrate(spark)
+
+    docs = bench_scaling._docs(spark, sf_dir, mult).localCheckpoint(
+        eager=True
+    )
+    n_docs = docs.count()
+    extras["docs"] = n_docs
+
+    def _linkage():
+        res = LinkagePipeline(spark, LinkageConfig()).run(docs)
+        extras["matches"] = res.matches.count()
+        extras["clusters"] = (
+            res.clusters.select("cluster_id").distinct().count()
+        )
+
+    timed("linkage_e2e", _linkage)
+    extras["docs_per_sec"] = round(n_docs / timings["linkage_e2e"], 1)
+
+    corpus_docs = _scaled_documents(spark, sf_dir, mult).localCheckpoint(
+        eager=True
+    )
+    extras["corpus_docs"] = corpus_docs.count()
+    timed(
+        "minhash_dedup",
+        lambda: _force(
+            dedup.minhash_near_duplicates(corpus_docs, threshold=0.3)
+        ),
+    )
+    timed(
+        "winnow_dedup",
+        lambda: _force(
+            dedup.winnow_near_duplicates(corpus_docs, min_shared=2)
+        ),
+    )
+    timed(
+        "simhash",
+        lambda: _force(
+            dedup.simhash_near_duplicates(
+                dedup.simhash_sketch(corpus_docs), max_hamming=3, n_bands=4
+            )
+        ),
+    )
+    timed(
+        "ngram_jaccard",
+        lambda: _force(
+            dedup.ngram_jaccard_pairs(
+                corpus_docs.withColumn(
+                    "len_bucket",
+                    F.floor(F.col("n_chars") / 100).cast("long"),
+                ),
+                block_cols=("lang", "len_bucket"),
+            )
+        ),
+    )
+    timed(
+        "containment",
+        lambda: _force(
+            dedup.containment_pairs(
+                corpus_docs, block_cols=("lang",), n=3, threshold=0.6
+            )
+        ),
+    )
+
+    calib_post = calibrate(spark)
+    calib = round((calib_pre + calib_post) / 2, 3)
+    norm = round(CALIB_REF_S / calib, 4) if calib > 0 else 1.0
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1,
+        "scale_mult": mult,
+        "cpus": cpus,
+        "calib_pre_s": calib_pre,
+        "calib_post_s": calib_post,
+        "calib_ref_s": CALIB_REF_S,
+        "host_factor": norm,
+        "value_normalized": round(total * norm, 3),
+        "queries_normalized": {
+            k: round(v * norm, 3) for k, v in timings.items()
+        },
+        "docs_per_sec_normalized": round(extras["docs_per_sec"] / norm, 1),
         **extras,
     }
     spark.stop()
@@ -391,4 +600,7 @@ def run_bench(sf_dir: str, cpus: int, include_linkage: bool = True) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    print(json.dumps(run_bench(sf_dir, cpus)))
+    if "--sf" in sys.argv and sys.argv[sys.argv.index("--sf") + 1] == "1":
+        print(json.dumps(run_bench_sf1(cpus)))
+    else:
+        print(json.dumps(run_bench(sf_dir, cpus)))
