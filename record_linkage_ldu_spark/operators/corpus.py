@@ -2759,7 +2759,10 @@ def shingle_novelty(
     """
     from ..functions.text import shingles
 
-    sh = df.select(
+    # r5: the one-split parquet corpus ran this whole explode+census
+    # chain in ONE task (24s of a 44s bench row at sf0.1) — same
+    # narrow-input trap ensure_width exists for in the dedup family
+    sh = ensure_width(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), w=w)).alias("_sh"),
     )
@@ -2853,7 +2856,7 @@ def template_floods(
     """
     from ..functions.text import shingles
 
-    sh = df.select(
+    sh = ensure_width(df).select(
         F.col(strata_col).alias("stratum"),
         F.explode(shingles(F.col(text_col), w=w)).alias("shingle"),
     )
