@@ -464,7 +464,17 @@ def _scaled_documents(spark, sf_dir: str, mult: int):
                 if i == 0
                 else F.regexp_replace("text", r"(\S+)", f"q{i}x$1")
             ).alias("text"),
-            "lang",
+            # metadata blocks (lang, len buckets) must be disjoint per
+            # copy too, or the metadata-blocked families
+            # (ngram_jaccard, containment) see 16x docs in the SAME
+            # blocks = 256x pair volume — a workload-shape change, not
+            # a scale-up (measured: 45-54x wall at 16x docs before
+            # this tag; same discipline as bench_scaling._tagged)
+            (
+                F.col("lang")
+                if i == 0
+                else F.concat(F.col("lang"), F.lit(f"-{i}"))
+            ).alias("lang"),
             "source",
             "n_chars",
         )
