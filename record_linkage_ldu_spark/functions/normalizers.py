@@ -48,10 +48,19 @@ from ..config import (
 # ------------------------------------------------------------------
 
 
-def _tokens(c: Column, *, replace_with_space: bool) -> Column:
-    """lower -> strip to [a-z0-9 ] -> whitespace-split, no empty tokens."""
+def _tokens(
+    c: Column, *, replace_with_space: bool, unicode_letters: bool = False
+) -> Column:
+    r"""lower -> strip to [a-z0-9 ] -> whitespace-split, no empty tokens.
+
+    ``unicode_letters=True`` keeps letters/digits of ANY script
+    (strip class ``[^\p{L}\p{Nd} ]``) — the VERDICT r4 item 6 knob:
+    the reference-faithful ASCII strip deletes CJK/Greek/Cyrillic
+    text outright, so such records lose all name blocking and scoring
+    signal under the default."""
     c = F.lower(c)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", " " if replace_with_space else "")
+    strip = r"[^\p{L}\p{Nd} ]" if unicode_letters else "[^a-z0-9 ]"
+    c = F.regexp_replace(c, strip, " " if replace_with_space else "")
     toks = F.split(F.trim(c), " +")
     # split('') yields [''], drop empties
     return F.array_remove(toks, "")
@@ -75,11 +84,17 @@ def _join_tokens(toks: Column, *, sort: bool) -> Column:
 # ------------------------------------------------------------------
 
 
-def normalize_name(c: Column) -> Column:
+def normalize_name(c: Column, unicode_letters: bool = False) -> Column:
     """pre_processing.py:48-55 — lowercase, strip symbols, drop name
     stopwords (token-exact, duplicates preserved), sort tokens,
-    space-join."""
-    toks = _remove_stopwords(_tokens(c, replace_with_space=False), NAME_STOPWORDS)
+    space-join.  ``unicode_letters=True`` keeps non-Latin scripts
+    (see ``_tokens``; wired through ``LinkageConfig.unicode_names``)."""
+    toks = _remove_stopwords(
+        _tokens(
+            c, replace_with_space=False, unicode_letters=unicode_letters
+        ),
+        NAME_STOPWORDS,
+    )
     return _join_tokens(toks, sort=True)
 
 
@@ -156,11 +171,14 @@ def _sql_list(words: tuple[str, ...]) -> str:
     return f"[{inner}]"
 
 
-def _sql_tokens(expr: str, *, replace_with_space: bool) -> str:
+def _sql_tokens(
+    expr: str, *, replace_with_space: bool, unicode_letters: bool = False
+) -> str:
     repl = "' '" if replace_with_space else "''"
+    strip = r"[^\p{L}\p{Nd} ]" if unicode_letters else "[^a-z0-9 ]"
     return (
         f"list_filter(string_split_regex(trim(regexp_replace(lower({expr}), "
-        f"'[^a-z0-9 ]', {repl}, 'g')), ' +'), t -> t != '')"
+        f"'{strip}', {repl}, 'g')), ' +'), t -> t != '')"
     )
 
 
@@ -174,9 +192,12 @@ def _sql_join(joined: str, expr: str) -> str:
     return f"coalesce({joined}, CASE WHEN {expr} IS NULL THEN NULL ELSE '' END)"
 
 
-def sql_normalize_name(expr: str) -> str:
+def sql_normalize_name(expr: str, unicode_letters: bool = False) -> str:
     toks = _sql_remove_stopwords(
-        _sql_tokens(expr, replace_with_space=False), NAME_STOPWORDS
+        _sql_tokens(
+            expr, replace_with_space=False, unicode_letters=unicode_letters
+        ),
+        NAME_STOPWORDS,
     )
     return _sql_join(f"array_to_string(list_sort({toks}), ' ')", expr)
 

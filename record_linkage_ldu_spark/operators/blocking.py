@@ -71,6 +71,18 @@ class BlockingConfig:
     contact_fields: tuple[str, ...] = ("phone", "email", "zip")
     name_field: str = "name"
     fallback_name_fields: tuple[str, ...] = ("company_name",)
+    # character q-gram name keys in the candidate union (r5, VERDICT
+    # item 6): the script-agnostic recall tier for corpora where the
+    # phonetic families are blind (CJK/Cyrillic names — pair with
+    # LinkageConfig.unicode_names so the normalizer keeps them).
+    # df-pruned ([qgram_min_df, qgram_max_df]) so every emitted block
+    # is bounded BY CONSTRUCTION — no cap/salt tier needed.  Default
+    # off: on an all-Latin corpus it only duplicates reach the
+    # phonetic/SN families already have.
+    use_qgram_name: bool = False
+    qgram_q: int = 5
+    qgram_min_df: int = 2
+    qgram_max_df: int = 50
 
 
 def name_expr(records: DataFrame, cfg: BlockingConfig) -> Column:
@@ -462,6 +474,18 @@ def generate_candidates(
         pairs, dropped = _build_key_tiers()
         if cfg.sn_window > 0:
             pairs = pairs.unionByName(_build_sn())
+    if cfg.use_qgram_name:
+        # df-pruned q-gram keys are bounded by construction
+        # (max_df docs per block), so their pairs go straight into
+        # the shared pair-dedup — no tier pass
+        qk = qgram_block_keys(
+            records,
+            field=cfg.name_field,
+            q=cfg.qgram_q,
+            min_df=cfg.qgram_min_df,
+            max_df=cfg.qgram_max_df,
+        )
+        pairs = pairs.unionByName(candidate_pairs(qk, dedup=False))
     if num_partitions:
         pairs = pairs.repartition(num_partitions, "doc_id_1", "doc_id_2")
     return pairs.dropDuplicates(["doc_id_1", "doc_id_2"]), dropped

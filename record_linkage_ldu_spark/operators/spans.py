@@ -84,19 +84,33 @@ def extract_fields(
 
 
 def normalize_fields(
-    wide: DataFrame, kinds: tuple[str, ...] = SPAN_FIELD_KINDS
+    wide: DataFrame,
+    kinds: tuple[str, ...] = SPAN_FIELD_KINDS,
+    unicode_names: bool = False,
 ) -> DataFrame:
     """Apply the per-field normalizer chains (pre_processing.py:158-213)
     to the wide columns in place.  Null in -> null out (normalizer
     chains are null-propagating, matching the reference's pd.notnull
-    guards).  Still one narrow projection."""
+    guards).  Still one narrow projection.
+
+    ``unicode_names=True`` routes the name-family normalizer through
+    the any-script token strip (``normalize_name(unicode_letters=
+    True)``) so CJK/Cyrillic/Greek names survive normalization —
+    under the reference-faithful default they are deleted outright
+    and lose every name-derived blocking key and similarity signal
+    (VERDICT r4 item 6)."""
+    from ..functions.normalizers import normalize_name as _nn
+
     out = wide
     exprs = {}
     for kind in kinds:
         norm = FIELD_NORMALIZER.get(kind)
         if norm is None:
             continue
-        exprs[kind] = NORMALIZERS[norm](F.col(kind))
+        if unicode_names and norm == "name":
+            exprs[kind] = _nn(F.col(kind), unicode_letters=True)
+        else:
+            exprs[kind] = NORMALIZERS[norm](F.col(kind))
     return out.withColumns(exprs)
 
 

@@ -86,6 +86,16 @@ class LinkageConfig:
     # right phonetic block).  Default off: the reference corpus is
     # unaccented and the fold costs one extra projection pass.
     fold_accents: bool = False
+    # keep non-Latin scripts through the name normalizer (r5, VERDICT
+    # item 6): the reference-faithful [^a-z0-9 ] strip deletes CJK /
+    # Cyrillic / Greek names entirely, so such records lose all name
+    # blocking and scoring signal — AND two all-CJK names both
+    # normalize to '' where the similarity convention scores
+    # sim('','') = 1.0, firing the exact-name rule on unrelated
+    # records.  Turn this on (usually with
+    # blocking.use_qgram_name, since phonetic keys are Latin-only)
+    # for multilingual corpora; default off for reference parity.
+    unicode_names: bool = False
 
 
 _FAMILIES = {
@@ -111,7 +121,7 @@ def records_view(documents: DataFrame, cfg: LinkageConfig | None = None) -> Data
         wide = wide.withColumns(
             {k: _fold(F.col(k)) for k in _KINDS if k in wide.columns}
         )
-    wide = normalize_fields(wide)
+    wide = normalize_fields(wide, unicode_names=cfg.unicode_names)
     cols = [F.col("doc_id"), F.col("source"), F.col("spans")]
     for fam in SELF_COMPARE_FIELDS:
         members = _FAMILIES.get(fam, (fam,))

@@ -315,3 +315,66 @@ def test_fold_accents_knob_recovers_accented_match(spark):
     n_base = base.clusters.select("cluster_id").distinct().count()
     n_fold = folded.clusters.select("cluster_id").distinct().count()
     assert n_base == 2 and n_fold == 1
+
+
+def test_unicode_names_knob_links_cjk_duplicates(spark):
+    """VERDICT r4 item 6, linkage side: under the reference-faithful
+    default the `[^a-z0-9 ]` strip deletes CJK names outright (no
+    phonetic key, no SN rank, no name similarity), so a planted CJK
+    duplicate pair is unreachable.  With `unicode_names=True` +
+    `blocking.use_qgram_name=True` (the script-agnostic key family)
+    the pair is blocked, scored on the real characters, and clustered
+    — while the distinct CJK record pairs with nothing under either
+    config."""
+    from record_linkage_ldu_spark.operators.blocking import BlockingConfig
+    from record_linkage_ldu_spark.operators.spans import DOCUMENTS_SCHEMA
+
+    def doc(doc_id, name, zip_, phone, email):
+        spans = [
+            ("name", name, None, 0),
+            ("address", "12 sakura street", None, 1),
+            ("city", "shibuya", None, 2),
+            ("state", "tokyo", None, 3),
+            ("zip", zip_, None, 4),  # 3 chars: below the zp: key floor
+            ("country", "japan", None, 5),
+            ("phone", phone, None, 6),
+            ("email", email, None, 7),
+        ]
+        return (doc_id, spans)
+
+    rows = [
+        doc("d1", "山田太郎商事株式会社", "123", "81355550001", "a@x1.example"),
+        doc("d2", "山田太郎商店株式会社", "123", "81355550002", "b@x2.example"),
+        doc("d3", "鈴木電機製作所一同", "123", "81355550003", "c@x3.example"),
+        doc("d4", "acme trading company", "123", "81355550004", "d@x4.example"),
+        doc("d5", "acme tradings company", "123", "81355550005", "e@x5.example"),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    def matched_pairs(cfg):
+        res = LinkagePipeline(spark, cfg).run(docs)
+        return {
+            (r["doc_id_1"], r["doc_id_2"])
+            for r in res.matches.select("doc_id_1", "doc_id_2").collect()
+        }
+
+    default = matched_pairs(LinkageConfig())
+    assert ("d1", "d2") not in default          # CJK names deleted
+    # and crucially NOT welded through sim('','')=1.0 either: with no
+    # shared block key the pair is simply never generated
+    assert not any("d1" in p or "d2" in p or "d3" in p for p in default)
+    assert ("d4", "d5") in default              # Latin control links
+
+    uni = matched_pairs(
+        LinkageConfig(
+            unicode_names=True,
+            blocking=BlockingConfig(
+                use_sorted_neighborhood=False,
+                sn_window=0,
+                use_qgram_name=True,
+            ),
+        )
+    )
+    assert ("d1", "d2") in uni                  # blocked + scored + linked
+    assert ("d4", "d5") in uni                  # Latin path unaffected
+    assert not any("d3" in p for p in uni)      # distinct CJK stays single
