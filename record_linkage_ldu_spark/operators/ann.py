@@ -713,26 +713,58 @@ def sql_lsh_topk(
     table: str, k: int = 5, nbits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
+    multiprobe: bool = False,
 ) -> str:
+    """``multiprobe=True`` reproduces the 1-bit-flip probe-key
+    candidate set (r5: the production recall knob is now twinned too —
+    each vector emits its bucket plus every 1-bit flip, so buckets
+    within hamming 2 collide, exactly `_sign_bucket_candidates`)."""
     if planes is not None:
         bits = sql_hyperplane_bucket(f"CAST({vec_col} AS DOUBLE[])", planes)
+        nbits = len(planes)
     else:
         bits = " || ".join(
             f"(CASE WHEN CAST({vec_col} AS DOUBLE[])[{i + 1}] >= 0 "
             "THEN '1' ELSE '0' END)"
             for i in range(nbits)
         )
+    if multiprobe:
+        cand = f"""keys AS (
+            SELECT vid, v,
+                   CASE WHEN j.j = 0 THEN bucket
+                        ELSE substr(bucket, 1, j.j - 1)
+                             || (CASE WHEN substr(bucket, j.j, 1) = '1'
+                                      THEN '0' ELSE '1' END)
+                             || substr(bucket, j.j + 1, {nbits} - j.j)
+                   END AS probe
+            FROM base, range(0, {nbits + 1}) j(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vid AS vid_a, b.vid AS vid_b
+            FROM keys a JOIN keys b
+              ON a.probe = b.probe AND a.vid <> b.vid
+        ),
+        sims AS (
+            SELECT c.vid_a AS query_id, c.vid_b AS neighbor_id,
+                   round(list_cosine_similarity(ba.v, bb.v), 6)
+                       AS cosine_sim
+            FROM cand c
+            JOIN base ba ON c.vid_a = ba.vid
+            JOIN base bb ON c.vid_b = bb.vid
+        )"""
+    else:
+        cand = """sims AS (
+            SELECT a.vid AS query_id, b.vid AS neighbor_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+            FROM base a JOIN base b ON a.bucket = b.bucket AND a.vid <> b.vid
+        )"""
     return f"""
         WITH base AS (
             SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
                    {bits} AS bucket
             FROM {table}
         ),
-        sims AS (
-            SELECT a.vid AS query_id, b.vid AS neighbor_id,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-            FROM base a JOIN base b ON a.bucket = b.bucket AND a.vid <> b.vid
-        )
+        {cand}
         SELECT query_id, neighbor_id, cosine_sim, rank FROM (
             SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id
