@@ -6090,12 +6090,14 @@ def _sql_containment_near_dups(n: int = 3, threshold: float = 0.6) -> str:
             SELECT doc_id, lang, {sql_tokens('text')} AS t FROM documents
         ),
         base AS MATERIALIZED (
-            SELECT doc_id, lang,
-                   CASE WHEN len(t) >= {n}
-                        THEN list_distinct(
-                            [ {joined} for i in range(1, len(t) - {n - 2}) ])
-                        ELSE CAST([] AS VARCHAR[]) END AS grams
-            FROM _toks
+            SELECT * FROM (
+                SELECT doc_id, lang,
+                       CASE WHEN len(t) >= {n}
+                            THEN list_distinct(
+                                [ {joined} for i in range(1, len(t) - {n - 2}) ])
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM _toks
+            ) WHERE len(grams) > 0
         )
         SELECT doc_id_1, doc_id_2, containment_1, containment_2,
                greatest(containment_1, containment_2) AS overlap
@@ -6122,10 +6124,12 @@ def _sql_ngram_jaccard() -> str:
     toks = f"list_distinct({sql_tokens('text')})"
     return f"""
         WITH base AS (
-            SELECT doc_id, lang,
-                   CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-                   {toks} AS grams
-            FROM documents
+            SELECT * FROM (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                       {toks} AS grams
+                FROM documents
+            ) WHERE len(grams) > 0
         )
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                round(

@@ -802,12 +802,16 @@ def _metadata_blocked_gram_pairs(
     # self-join keeps `grams` as an unevaluated projection, and the
     # tokenize+distinct chain re-runs once per MATCHED PAIR instead of
     # once per doc (measured ~12s -> ~2s on 450k within-block pairs).
+    # Empty gram sets are dropped (r5, same weld class as the minhash
+    # fix): two zero-gram docs in one metadata block would otherwise
+    # verify at J(emptyset, emptyset) = 1.0 / containment 1.0 with
+    # zero content evidence.  No units => no candidates.
     base = _pin(
         tokenized.select(
             "doc_id",
             *[F.col(c) for c in block_cols],
             F.explode(F.array(grams)).alias("grams"),
-        ),
+        ).where(F.size(F.col("grams")) > 0),
         pin,
     )
     if max_block_size is None:
@@ -1576,8 +1580,14 @@ def simhash_sketch(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     word_re = re.compile(r"[^a-z0-9]+")
 
     # a one-split parquet corpus would run the whole Arrow UDF in ONE
-    # task (measured 6.3s -> sub-second at sf0.1 on 32 cores)
-    df = ensure_width(df)
+    # task (measured 6.3s -> sub-second at sf0.1 on 32 cores).
+    # Zero-token docs are dropped BEFORE sketching (r5): they all
+    # sketched to 0 and banded together as hamming-0 "duplicates" of
+    # each other with no content evidence — no units, no sketch (the
+    # minhash/ngram empty-set rule).
+    df = ensure_width(df).where(
+        F.col(text_col).isNotNull() & (F.size(tokens(F.col(text_col))) > 0)
+    )
 
     @F.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
@@ -1742,10 +1752,12 @@ def sql_simhash_near_duplicates(
         ),
         agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
         sk AS (
-            SELECT t.{id_col} AS doc_id,
-                   CASE WHEN a.doc_id IS NULL THEN 0::UBIGINT
-                        ELSE {bits} END AS usk
-            FROM {table} t LEFT JOIN agg a ON t.{id_col} = a.doc_id
+            -- zero-token docs never sketch (r5 empty-set rule: they
+            -- all landed on sketch 0 and banded as hamming-0 "dupes"
+            -- of each other) — inner join drops them, matching the
+            -- Spark-side pre-filter
+            SELECT a.doc_id, {bits} AS usk
+            FROM agg a
         ),
         bands AS ({bands}),
         cand AS (

@@ -570,3 +570,47 @@ def test_char_ngram_tokenizer_catches_cjk_pairs_word_misses(spark):
     # unknown knob value is refused, not silently worded
     with pytest.raises(ValueError, match="tokenizer"):
         dedup.minhash_near_duplicates(df, tokenizer="bpe").collect()
+
+
+def test_empty_sketch_docs_never_pair_across_families(spark):
+    """r5 weld-bug class (found by the CJK contrast test, then audited
+    across families): docs whose sketch-unit set is EMPTY — whitespace
+    or punctuation-only text, or any unsegmented non-Latin text under
+    the word tokenizer — must never pair.  Before the fix, minhash
+    banded them through concat_ws null-skipping, ngram/containment
+    verified them at J(set(), set())=1.0 inside shared metadata
+    blocks, and simhash sketched them all to 0 (hamming-0 "dupes"),
+    each with zero content evidence."""
+    rows = [
+        ("1", "!!! ...", "en", 10),
+        ("2", "???", "en", 10),
+        ("3", "这是一段没有空格的中文文本", "en", 10),
+        ("4", "real english words appear here twice over " * 3, "en", 10),
+        # identical twin: inside every family's catch radius (simhash
+        # hamming 0; the near-miss radius is each family's own test)
+        ("5", "real english words appear here twice over " * 3, "en", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, n_chars long"
+    )
+    empty_ids = {"1", "2", "3"}
+
+    mh = dedup.minhash_near_duplicates(df, threshold=0.3).collect()
+    ng = dedup.ngram_jaccard_pairs(
+        df, block_cols=("lang",), n=1, threshold=0.5
+    ).collect()
+    ct = dedup.containment_pairs(
+        df, block_cols=("lang",), n=3, threshold=0.6
+    ).collect()
+    sh = dedup.simhash_near_duplicates(
+        dedup.simhash_sketch(df), max_hamming=3, n_bands=4
+    ).collect()
+    for name, pairs in (
+        ("minhash", mh), ("ngram", ng), ("containment", ct), ("simhash", sh)
+    ):
+        ids = {r["doc_id_1"] for r in pairs} | {r["doc_id_2"] for r in pairs}
+        assert not (ids & empty_ids), (name, pairs)
+        # the real near-dup pair is still caught
+        assert ("4", "5") in {
+            (r["doc_id_1"], r["doc_id_2"]) for r in pairs
+        }, name
