@@ -148,6 +148,11 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-bit padding per T.81
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align and emit RSTn (marker bytes are NOT stuffed)."""
+        self.flush()
+        self.buf += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _scaled_quant(quality: int) -> list[int]:
     quality = max(1, min(100, quality))
@@ -240,10 +245,15 @@ def encode_jpeg(
     pixels: bytes,
     quality: int = 75,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encode of an interleaved 8-bit pixel buffer
     (1 = grayscale, 3 = RGB; 4 = RGBA, alpha dropped).
-    ``subsampling``: "444" or "420" (chroma averaged 2x2)."""
+    ``subsampling``: "444", "422" (chroma averaged horizontally), or
+    "420" (averaged 2x2).  ``restart_interval`` > 0 emits DRI + an
+    RSTn marker every that-many MCUs with DC-predictor resets — the
+    error-resilience feature real camera JPEGs carry, and the
+    decoder's restart path's test vector."""
     if channels == 4:
         pixels = bytes(
             pixels[i] for i in range(len(pixels)) if i % 4 != 3
@@ -251,8 +261,10 @@ def encode_jpeg(
         channels = 3
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1/3/4, got {channels}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be 444|420, got {subsampling}")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsampling must be 444|422|420, got {subsampling}"
+        )
     quant = _scaled_quant(quality)
 
     if channels == 1:
@@ -267,17 +279,19 @@ def encode_jpeg(
             r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
             yv, cbv, crv = _rgb_to_ycbcr(float(r), float(g), float(b))
             yp[i], cbp[i], crp[i] = yv, cbv, crv
-        if subsampling == "420":
-            cw, ch = (w + 1) // 2, (h + 1) // 2
+        if subsampling in ("420", "422"):
+            vstep = 2 if subsampling == "420" else 1
+            cw = (w + 1) // 2
+            ch = (h + vstep - 1) // vstep
             def _down(p):
                 out = [0.0] * (cw * ch)
                 for yy in range(ch):
                     for xx in range(cw):
                         acc = 0.0
                         n = 0
-                        for dy in (0, 1):
+                        for dy in range(vstep):
                             for dx in (0, 1):
-                                sy, sx = 2 * yy + dy, 2 * xx + dx
+                                sy, sx = vstep * yy + dy, 2 * xx + dx
                                 if sy < h and sx < w:
                                     acc += p[sy * w + sx]
                                     n += 1
@@ -285,7 +299,7 @@ def encode_jpeg(
                 return out
             planes = [yp, _down(cbp), _down(crp)]
             dims = [(w, h), (cw, ch), (cw, ch)]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(2, vstep), (1, 1), (1, 1)]
         else:
             planes = [yp, cbp, crp]
             dims = [(w, h)] * 3
@@ -314,6 +328,8 @@ def encode_jpeg(
     ):
         payload = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
@@ -327,8 +343,19 @@ def encode_jpeg(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     preds = [0] * ncomp
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.restart_marker(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 sh, sv = samp[ci]
                 pw_, ph_ = dims[ci]
@@ -391,12 +418,26 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Consume an RSTn marker and realign."""
+        """Discard pad bits and consume the RSTn marker.  The marker
+        may not have been SEEN yet: the reader fills lazily, so after
+        the pre-marker MCU it can sit byte-aligned just BEFORE the
+        0xFF — only scanning forward here (not just checking
+        ``self.marker``) consumes it; missing it turns every later
+        bit into 0 and flattens the rest of the image (caught by the
+        restart-interval roundtrip test at 15 dB PSNR)."""
         self._acc = 0
         self._n = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
-            self.pos += 2
-            self.marker = None
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+            return
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes before the marker
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
 
 
 def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:

@@ -601,3 +601,46 @@ def test_jpeg_decode_and_reencoded_copy_caught_by_phash(spark):
     if v >= 1 << 63:
         v -= 1 << 64
     assert hashes["r_stub"] == v  # md5 stub unchanged, bit-for-bit
+
+
+def test_jpeg_codec_roundtrip_matrix(spark):
+    """Codec conformance matrix: every encoder subsampling (4:4:4,
+    4:2:2, 4:2:0) x restart interval (off, 1, 3 MCUs) roundtrips
+    above 30 dB PSNR on a noisy gradient with non-multiple-of-8
+    dimensions.  The restart rows pin the decoder's DRI/RSTn path —
+    a real camera-JPEG feature — including the byte-aligned-marker
+    consumption bug this test originally caught (missed RSTn => every
+    later bit reads 0 => the image flattens at ~15 dB)."""
+    import math
+    import random
+
+    from record_linkage_ldu_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(5)
+    w, h = 36, 28
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                [
+                    min(255, 4 * x + rng.randint(0, 10)),
+                    min(255, 5 * y + rng.randint(0, 10)),
+                    130,
+                ]
+            )
+    for sub in ("444", "422", "420"):
+        for ri in (0, 1, 3):
+            data = encode_jpeg(
+                w, h, 3, bytes(px), quality=85, subsampling=sub,
+                restart_interval=ri,
+            )
+            if ri:
+                assert b"\xff\xdd" in data  # DRI present
+            dw, dh, dch, out = decode_jpeg(data)
+            assert (dw, dh, dch) == (w, h, 3)
+            mse = sum((a - b) ** 2 for a, b in zip(px, out)) / len(px)
+            psnr = 10 * math.log10(255 * 255 / mse)
+            assert psnr > 30, (sub, ri, psnr)
