@@ -4,6 +4,12 @@ given SF dir; compare row count, column names, and an order-insensitive
 value hash (floats rounded to 9 significant-ish decimals first).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json out.json [sf_dir] [query ...]
+
+``--json`` additionally writes a CORRECTNESS_r{N}.json-shaped record
+per query (rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) so local sweeps leave the same machine-checkable artifact the
+driver produces.
 """
 
 from __future__ import annotations
@@ -52,8 +58,13 @@ def frame_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from record_linkage_ldu_spark.session import build_session
@@ -70,6 +81,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,11 +93,21 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark:{e}"[:300],
+            }
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s spark={t_spark:.1f}s]")
+            records[name] = {
+                "rows_match": len(srows) > 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "no_oracle:rows_only",
+            }
             continue
         t1 = time.time()
         try:
@@ -95,6 +117,11 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb:{e}"[:300],
+            }
             continue
         t_duck = time.time() - t1
         ok_cols = sorted(scols) == sorted(dcols)
@@ -107,10 +134,21 @@ def main():
             f"hash={'ok' if ok_hash else 'MISMATCH'} "
             f"[{time.time()-t0:.1f}s spark={t_spark:.1f}s duck={t_duck:.1f}s]"
         )
+        records[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_hash and ok_cols and ok_count:
                 _show_diff(scols, srows, dcols, drows)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} records)")
     print(f"\n{len(failures)} failures: {failures}")
     sys.exit(1 if failures else 0)
 
