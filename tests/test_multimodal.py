@@ -644,3 +644,41 @@ def test_jpeg_codec_roundtrip_matrix(spark):
             mse = sum((a - b) ** 2 for a, b in zip(px, out)) / len(px)
             psnr = 10 * math.log10(255 * 255 / mse)
             assert psnr > 30, (sub, ri, psnr)
+
+
+def test_jpeg_roundtrip_property(spark):
+    """Property sweep: random small images (odd dims, every channel
+    mode, every subsampling, restart on/off) encode to a valid stream
+    and decode to the exact input dimensions at sane fidelity."""
+    import math
+    import random
+
+    from record_linkage_ldu_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(11)
+    for trial in range(8):
+        w = rng.randint(5, 40)
+        h = rng.randint(5, 40)
+        ch = rng.choice([1, 3])
+        sub = rng.choice(["444", "422", "420"]) if ch == 3 else "444"
+        ri = rng.choice([0, 0, 1, 2])
+        base = [rng.randint(0, 3) for _ in range(3)]
+        px = bytes(
+            min(255, base[c] * 40 + ((x * 5 + y * 3) % 128)
+                + rng.randint(0, 8))
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        data = encode_jpeg(
+            w, h, ch, px, quality=rng.randint(70, 95),
+            subsampling=sub, restart_interval=ri,
+        )
+        dw, dh, dch, out = decode_jpeg(data)
+        assert (dw, dh, dch) == (w, h, ch), (trial, w, h, ch, sub, ri)
+        mse = sum((a - b) ** 2 for a, b in zip(px, out)) / len(px)
+        psnr = 10 * math.log10(255 * 255 / max(mse, 1e-9))
+        assert psnr > 26, (trial, w, h, ch, sub, ri, psnr)

@@ -116,6 +116,8 @@ def test_jvm_kernels_match_python(spark):
 
     from record_linkage_ldu_spark.functions.similarity import (
         _jvm_kernels_available,
+        dl_normalized_similarity,
+        dl_sim_col,
         jaro_winkler,
         jw_sim_col,
         ratcliff_obershelp,
@@ -141,13 +143,19 @@ def test_jvm_kernels_match_python(spark):
         "a", "b",
         ro_sim_col(F.col("a"), F.col("b")).alias("ro"),
         jw_sim_col(F.col("a"), F.col("b")).alias("jw"),
+        dl_sim_col(F.col("a"), F.col("b")).alias("dl"),
     ).collect()
     for r in got:
         if r["a"] is None or r["b"] is None:
-            assert r["ro"] == 0.0 and r["jw"] == 0.0
+            assert r["ro"] == 0.0 and r["jw"] == 0.0 and r["dl"] == 0.0
         else:
             assert r["ro"] == ratcliff_obershelp(r["a"], r["b"])
             assert abs(r["jw"] - jaro_winkler(r["a"], r["b"])) < 1e-15
+            # r5: the DL kernel (rlds.DlSim) joined the jar — exact
+            # agreement with the Python/DuckDB algorithm
+            assert abs(
+                r["dl"] - dl_normalized_similarity(r["a"], r["b"])
+            ) < 1e-15
 
 
 def test_tfidf_token_cosine_hand_computed(spark):
